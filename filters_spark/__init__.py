@@ -1,0 +1,68 @@
+"""filters_spark — a from-scratch, PySpark-native validation engine.
+
+Re-expresses the semantics of the ``phx-filters`` reference library
+(todofixthis/filters) as vectorized Spark column kernels: each pipe-chained
+filter chain (``Required() | Unicode() | MaxLength(500)``) compiles to a DAG
+of Spark ``Column`` expressions plus (where Python semantics demand it)
+Arrow-batched pandas kernels, evaluated in a single per-partition pass.
+
+This is NOT a port: the reference is a scalar-at-a-time interpreted pipeline
+(``/root/reference/src/filters/base.py:226-233``); this engine is
+DataFrame-native and columnar.  Reference citations in docstrings are
+``file:line`` into ``/root/reference/``.
+
+Public surface mirrors the reference export list
+(``src/filters/__init__.py:4-68``) plus the table-level validation engine
+(stats / uniqueness / referential / drift) that the reference lacks.
+"""
+
+from filters_spark.core.spec import BaseSpec, Chain, CompileError, Ctx, Step
+from filters_spark.core.compiler import attach_chain, compile_chain_expr, validate
+from filters_spark.operators.presence import Empty, NoOp, NotEmpty, Optional, Required
+from filters_spark.operators.lengths import Len, Length, MaxLength, MinLength
+from filters_spark.operators.numbers import Decimal, Int, Max, Min, Round
+from filters_spark.operators.strings import (
+    Base64Decode,
+    ByteString,
+    CaseFold,
+    Choice,
+    IpAddress,
+    JsonDecode,
+    MaxBytes,
+    MaxChars,
+    Regex,
+    Split,
+    Strip,
+    TomlDecode,
+    Unicode,
+    Uuid,
+)
+from filters_spark.operators.temporal import Date, Datetime
+from filters_spark.operators.structural import (
+    Array,
+    ByteArray,
+    Call,
+    FilterMapper,
+    FilterRepeater,
+    FilterSwitch,
+    Item,
+    NamedTuple,
+    Omit,
+    Pick,
+    Type,
+)
+from filters_spark.operators.macros import FilterExtensionRegistry, filter_macro
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Array", "Base64Decode", "BaseSpec", "ByteArray", "ByteString", "Call",
+    "CaseFold", "Chain", "Choice", "CompileError", "Ctx", "Date", "Datetime",
+    "Decimal", "Empty", "FilterExtensionRegistry", "FilterMapper",
+    "FilterRepeater", "FilterSwitch", "Int", "IpAddress", "Item",
+    "JsonDecode", "Len", "Length", "Max", "MaxBytes", "MaxChars",
+    "MaxLength", "Min", "MinLength", "NamedTuple", "NoOp", "NotEmpty",
+    "Omit", "Optional", "Pick", "Regex", "Required", "Round", "Split",
+    "Step", "Strip", "TomlDecode", "Type", "Unicode", "Uuid",
+    "attach_chain", "compile_chain_expr", "filter_macro", "validate",
+]

@@ -1,0 +1,253 @@
+"""Chain compiler: spec tree → Spark columns.
+
+Compiles a :class:`~filters_spark.core.spec.Chain` into a single projection
+that threads ``(value, error-mask, violations)`` through every step:
+
+- ``value_i   = (err_{i-1} OR null-pass) ? NULL : step_i.value``
+- ``err_i     = err_{i-1} OR step_i.invalid``   (first-error short-circuit,
+  mirroring ``FilterChain._apply`` at ``src/filters/base.py:462-473``)
+- ``viols_i   = err_{i-1} ? viols_{i-1} : fired(step_i)``  (only the first
+  failing filter reports, like the reference's break-on-error)
+
+The mask is a *data dependency*, so Catalyst cannot reorder steps in a way
+that changes semantics, while still fusing the whole chain into one
+whole-stage-codegen projection (plus at most a few ArrowEvalPython stages
+for pandas kernels).
+
+Two compile modes:
+
+- :func:`attach_chain` — DataFrame-level; materialises intermediate steps
+  as temp columns (kept linear, Catalyst collapses the projections) and
+  supports Arrow pandas kernels via ``Step.pre``.
+- :func:`compile_chain_expr` — pure-expression; usable inside higher-order
+  function lambdas (``F.transform`` for ``FilterRepeater``); pandas
+  kernels are rejected with :class:`CompileError`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filters_spark.core.spec import (
+    VIOLATION_SCHEMA,
+    BaseSpec,
+    Chain,
+    CompileError,
+    Ctx,
+    as_chain,
+    null_of,
+)
+
+_VIOL_ARRAY = T.ArrayType(VIOLATION_SCHEMA)
+
+
+def _empty_viols() -> Column:
+    return F.array().cast(_VIOL_ARRAY)
+
+
+def _fired_violations(step, err: Column, value: Column, key) -> Column:
+    """Array of violation structs fired by this step (empty if none)."""
+    if step.violations_array is not None:
+        arr = step.violations_array
+        if not step.handles_null:
+            arr = F.when(value.isNull(), _empty_viols()).otherwise(arr)
+        return F.when(err, _empty_viols()).otherwise(
+            F.coalesce(arr, _empty_viols())
+        )
+    guards = []
+    for v in step.violations:
+        cond = F.coalesce(v.cond, F.lit(False))
+        if not step.handles_null:
+            cond = value.isNotNull() & cond
+        guards.append(F.when(~err & cond, make_violation_col(key, v)))
+    if not guards:
+        return _empty_viols()
+    return F.filter(F.array(*guards), lambda x: x.isNotNull())
+
+
+def make_violation_col(key, v) -> Column:
+    # root key "" mirrors the reference's top-level error key
+    # (src/filters/pytest.py:81-82: bare codes ≡ key "")
+    if isinstance(key, str) and key == "":
+        key_col = v.key_suffix if v.key_suffix is not None else F.lit("")
+    else:
+        key_col = key if isinstance(key, Column) else F.lit(key)
+        if v.key_suffix is not None:
+            key_col = F.concat_ws(".", key_col, v.key_suffix)
+    return F.struct(
+        key_col.alias("key"), v.code.alias("code"), v.message.alias("message")
+    )
+
+
+@dataclass
+class ChainResult:
+    value: Column
+    dtype: T.DataType
+    violations: Column  # array<struct<key,code,message>>
+    #: Arrow-kernel columns that must be materialised (in order) before
+    #: ``value``/``violations`` — populated only with ``allow_pre=True``.
+    pre: dict | None = None
+
+
+def _step_invalid(step, value: Column) -> Column:
+    if step.invalid is None:
+        return F.lit(False)
+    inv = F.coalesce(step.invalid, F.lit(False))
+    if not step.handles_null:
+        inv = value.isNotNull() & inv
+    return inv
+
+
+def compile_chain_expr(
+    chain: BaseSpec | Chain,
+    value: Column,
+    dtype: T.DataType,
+    ctx: Ctx,
+    key: str | Column,
+    allow_pre: bool = False,
+) -> ChainResult:
+    """Expression-level compile (no temp columns of its own).
+
+    With ``allow_pre=True`` (struct-field chains inside FilterMapper /
+    FilterSwitch — ordinary expressions, not lambdas), Arrow-kernel
+    columns are accumulated in ``ChainResult.pre`` for the caller to
+    materialise in order.  With ``allow_pre=False`` (inside higher-order
+    function lambdas, where UDFs cannot run) kernels are a compile error.
+    """
+    err = F.lit(False)
+    viols = _empty_viols()
+    pre: dict = {}
+    for spec in as_chain(chain).specs:
+        step = spec.compile(value, dtype, ctx, key if isinstance(key, str) else "")
+        if step.pre:
+            if not allow_pre:
+                raise CompileError(
+                    f"{type(spec).__name__} needs an Arrow pandas kernel and "
+                    "cannot be used in pure-expression position (e.g. inside "
+                    "FilterRepeater over arrays); use the explode path instead"
+                )
+            pre.update(step.pre)
+        inv = _step_invalid(step, value)
+        fired = _fired_violations(step, err, value, key)
+        viols = F.when(err, viols).otherwise(F.concat(viols, fired))
+        skip_null = F.lit(False) if step.handles_null else value.isNull()
+        value = F.when(err | skip_null | inv, null_of(step.dtype)).otherwise(
+            step.value
+        )
+        err = err | inv
+        dtype = step.dtype
+    return ChainResult(value=value, dtype=dtype, violations=viols, pre=pre)
+
+
+def attach_chain(
+    df: DataFrame,
+    col_name: str,
+    chain: BaseSpec | Chain,
+    *,
+    key: str | None = None,
+    out_value: str | None = None,
+    out_violations: str | None = None,
+    ctx: Ctx | None = None,
+) -> tuple[DataFrame, str, str]:
+    """Attach a compiled chain to ``df``.
+
+    Returns ``(df, value_col, violations_col)`` where ``value_col`` holds
+    the cleaned value (NULL where the chain failed — the reference's
+    replacement semantics) and ``violations_col`` an
+    ``array<struct<key,code,message>>`` with the first failing filter's
+    violations (usually 0 or 1 element; structural combinators may emit
+    several).
+
+    Each step is materialised as temp columns so the expression tree stays
+    linear; Catalyst collapses the stacked projections into one.
+    """
+    ctx = ctx or Ctx()
+    key = key if key is not None else col_name
+    if col_name not in df.columns:
+        raise CompileError(f"column {col_name!r} not found in DataFrame")
+    dtype = df.schema[col_name].dataType
+
+    value = F.col(col_name)
+    err = F.lit(False)
+    viols = _empty_viols()
+    temps: list[str] = []
+
+    for spec in as_chain(chain).specs:
+        step = spec.compile(value, dtype, ctx, key)
+        if step.pre:
+            # sequential: later kernels may reference earlier pre columns
+            for pname, pcol in step.pre.items():
+                df = df.withColumn(pname, pcol)
+            temps.extend(step.pre)
+        inv = _step_invalid(step, value)
+        fired = _fired_violations(step, err, value, key)
+        new_viols = F.when(err, viols).otherwise(F.concat(viols, fired))
+        skip_null = F.lit(False) if step.handles_null else value.isNull()
+        new_value = F.when(err | skip_null | inv, null_of(step.dtype)).otherwise(
+            step.value
+        )
+        new_err = err | inv
+
+        v_name, e_name, w_name = (
+            ctx.name("val"),
+            ctx.name("err"),
+            ctx.name("viol"),
+        )
+        df = df.withColumns(
+            {v_name: new_value, e_name: new_err, w_name: new_viols}
+        )
+        temps.extend([v_name, e_name, w_name])
+        value, err, viols = F.col(v_name), F.col(e_name), F.col(w_name)
+        dtype = step.dtype
+
+    out_value = out_value or ctx.name("cleaned")
+    out_violations = out_violations or ctx.name("violset")
+    df = df.withColumns({out_value: value, out_violations: viols})
+    df = df.drop(*temps)
+    return df, out_value, out_violations
+
+
+def validate(
+    df: DataFrame,
+    rules: dict[str, BaseSpec | Chain],
+    *,
+    violations_col: str = "_violations",
+    valid_col: str = "_is_valid",
+    replace: bool = True,
+) -> DataFrame:
+    """Table-level analogue of ``FilterRunner`` (``handlers.py:155-346``).
+
+    Applies one chain per column in a single projection pass.  Output keeps
+    every input column; validated columns are replaced by their cleaned
+    values (``replace=True``) or kept alongside as ``<col>__cleaned``.
+    Adds ``violations_col`` (array of violation structs across all rules,
+    first-error-per-chain) and ``valid_col`` (``is_valid`` ≡ no messages,
+    ``handlers.py:326-332``).
+
+    Scale notes: no shuffle — pure projection; Column-expression kernels
+    stay in whole-stage codegen; pandas kernels ride Arrow batches.
+    """
+    ctx = Ctx()
+    produced: list[tuple[str, str, str]] = []
+    for col_name, chain in rules.items():
+        df, v, w = attach_chain(df, col_name, chain, ctx=ctx)
+        produced.append((col_name, v, w))
+
+    viols = F.concat(*[F.col(w) for _, _, w in produced]) if produced else _empty_viols()
+    out_cols: list[Column] = []
+    for c in df.columns:
+        hit = next((p for p in produced if p[0] == c), None)
+        if hit and replace:
+            out_cols.append(F.col(hit[1]).alias(c))
+        elif not c.startswith(ctx.prefix + "_"):
+            out_cols.append(F.col(c))
+    if not replace:
+        for col_name, v, _ in produced:
+            out_cols.append(F.col(v).alias(f"{col_name}__cleaned"))
+    out_cols.append(viols.alias(violations_col))
+    out_cols.append((F.size(viols) == 0).alias(valid_col))
+    return df.select(*out_cols)

@@ -1,0 +1,245 @@
+"""Numeric specs (``number.py``).
+
+Parity caveats vs the reference (documented, also in SURVEY.md §7):
+
+- The reference's ``decimal.Decimal`` is unbounded; Spark decimals are
+  bounded at ``DecimalType(38, s)``.  Default working scale is 18 digits.
+- ``Decimal(max_precision=...)`` quantizes with the decimal context
+  default (ROUND_HALF_EVEN) in the reference; here it maps to a decimal
+  cast/round.  HALF_UP and HALF_EVEN are JVM-side; other modes are not
+  supported (``Round`` covers the general grid case).
+"""
+
+from __future__ import annotations
+
+import decimal as py_decimal
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filters_spark.core.spec import (
+    BaseSpec,
+    CompileError,
+    Step,
+    Violation,
+)
+
+CODE_INVALID = "not_numeric"  # number.py:18
+CODE_NON_FINITE = "not_finite"  # number.py:19
+CODE_NOT_INT = "not_int"  # number.py:116
+CODE_TOO_BIG = "too_big"  # number.py:148
+CODE_TOO_SMALL = "too_small"  # number.py:207
+
+MSG_NUMERIC = "Numeric value expected."
+DEFAULT_SCALE = 18
+
+#: strings Python's Decimal parses as non-finite (decimal.Decimal._parser)
+_NON_FINITE_RE = r"^\s*[-+]?(nan|snan|inf(inity)?)\s*$"
+
+
+def _decimal_type(scale: int = DEFAULT_SCALE) -> T.DecimalType:
+    return T.DecimalType(38, scale)
+
+
+def coerce_decimal(
+    value: Column, dtype: T.DataType, scale: int = DEFAULT_SCALE
+) -> tuple[Column, Column, Column]:
+    """Shared Decimal coercion: returns ``(casted, not_numeric_cond,
+    not_finite_cond)``.  Mirrors ``number.py:63-95``: parse failure →
+    ``not_numeric``; NaN/±Inf → ``not_finite``."""
+    target = _decimal_type(scale)
+    if isinstance(dtype, T.DecimalType):
+        return value.cast(target), F.lit(False), F.lit(False)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return value.cast(target), F.lit(False), F.lit(False)
+    if isinstance(dtype, T.BooleanType):
+        return value.cast("int").cast(target), F.lit(False), F.lit(False)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        non_finite = F.isnan(value) | (F.abs(value) == F.lit(float("inf")))
+        return (
+            F.when(non_finite, F.lit(None)).otherwise(value).cast(target),
+            F.lit(False),
+            non_finite,
+        )
+    if isinstance(dtype, T.StringType):
+        casted = value.try_cast(target)
+        non_finite = F.lower(F.trim(value)).rlike(_NON_FINITE_RE)
+        not_numeric = casted.isNull() & ~non_finite
+        return casted, not_numeric, non_finite
+    raise CompileError(f"cannot interpret column of type {dtype} as Decimal")
+
+
+class Decimal(BaseSpec):
+    """Interpret the value as a decimal (``number.py:15-100``).
+
+    ``max_precision`` = max number of decimal places (int) or a
+    ``decimal.Decimal`` quantize target (e.g. ``Decimal('0.01')``).
+    """
+
+    templates = {CODE_INVALID: MSG_NUMERIC, CODE_NON_FINITE: MSG_NUMERIC}
+
+    def __init__(self, max_precision=None, scale: int = DEFAULT_SCALE) -> None:
+        if max_precision is not None and not isinstance(
+            max_precision, py_decimal.Decimal
+        ):
+            max_precision = py_decimal.Decimal(".1") ** max_precision
+        self.max_precision = max_precision
+        self.scale = scale
+
+    def _out_scale(self) -> int:
+        if self.max_precision is None:
+            return self.scale
+        return max(0, -self.max_precision.as_tuple().exponent)
+
+    def compile(self, value, dtype, ctx, key) -> Step:
+        casted, not_numeric, non_finite = coerce_decimal(value, dtype, self.scale)
+        out_scale = self._out_scale()
+        out = casted.cast(_decimal_type(out_scale))
+        inv = not_numeric | non_finite
+        return Step(
+            value=out,
+            dtype=_decimal_type(out_scale),
+            invalid=inv,
+            violations=[
+                Violation(not_numeric, F.lit(CODE_INVALID), F.lit(MSG_NUMERIC)),
+                Violation(non_finite, F.lit(CODE_NON_FINITE), F.lit(MSG_NUMERIC)),
+            ],
+        )
+
+    def __repr__(self):
+        return f"Decimal(max_precision={self.max_precision!r})"
+
+
+class Int(BaseSpec):
+    """Interpret the value as an int; floats with fractional parts are
+    INVALID (``number.py:103-136``).
+
+    Deviation: the reference's ints are unbounded; output here is
+    ``LongType`` (64-bit).  Values needing more than ~20 digits should use
+    ``Decimal`` directly.
+    """
+
+    templates = {
+        CODE_INVALID: MSG_NUMERIC,
+        CODE_NON_FINITE: MSG_NUMERIC,
+        CODE_NOT_INT: "Integer value expected.",
+    }
+
+    def compile(self, value, dtype, ctx, key) -> Step:
+        if isinstance(
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return Step(value=value.cast("long"), dtype=T.LongType())
+        casted, not_numeric, non_finite = coerce_decimal(value, dtype)
+        fractional = (casted % 1) != 0
+        inv = not_numeric | non_finite | fractional
+        return Step(
+            value=F.when(inv, F.lit(None)).otherwise(casted).cast("long"),
+            dtype=T.LongType(),
+            invalid=inv,
+            violations=[
+                Violation(not_numeric, F.lit(CODE_INVALID), F.lit(MSG_NUMERIC)),
+                Violation(non_finite, F.lit(CODE_NON_FINITE), F.lit(MSG_NUMERIC)),
+                Violation(
+                    ~not_numeric & ~non_finite & fractional,
+                    F.lit(CODE_NOT_INT),
+                    F.lit(self.render(CODE_NOT_INT)),
+                ),
+            ],
+        )
+
+
+class Max(BaseSpec):
+    """Enforce a maximum value (``number.py:139-195``)."""
+
+    templates = {CODE_TOO_BIG: "Value is too large (must be {operator} {max})."}
+
+    def __init__(self, max_value, exclusive: bool = False) -> None:
+        self.max_value = max_value
+        self.exclusive = exclusive
+
+    def compile(self, value, dtype, ctx, key) -> Step:
+        lim = F.lit(self.max_value)
+        inv = (value >= lim) if self.exclusive else (value > lim)
+        op = "<" if self.exclusive else "<="
+        msg = self.render(CODE_TOO_BIG, operator=op, max=self.max_value)
+        return Step(
+            value=value,
+            dtype=dtype,
+            invalid=inv,
+            violations=[Violation(inv, F.lit(CODE_TOO_BIG), F.lit(msg))],
+        )
+
+    def __repr__(self):
+        return f"Max({self.max_value!r}, exclusive={self.exclusive!r})"
+
+
+class Min(BaseSpec):
+    """Enforce a minimum value (``number.py:198-254``)."""
+
+    templates = {
+        CODE_TOO_SMALL: "Value is too small (must be {operator} {min})."
+    }
+
+    def __init__(self, min_value, exclusive: bool = False) -> None:
+        self.min_value = min_value
+        self.exclusive = exclusive
+
+    def compile(self, value, dtype, ctx, key) -> Step:
+        lim = F.lit(self.min_value)
+        inv = (value <= lim) if self.exclusive else (value < lim)
+        op = ">" if self.exclusive else ">="
+        msg = self.render(CODE_TOO_SMALL, operator=op, min=self.min_value)
+        return Step(
+            value=value,
+            dtype=dtype,
+            invalid=inv,
+            violations=[Violation(inv, F.lit(CODE_TOO_SMALL), F.lit(msg))],
+        )
+
+    def __repr__(self):
+        return f"Min({self.min_value!r}, exclusive={self.exclusive!r})"
+
+
+class Round(BaseSpec):
+    """Round to an arbitrary grid: scale → round → unscale in exact
+    decimal arithmetic (``number.py:257-305``).
+
+    ``rounding``: ``ROUND_HALF_UP`` (default, = Spark ``round``) or
+    ``ROUND_HALF_EVEN`` (= Spark ``bround``); both JVM-side.  Other decimal
+    rounding modes are not supported (CompileError).
+    """
+
+    def __init__(self, to_nearest=1, rounding: str = "ROUND_HALF_UP") -> None:
+        self.to_nearest = py_decimal.Decimal(str(to_nearest))
+        if self.to_nearest < 0:
+            raise ValueError("Rounding to negative values isn't supported.")
+        if rounding not in ("ROUND_HALF_UP", "ROUND_HALF_EVEN"):
+            raise CompileError(f"unsupported rounding mode {rounding!r}")
+        self.rounding = rounding
+
+    def compile(self, value, dtype, ctx, key) -> Step:
+        casted, not_numeric, non_finite = coerce_decimal(value, dtype)
+        n = F.lit(self.to_nearest)
+        scaled = casted / n
+        rounded = (
+            F.round(scaled, 0)
+            if self.rounding == "ROUND_HALF_UP"
+            else F.bround(scaled, 0)
+        )
+        out_scale = max(0, -self.to_nearest.as_tuple().exponent)
+        out_type = _decimal_type(out_scale)
+        inv = not_numeric | non_finite
+        return Step(
+            value=(rounded * n).cast(out_type),
+            dtype=out_type,
+            invalid=inv,
+            violations=[
+                Violation(not_numeric, F.lit(CODE_INVALID), F.lit(MSG_NUMERIC)),
+                Violation(non_finite, F.lit(CODE_NON_FINITE), F.lit(MSG_NUMERIC)),
+            ],
+        )
+
+    def __repr__(self):
+        return f"Round(to_nearest={self.to_nearest!r})"
