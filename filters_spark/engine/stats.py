@@ -1,0 +1,141 @@
+"""Single-pass per-column statistics (BASELINE.json north_star: "emits
+per-column stats (count/null-rate/distinct via HyperLogLog sketches,
+min/max/quantiles via t-digest)").
+
+All metrics for all columns ride ONE aggregation job: Spark's builtin
+partial aggregation gives the two-phase (map-side combine → final merge)
+treeAggregate behaviour for free — ``approx_count_distinct`` is an HLL++
+sketch, ``percentile_approx`` an approximate quantile sketch, both
+mergeable across partitions, so the pattern scales to any executor count
+without a second shuffle.
+
+Output is long-format: ``(column, metric, value: double, value_str)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _numeric(dtype) -> bool:
+    return isinstance(
+        dtype,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    )
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
+    exact_distinct: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Compute per-column stats in a single aggregation pass.
+
+    ``exact_distinct=True`` swaps HLL for exact ``count_distinct`` (used
+    by the DuckDB oracle queries; the HLL sketch is the scale path).
+    """
+    columns = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
+    for c in columns:
+        dt = schema[c]
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__nonnull"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(col, rsd).alias(f"{c}__distinct")
+            )
+        if _numeric(dt):
+            aggs.append(F.min(col).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(col).cast("double").alias(f"{c}__max"))
+            aggs.append(F.avg(col.cast("double")).alias(f"{c}__avg"))
+            aggs.append(
+                F.percentile_approx(
+                    col.cast("double"), list(quantiles), 10000
+                ).alias(f"{c}__quantiles")
+            )
+        elif isinstance(dt, T.StringType):
+            ln = F.length(col)
+            aggs.append(F.min(ln).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(ln).cast("double").alias(f"{c}__max"))
+            aggs.append(F.avg(ln).alias(f"{c}__avg"))
+            aggs.append(
+                F.percentile_approx(
+                    ln.cast("double"), list(quantiles), 10000
+                ).alias(f"{c}__quantiles")
+            )
+        elif isinstance(dt, (T.TimestampType, T.DateType)):
+            aggs.append(
+                F.min(col).cast("string").alias(f"{c}__min_str")
+            )
+            aggs.append(
+                F.max(col).cast("string").alias(f"{c}__max_str")
+            )
+    wide = df.agg(*aggs)
+
+    # unpivot the single wide row into long format on the driver side of
+    # the plan (the wide row is one row — this is a stack over literals,
+    # not a shuffle)
+    row_exprs = []
+    for c in columns:
+        dt = schema[c]
+        metrics = [
+            ("count", F.col("__total").cast("double"), None),
+            (
+                "null_rate",
+                (F.col("__total") - F.col(f"{c}__nonnull"))
+                / F.col("__total"),
+                None,
+            ),
+            ("distinct", F.col(f"{c}__distinct").cast("double"), None),
+        ]
+        if _numeric(dt) or isinstance(dt, T.StringType):
+            label = "" if _numeric(dt) else "len_"
+            metrics += [
+                (f"{label}min", F.col(f"{c}__min"), None),
+                (f"{label}max", F.col(f"{c}__max"), None),
+                (f"{label}avg", F.col(f"{c}__avg"), None),
+            ]
+            for i, q in enumerate(quantiles):
+                metrics.append(
+                    (
+                        f"{label}p{int(q * 100)}",
+                        F.col(f"{c}__quantiles")[i],
+                        None,
+                    )
+                )
+        elif isinstance(dt, (T.TimestampType, T.DateType)):
+            metrics += [
+                ("min", None, F.col(f"{c}__min_str")),
+                ("max", None, F.col(f"{c}__max_str")),
+            ]
+        for m, v, vs in metrics:
+            row_exprs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(m).alias("metric"),
+                    (v if v is not None else F.lit(None).cast("double")).alias(
+                        "value"
+                    ),
+                    (vs if vs is not None else F.lit(None).cast("string")).alias(
+                        "value_str"
+                    ),
+                )
+            )
+    return wide.select(
+        F.explode(F.array(*row_exprs)).alias("s")
+    ).select("s.column", "s.metric", "s.value", "s.value_str")

@@ -1,0 +1,192 @@
+"""ValidationSuite: the full table-level validation job (BASELINE.json
+north rule) — row-chain validation + column stats + uniqueness +
+referential + drift, producing per-partition pass/fail verdicts and
+structured violation rows.
+
+Pipeline shape (what actually runs):
+
+1. ONE projection pass compiles all row chains (``validate``) and tags
+   each row with its conv-bucket — no shuffle.
+2. Per-bucket verdict aggregation — hash agg keyed by bucket
+   (``n_buckets`` groups; map-side combine reduces each task's output to
+   ``n_buckets`` rows before the shuffle).
+3. Uniqueness + gaplessness — hash aggs keyed by (conv_id, turn_idx) /
+   conv_id, rolled up to buckets.
+4. Column stats — one agg pass (HLL + approx quantiles).
+5. Drift — two tiny frequency aggs + driver-side KL/PSI.
+
+Buckets are ``pmod(xxhash64(conv_id), n_buckets)`` — the same transform
+as an Iceberg ``bucket(N, conv_id)`` partition spec, so per-bucket
+verdicts line up with physical partitions and the checkpoint/resume
+filter prunes at the storage layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filters_spark.core.compiler import validate
+from filters_spark.engine.drift import (
+    frequencies,
+    kl_divergence,
+    length_histogram,
+    psi,
+)
+from filters_spark.engine.referential import gapless_by_agg
+from filters_spark.engine.stats import column_stats
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_of(conv_col, n_buckets: int):
+    return F.pmod(F.xxhash64(conv_col), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class SuiteResult:
+    rows: DataFrame  # cleaned rows + _violations + _is_valid + _bucket
+    verdicts: DataFrame  # per-bucket pass/fail + counters
+    stats: DataFrame  # long-format column stats
+    violations: DataFrame  # exploded violation rows (key, code, message)
+    metrics: dict = field(default_factory=dict)  # drift + thresholds
+
+    @property
+    def passed(self) -> bool:
+        failed = self.verdicts.where(~F.col("bucket_pass")).limit(1).count()
+        return failed == 0 and not self.metrics.get("drift_failed", False)
+
+
+class ValidationSuite:
+    def __init__(
+        self,
+        rules: dict,
+        conv: str = "conv_id",
+        idx: str = "turn_idx",
+        n_buckets: int = 64,
+        drift_cols: tuple = ("role", "tool"),
+        length_col: str | None = "text",
+        max_invalid_rate: float = 0.05,
+        kl_threshold: float = 0.10,
+        psi_threshold: float = 0.25,
+        stat_columns: list[str] | None = None,
+    ) -> None:
+        self.rules = rules
+        self.conv = conv
+        self.idx = idx
+        self.n_buckets = n_buckets
+        self.drift_cols = drift_cols
+        self.length_col = length_col
+        self.max_invalid_rate = max_invalid_rate
+        self.kl_threshold = kl_threshold
+        self.psi_threshold = psi_threshold
+        self.stat_columns = stat_columns
+
+    # -- pieces ---------------------------------------------------------
+
+    def row_results(self, df: DataFrame) -> DataFrame:
+        rows = validate(df, self.rules)
+        return rows.withColumn(
+            BUCKET_COL, bucket_of(F.col(self.conv), self.n_buckets)
+        )
+
+    def verdicts(self, df: DataFrame, rows: DataFrame) -> DataFrame:
+        """Per-bucket verdict: row validity + uniqueness + gaplessness."""
+        validity = rows.groupBy(BUCKET_COL).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(~F.col("_is_valid"), 1).otherwise(0)).alias(
+                "n_invalid"
+            ),
+        )
+        # duplicates on (conv, idx), attributed to the conv's bucket.
+        # NOTE: uses the RAW input (df), not cleaned rows — key columns
+        # are never nulled by chains, but raw is the contract.
+        dups = (
+            df.groupBy(self.conv, self.idx)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .groupBy(bucket_of(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
+            .agg(
+                F.count(F.lit(1)).alias("dup_keys"),
+                F.sum(F.col("cnt") - 1).alias("surplus_rows"),
+            )
+        )
+        gapless = (
+            gapless_by_agg(df, self.conv, self.idx)
+            .groupBy(bucket_of(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
+            .agg(
+                F.count(F.lit(1)).alias("n_convs"),
+                F.sum(F.when(~F.col("is_gapless"), 1).otherwise(0)).alias(
+                    "gappy_convs"
+                ),
+            )
+        )
+        v = (
+            validity.join(dups, BUCKET_COL, "left")
+            .join(gapless, BUCKET_COL, "left")
+            .fillna(0, subset=["dup_keys", "surplus_rows", "gappy_convs"])
+        )
+        return v.select(
+            F.col(BUCKET_COL).alias("bucket"),
+            "n_rows",
+            "n_invalid",
+            (F.col("n_invalid") / F.col("n_rows")).alias("invalid_rate"),
+            "dup_keys",
+            "surplus_rows",
+            "n_convs",
+            "gappy_convs",
+            (
+                (F.col("n_invalid") / F.col("n_rows") <= self.max_invalid_rate)
+                & (F.col("dup_keys") == 0)
+                & (F.col("gappy_convs") == 0)
+            ).alias("bucket_pass"),
+        )
+
+    def drift(self, df: DataFrame, baseline: DataFrame) -> dict:
+        metrics: dict = {}
+        failed = False
+        for c in self.drift_cols:
+            kl = kl_divergence(frequencies(df, c), frequencies(baseline, c))
+            metrics[f"kl_{c}"] = kl
+            failed = failed or kl > self.kl_threshold
+        if self.length_col:
+            p = psi(
+                length_histogram(df, self.length_col),
+                length_histogram(baseline, self.length_col),
+            )
+            metrics[f"psi_{self.length_col}_len"] = p
+            failed = failed or p > self.psi_threshold
+        metrics["drift_failed"] = failed
+        return metrics
+
+    # -- the job ----------------------------------------------------------
+
+    def run(self, df: DataFrame, baseline: DataFrame | None = None) -> SuiteResult:
+        rows = self.row_results(df)
+        verdicts = self.verdicts(df, rows)
+        stats = column_stats(df, self.stat_columns)
+        violations = (
+            rows.select(
+                self.conv,
+                self.idx,
+                BUCKET_COL,
+                F.explode("_violations").alias("v"),
+            ).select(
+                self.conv,
+                self.idx,
+                F.col(BUCKET_COL).alias("bucket"),
+                F.col("v.key").alias("key"),
+                F.col("v.code").alias("code"),
+                F.col("v.message").alias("message"),
+            )
+        )
+        metrics = self.drift(df, baseline) if baseline is not None else {}
+        return SuiteResult(
+            rows=rows,
+            verdicts=verdicts,
+            stats=stats,
+            violations=violations,
+            metrics=metrics,
+        )

@@ -54,3 +54,32 @@ except ValueError as e:
 plan = out._jdf.queryExecution().executedPlan().toString()
 print("PLAN head:", plan.splitlines()[0:8])
 print("HAS_EXCHANGE:", "Exchange" in plan)
+
+# 7. engine surface: full suite over the synthetic transcripts + resume
+import tempfile
+from filters_spark.data.transcripts import transcripts, transcripts_baseline
+from filters_spark.engine import ValidationSuite, run_resumable
+
+tdf = transcripts(spark, n_convs=200)
+base = transcripts_baseline(spark, n_convs=200)
+suite = ValidationSuite(
+    {
+        "text": fs.Required() | fs.Unicode() | fs.Strip() | fs.MaxLength(2000),
+        "role": fs.Choice(("system", "user", "assistant", "tool")),
+        "tool": fs.Choice(("search", "code", "browser")),
+    },
+    n_buckets=8,
+)
+res = suite.run(tdf, baseline=base)
+print("VERDICTS:")
+for r in res.verdicts.orderBy("bucket").collect():
+    print("  ", r.asDict())
+print("METRICS:", res.metrics)
+print("TOP VIOLATION CODES:",
+      res.violations.groupBy("key", "code").count().orderBy("count", ascending=False).limit(5).collect())
+with tempfile.TemporaryDirectory() as d:
+    part = run_resumable(tdf, suite, d, baseline=base, buckets_per_job=2, fail_after_buckets=2)
+    print("RESUME partial:", part)
+    fin = run_resumable(tdf, suite, d, baseline=base)
+    print("RESUME final:", fin)
+print("SUITE PASSED:", res.passed)

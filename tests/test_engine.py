@@ -1,0 +1,240 @@
+"""Table-level engine tests over the deterministic transcripts generator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import filters_spark as fs
+from filters_spark.data.transcripts import transcripts, transcripts_baseline
+from filters_spark.engine import (
+    CheckpointManifest,
+    ValidationSuite,
+    column_stats,
+    duplicate_keys,
+    frequencies,
+    gapless_by_agg,
+    gaps_by_window,
+    kl_divergence,
+    orphans,
+    psi,
+    run_resumable,
+    salted_agg,
+)
+from filters_spark.engine.drift import length_histogram
+from filters_spark.engine.uniqueness import uniqueness_report
+
+N_CONVS = 300
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    df = transcripts(spark, n_convs=N_CONVS).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def baseline(spark):
+    df = transcripts_baseline(spark, n_convs=N_CONVS).cache()
+    df.count()
+    return df
+
+
+RULES = {
+    "text": fs.Required() | fs.Unicode() | fs.Strip() | fs.MaxLength(2000),
+    "role": fs.Required() | fs.Choice(("system", "user", "assistant", "tool")),
+    "tool": fs.Choice(("search", "code", "browser")),
+    "turn_idx": fs.Min(0),
+}
+
+
+def test_generator_deterministic(spark, tdf):
+    again = transcripts(spark, n_convs=N_CONVS)
+    assert again.count() == tdf.count()
+    def table_hash(d):
+        return d.select(
+            F.sum(F.xxhash64(*d.columns).cast("decimal(38,0)")).alias("h")
+        ).first()["h"]
+
+    h1, h2 = table_hash(tdf), table_hash(again)
+    assert h1 == h2
+
+
+def test_generator_seeds_issues(tdf):
+    assert tdf.where(F.col("role") == "robot").count() > 0
+    assert tdf.where(F.col("tool") == "laser").count() > 0
+    assert tdf.where(F.col("text").isNull()).count() > 0
+    assert tdf.where(F.length("text") > 2000).count() > 0
+
+
+def test_uniqueness_finds_seeded_dups(tdf):
+    dups = duplicate_keys(tdf, ["conv_id", "turn_idx"])
+    n_dup_keys = dups.count()
+    assert n_dup_keys > 0
+    report = uniqueness_report(tdf, ["conv_id", "turn_idx"]).first()
+    assert report["total_rows"] == tdf.count()
+    assert report["dup_keys"] == n_dup_keys
+    assert report["surplus_rows"] >= n_dup_keys
+
+
+def test_gapless_agg_matches_window(tdf):
+    """The scale path (hash agg) and the reporting path (window lag) must
+    agree on which conversations have gaps."""
+    agg_gappy = {
+        r["conv_id"]
+        for r in gapless_by_agg(tdf).where(~F.col("is_gapless")).collect()
+    }
+    # window path flags gap rows; dedupe to convs.  It also catches
+    # convs not starting at 0 — same convs the agg path flags via min>0.
+    win_gappy = {
+        r["conv_id"] for r in gaps_by_window(tdf).select("conv_id").collect()
+    }
+    assert agg_gappy == win_gappy
+    assert len(agg_gappy) > 0  # generator seeded gaps
+
+
+def test_orphans(spark, tdf):
+    parents = tdf.select("conv_id").distinct().where(
+        F.xxhash64("conv_id") % 10 != 0
+    )
+    orphan_rows = orphans(tdf, parents, "conv_id", broadcast_parent=True)
+    expected = tdf.join(parents, "conv_id", "left_anti").count()
+    assert orphan_rows.count() == expected
+
+
+def test_salted_agg_matches_plain(tdf):
+    plain = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in tdf.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in salted_agg(
+            tdf,
+            "conv_id",
+            {"n": ("count", "*"), "mx": ("max", "turn_idx")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_column_stats(tdf):
+    stats = {
+        (r["column"], r["metric"]): r["value"]
+        for r in column_stats(
+            tdf, ["turn_idx", "text", "role"], exact_distinct=True
+        ).collect()
+    }
+    n = tdf.count()
+    assert stats[("turn_idx", "count")] == n
+    assert stats[("turn_idx", "min")] == 0.0
+    expected_null_rate = tdf.where(F.col("text").isNull()).count() / n
+    assert abs(stats[("text", "null_rate")] - expected_null_rate) < 1e-12
+    exact_roles = tdf.select("role").distinct().count()
+    assert stats[("role", "distinct")] == exact_roles
+
+
+def test_hll_distinct_close(tdf):
+    approx = {
+        (r["column"], r["metric"]): r["value"]
+        for r in column_stats(tdf, ["conv_id"], exact_distinct=False).collect()
+    }[("conv_id", "distinct")]
+    exact = tdf.select("conv_id").distinct().count()
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_drift_self_is_zero(baseline):
+    f1 = frequencies(baseline, "role")
+    assert kl_divergence(f1, f1) == pytest.approx(0.0, abs=1e-12)
+    h = length_histogram(baseline)
+    assert psi(h, h) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_drift_detects_bias(spark, baseline):
+    drifted = transcripts(
+        spark, n_convs=N_CONVS, tool_bias=0.9, seed=7,
+        dup_mod=10**9, gap_mod=10**9, bad_role_mod=10**9,
+        bad_tool_mod=10**9, null_text_mod=10**9, empty_text_mod=10**9,
+        long_text_mod=10**9,
+    )
+    kl_same = kl_divergence(
+        frequencies(baseline, "tool"), frequencies(baseline, "tool")
+    )
+    kl_drift = kl_divergence(
+        frequencies(drifted, "tool"), frequencies(baseline, "tool")
+    )
+    assert kl_drift > kl_same + 0.01
+
+
+def test_suite_run(tdf, baseline):
+    suite = ValidationSuite(RULES, n_buckets=16)
+    result = suite.run(tdf, baseline=baseline)
+    verdicts = result.verdicts.collect()
+    assert {r["bucket"] for r in verdicts} == set(range(16))
+    assert sum(r["n_rows"] for r in verdicts) == tdf.count()
+    # seeded bad roles → role violations with the reference code
+    bad_roles = tdf.where(~F.col("role").isin(
+        "system", "user", "assistant", "tool")).count()
+    role_viols = result.violations.where(
+        (F.col("key") == "role") & (F.col("code") == "not_valid_choice")
+    ).count()
+    assert role_viols == bad_roles
+    # seeded dups → no bucket with dups passes
+    assert any(r["dup_keys"] > 0 for r in verdicts)
+    assert all(not r["bucket_pass"] for r in verdicts if r["dup_keys"] > 0)
+    assert "kl_role" in result.metrics and "psi_text_len" in result.metrics
+    assert not result.passed  # seeded violations must fail the table
+
+
+def test_text_equality_oracle(tdf):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering:
+    the cleaned text equals the reference Unicode pipeline output
+    (already byte-matched in goldens); here we check the table-level
+    invariant that ordering and pairing survive the engine pass."""
+    suite = ValidationSuite(RULES, n_buckets=8)
+    rows = suite.row_results(tdf)
+    sample = (
+        rows.where(F.col("_is_valid"))
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .limit(50)
+        .collect()
+    )
+    raw = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in tdf.orderBy("conv_id", "turn_idx").limit(5000).collect()
+    }
+    import unicodedata
+
+    for r in sample:
+        k = (r["conv_id"], r["turn_idx"])
+        if k in raw and raw[k] is not None:
+            expect = unicodedata.normalize("NFC", raw[k]).replace(
+                "\r\n", "\n"
+            ).replace("\r", "\n").strip()
+            # engine Strip also removes non-printables at the ends only;
+            # generator text has none beyond whitespace/CR
+            assert r["text"] == expect or r["text"] == expect.strip()
+
+
+def test_checkpoint_resume(tmp_path, tdf, baseline):
+    suite = ValidationSuite(RULES, n_buckets=8)
+    manifest = CheckpointManifest(tmp_path / "manifest")
+    # simulate a killed job after 3 buckets
+    partial = run_resumable(
+        tdf, suite, manifest, baseline=baseline, buckets_per_job=2,
+        fail_after_buckets=3,
+    )
+    assert partial["aborted"] and partial["completed"] == 3
+    assert len(manifest.completed()) == 3
+    # resume: completes only the remaining buckets
+    final = run_resumable(tdf, suite, manifest, baseline=baseline,
+                          buckets_per_job=4)
+    assert not final["aborted"]
+    assert final["completed"] == 8
+    assert final["n_rows"] == tdf.count()
+    assert final["passed"] is False
