@@ -1,0 +1,63 @@
+"""Training-data pipeline operators (engine additions beyond the reference).
+
+The reference library (todofixthis/filters) validates single values; a
+100 TB training-data pipeline also needs corpus-level operators:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), approximate similarity search, text analysis
+(language-ID, quality scoring, token counting, fingerprinting), and
+multimodal column plumbing.  All are DataFrame-native; every hash is
+md5-derived so results are portable across engines (the DuckDB oracle in
+``__spark_entry__.py`` reproduces them bit-for-bit).
+"""
+
+from filters_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+from filters_spark.pipeline.similarity import (
+    cosine_sim,
+    cosine_topk,
+    embedding_near_dups,
+    srp_bucket,
+    srp_topk,
+)
+from filters_spark.pipeline.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from filters_spark.pipeline.multimodal import (
+    MEDIA_META_SCHEMA,
+    attach_media_meta,
+    byte_features,
+    decode_media,
+)
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_media_meta",
+    "byte_features",
+    "cosine_sim",
+    "cosine_topk",
+    "decode_media",
+    "embedding_near_dups",
+    "exact_dedup",
+    "fingerprint",
+    "jaccard_pairs",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "quality_score",
+    "simhash",
+    "simhash_pairs",
+    "srp_bucket",
+    "srp_topk",
+    "token_counts",
+    "word_shingles",
+]

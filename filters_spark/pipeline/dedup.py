@@ -1,0 +1,322 @@
+"""Corpus deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Engine additions (the reference has no corpus-level operators — SURVEY.md
+§2.9); designed for 100 TB scale:
+
+- every hash is a **portable 60-bit integer** derived from md5
+  (``conv(substr(md5(x), 1, 15), 16, 10)``) so the DuckDB oracle queries
+  reproduce results exactly and re-runs are deterministic at any
+  parallelism;
+- all-pairs comparison is never materialised: candidate pairs come from an
+  inverted index (shingle → docs), LSH band buckets, or SimHash bands —
+  each a hash-partitioned equi-join Catalyst can shuffle-hash or
+  sort-merge, with AQE splitting skewed buckets;
+- stop-shingles (document frequency above ``max_df``) are dropped before
+  the self-join — at web scale a single hot shingle ("click here") would
+  otherwise create a quadratic bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "portable_hash60",
+]
+
+
+def portable_hash60(col, salt=None):
+    """60-bit integer hash of a string column, reproducible anywhere md5
+    exists: ``int(md5(x || '#' || salt)[:15], 16)``.
+
+    15 hex digits = 60 bits < 2^63, so the value fits a signed BIGINT in
+    every engine (Spark LongType, DuckDB BIGINT).  Used instead of
+    ``xxhash64`` for all dedup sketches so golden tests and the DuckDB
+    oracle can replay them.
+    """
+    x = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        salt_col = salt if not isinstance(salt, (int, str)) else F.lit(str(salt))
+        x = F.concat(x, F.lit("#"), salt_col)
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups via hash-groupBy on the text digest.
+
+    Returns one row per distinct text: ``(keep_id, group_size)`` where
+    ``keep_id`` is the smallest id in the group (deterministic survivor
+    pick).  Grouping on ``md5(text)`` instead of the text itself keeps
+    shuffle rows at 32 bytes + id regardless of document length — at
+    100 TB the shuffle moves digests, not documents.  Collisions: md5 on
+    non-adversarial data; swap for ``sha2`` 256 if needed.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .drop("_digest")
+    )
+
+
+def word_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+
+    Tokenises on whitespace (trim + split, empty tokens dropped) and forms
+    ``n``-word shingles with a pure-expression ``transform(sequence(...))``
+    — no Python, no explode until the caller needs it.  Output is
+    exploded + distinct: one row per (doc, distinct shingle).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    # element_at is 1-based; sequence(1, size-n+1) enumerates shingle starts
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with word-``n``-gram Jaccard similarity ≥ threshold.
+
+    Plan shape (all hash-partitioned, no all-pairs product):
+
+    1. shingle inverted index ``(shingle → id)`` — one explode pass;
+    2. optional stop-shingle filter: drop shingles with document
+       frequency > ``max_df`` (hot-key guard; a shingle shared by 10^6
+       docs contributes a 10^12-row self-join otherwise);
+    3. self-equi-join on ``shingle`` with ``a.id < b.id`` → intersection
+       counts via groupBy (map-side partial agg shrinks the shuffle);
+    4. broadcast-join per-doc set sizes; ``J = inter / (|A|+|B|-inter)``.
+
+    At sf-scale the size table is broadcast; at 100 TB it is a normal
+    shuffle join on id — both expressed by the same code, AQE picks.
+    """
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    index = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        index = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = index.select(F.col("id").alias("a"), "shingle")
+    b = index.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "a")
+        .join(F.broadcast(sz_b), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: ``(id, h0..h{k-1})``, one 60-bit min per
+    permutation.
+
+    One explode + ONE hash aggregation computes all ``num_hashes`` minima
+    (``min(hash(shingle, i))`` per i) — Spark's partial aggregation gives
+    the map-side combine, so the shuffle carries ``num_hashes`` longs per
+    document, not the shingle stream.  Permutations are salted md5 hashes
+    (portable; see :func:`portable_hash60`).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(portable_hash60(F.col("shingle"), salt=i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bands: int = 16,
+    rows: int = 2,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    ``bands × rows`` minhashes; band key = md5 of the band's row slice;
+    candidates = pairs sharing ≥1 band bucket (equi-join on
+    ``(band, key)`` — never an all-pairs product).  With ``rows=2,
+    bands=16`` the S-curve crosses ~50% at J≈0.17; tune per corpus.
+
+    ``verify_threshold`` re-checks candidates with exact Jaccard (join
+    back to shingle sets) — the standard verify step so LSH false
+    positives don't survive.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n, bands * rows)
+    band_rows = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            )
+        )
+        band_rows.append(
+            sig.select(
+                "id", F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionAll(extra)
+    a = buckets.select(F.col("id").alias("a"), "band", "band_key")
+    b_ = buckets.select(F.col("id").alias("b"), "band", "band_key")
+    cand = (
+        a.join(b_, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["a", "b"])
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash fingerprint per document: ``(id, simhash)``.
+
+    Each whitespace token (with multiplicity) hashes to 60 bits; bit ``j``
+    of the fingerprint is the sign of ``Σ_tokens (±1)`` where the token
+    votes +1 iff its hash has bit ``j`` set.  Implemented as one explode +
+    one groupBy with ``bits`` SUM aggregates — all JVM expressions,
+    partial-aggregated map-side, no per-token blowup beyond the explode.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("token")
+    ).withColumn("th", portable_hash60(F.col("token")))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the fingerprint into ``bands`` contiguous
+    bit-blocks; any pair within Hamming ``bands - 1`` must agree on at
+    least one whole block, so candidates come from ``bands`` equi-joins on
+    block value (union + distinct), then the exact popcount filter runs
+    only on candidates.  ``max_hamming`` must be < ``bands`` for the
+    blocking to be lossless.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole blocking needs max_hamming < bands")
+    fps = simhash(df, text_col, id_col, bits)
+    width = bits // bands
+    blocks = []
+    for b in range(bands):
+        block = F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        blocks.append(
+            fps.select(
+                "id", "simhash", F.lit(b).alias("band"), block.alias("bkey")
+            )
+        )
+    buckets = blocks[0]
+    for extra in blocks[1:]:
+        buckets = buckets.unionAll(extra)
+    a = buckets.select(
+        F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "bkey"
+    )
+    b_ = buckets.select(
+        F.col("id").alias("b"), F.col("simhash").alias("fb"), "band", "bkey"
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b_, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

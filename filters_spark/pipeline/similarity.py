@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline (and DuckDB-oracle
+target), sign-random-projection (SRP) LSH bucketing as the scale path.
+All vector math is pure Spark higher-order functions (``zip_with`` /
+``aggregate``) — JVM-side, no Python in the hot loop.
+
+Scale design: brute force is O(N) per query — fine for a broadcast query
+batch over 10^9 vectors (one scan, map-side top-k via partial
+aggregation), wrong for query×corpus joins.  SRP buckets turn that into
+an equi-join on bucket id; multiprobe widens recall without touching the
+partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filters_spark.pipeline.dedup import portable_hash60
+
+__all__ = [
+    "cosine_sim",
+    "cosine_topk",
+    "embedding_near_dups",
+    "srp_bucket",
+    "srp_topk",
+]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two ``array<numeric>`` columns, computed in
+    double precision (cast first: float accumulation drifts).  Sequential
+    left-fold — the same order DuckDB's ``list_cosine_similarity`` uses,
+    so oracle values agree to the last ulp on identical input."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against one literal query vector.
+
+    One scan; score is a pure expression so the plan is
+    scan → project → TakeOrderedAndProject (Spark computes per-partition
+    top-k map-side and merges k·partitions rows on the driver — no full
+    sort, no shuffle of the corpus).  Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ ``threshold``.
+
+    ``planes=None`` → exact all-pairs (small corpora / oracle parity —
+    the cross join is explicit and intentional).  With ``planes=p`` the
+    corpus is SRP-bucketed first and only same-bucket pairs are scored:
+    the join becomes an equi-join on bucket id (recall < 1, the standard
+    trade; multiprobe or fewer planes raise it).
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if planes is None:
+        pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        ba = srp_bucket(df, dim, planes, seed, vec_col, id_col).select(
+            F.col(id_col).alias("a"), F.col("bucket")
+        )
+        bb = ba.select(F.col("a").alias("b"), "bucket")
+        pairs = (
+            a.join(ba, "a")
+            .join(bb.join(b, "b"), "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "va", "b", "vb")
+            .distinct()
+        )
+    return (
+        pairs.select(
+            "a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("score")
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without numpy RNG state:
+    component (p, d) = portable 60-bit md5 hash of ``seed:p:d`` scaled to
+    [-1, 1).  Reproducible across engines and sessions."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
+            row.append(h / float(1 << 59) - 1.0)
+        out.append(row)
+    return out
+
+
+def srp_bucket(
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: ``(id, bucket)``.
+
+    ``planes`` dot products against literal hyperplanes (pure
+    expressions, whole-stage codegen); bucket = sign bit-pack.  2^planes
+    buckets — size ``planes`` so the expected bucket population fits one
+    shuffle partition at the target corpus size.
+    """
+    hps = _hyperplanes(dim, planes, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for p, hp in enumerate(hps):
+        hcol = F.array(*[F.lit(c) for c in hp])
+        bit = F.when(_dot(vd, hcol) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def srp_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket
+    (plus ``multiprobe`` single-bit-flip neighbour buckets).
+
+    The bucket predicate is pushable (``bucket IN (...)`` over a
+    precomputable bucket column — persist it as a table column at scale
+    and the scan prunes), so the candidate set is a fraction ~(1 +
+    multiprobe)/2^planes of the corpus.
+    """
+    dim = len(query_vec)
+    hps = _hyperplanes(dim, planes, seed)
+    qb = 0
+    for p, hp in enumerate(hps):
+        if sum(x * y for x, y in zip(query_vec, hp)) > 0:
+            qb |= 1 << p
+    probes = [qb] + [qb ^ (1 << p) for p in range(min(multiprobe, planes))]
+    bucketed = srp_bucket(df, dim, planes, seed, vec_col, id_col)
+    cand = df.join(
+        bucketed.where(F.col("bucket").isin(probes)).select(id_col), id_col
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,175 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language-ID, document fingerprinting.
+
+All pure Spark expressions (whole-stage codegen, no Python workers) and
+all deterministic — every operator has a DuckDB oracle in
+``__spark_entry__.py``.  These compose with the validation chains (e.g.
+``Unicode | Strip`` first, then quality scoring on the cleaned text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filters_spark.pipeline.dedup import portable_hash60, word_shingles
+
+__all__ = ["token_counts", "quality_score", "lang_id", "fingerprint", "STOPWORDS"]
+
+#: BPE-ish pre-tokenisation: letter runs, digit runs, single non-alnum
+#: (the GPT-2 pattern family, simplified to what RE2/Java regex both run)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+}
+
+
+def _tokens(text) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document:
+    ``(id, n_ws_tokens, n_bpe_tokens)``.  Pure projection — at 100 TB
+    this runs at scan speed and the counts ride the same pass as
+    validation chains."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(_tokens(text)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality components + composite score per document.
+
+    Components (all ratios in [0,1], double):
+    - ``len_score``: min(n_chars / 500, 1) — favour substantial docs;
+    - ``punct_ratio``: punctuation chars / chars;
+    - ``digit_ratio``: digit chars / chars;
+    - ``stopword_ratio``: English-stopword tokens / tokens (prose-ness);
+    - ``mean_token_len``: chars per whitespace token.
+
+    ``score = len_score · (1 − punct_ratio) · (1 − digit_ratio) ·
+    (0.5 + 0.5·min(stopword_ratio·5, 1))`` — a C4/Gopher-style rule
+    stack, kept multiplicative so any hard zero kills the document.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text).cast("double")
+    n_tok = F.size(toks).cast("double")
+    punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    digit = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), 0)).cast(
+        "double"
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("double")
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    digit_ratio = digit / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stop / F.greatest(n_tok, F.lit(1.0))
+    score = (
+        len_score
+        * (1 - punct_ratio)
+        * (1 - digit_ratio)
+        * (0.5 + 0.5 * F.least(stop_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("score"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Stopword-profile language ID: ``(id, lang_pred, lang_hits)``.
+
+    Counts distinct-token hits against each language's stopword profile;
+    prediction = language with the most hits (ties broken
+    lexicographically, zero hits → 'und').  Pure expressions — the
+    profiles are literal arrays, ``array_intersect`` does the matching.
+    A production system would use fastText/CLD3; this is the in-engine
+    deterministic heuristic with an exact SQL oracle.
+    """
+    profiles = profiles or STOPWORDS
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in sorted(profiles.items())
+    }
+    best = F.lit(0)
+    for h in hits.values():
+        best = F.greatest(best, h)
+    pred = F.lit("und")
+    # reverse-lexicographic fold so earlier languages win ties
+    for lang in sorted(hits, reverse=True):
+        pred = F.when(
+            (hits[lang] > 0) & (hits[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("id"),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    mod: int = 8,
+) -> DataFrame:
+    """Document fingerprint via rolling-shingle-hash selection
+    (Broder-style "0 mod p" winnowing): ``(id, fingerprint)``.
+
+    Hash every word ``n``-gram shingle (rolling window over the token
+    stream) to 60 bits, keep hashes ≡ 0 (mod ``mod``) — a deterministic
+    ~1/mod sample of the shingle set — sort, and digest to one md5.
+    Documents sharing most content share most selected hashes, so equal
+    fingerprints ⇒ near-identical content at ~1/mod resolution.  One
+    explode + one groupBy; shuffle carries only selected hashes.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    kept = sh.withColumn("h", portable_hash60(F.col("shingle"))).where(
+        F.col("h") % mod == 0
+    )
+    return kept.groupBy("id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("h")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fingerprint"),
+        F.count_distinct(F.col("h")).alias("n_selected"),
+    )
