@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry exercises the ``filters_spark`` engine (validation chains,
+table-level checks, training-data pipeline operators) over the driver's
+parquet tables and carries a DuckDB-equivalent oracle SQL.  Determinism
+across engines is by construction: all sketch hashes are md5-derived
+(``filters_spark.pipeline.dedup.portable_hash60``), all ratios are exact
+integer divisions in double, and decimal math uses tie-free grids.
+
+Each ``queries()`` key maps to one operator family from SURVEY.md §2 (or
+one pipeline addition); the matching ``oracle_sql()`` string reproduces
+the semantics in ANSI/DuckDB SQL over the same views.  Keys without an
+oracle (approximate, engine-specific ops) are listed in ``_NO_ORACLE``.
 """
 
 from __future__ import annotations
@@ -12,27 +18,1064 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import filters_spark as fs
+from filters_spark.engine.drift import frequencies, length_histogram
+from filters_spark.engine.referential import gapless_by_agg, orphans
+from filters_spark.engine.stats import column_stats
+from filters_spark.engine.suite import ValidationSuite
+from filters_spark.engine.uniqueness import duplicate_keys
+from filters_spark.pipeline import (
+    byte_features,
+    cosine_topk,
+    decode_media,
+    embedding_near_dups,
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    lang_id,
+    minhash_lsh_pairs,
+    quality_score,
+    simhash,
+    simhash_pairs,
+    srp_topk,
+    token_counts,
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp-rendering queries assume a UTC session (the engine's
+    always-UTC contract, SURVEY.md §1.1)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# scalar-chain queries (SURVEY.md §2.2-2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_flagship_validate(spark, sf_dir):
+    """Required | Unicode | Strip | MaxLength(500, truncate) over
+    documents.text — the north-star text chain."""
+    docs = _t(spark, sf_dir, "documents")
+    out = fs.validate(
+        docs,
+        {
+            "text": fs.Required()
+            | fs.Unicode()
+            | fs.Strip()
+            | fs.MaxLength(500, truncate=True)
+        },
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("clean_len"),
+        F.col("_is_valid").alias("valid"),
+        F.get("_violations", 0)["code"].alias("first_code"),
+    )
+
+
+SQL_FLAGSHIP = """
+SELECT doc_id,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+            ELSE CAST(least(length(text), 500) AS BIGINT) END AS clean_len,
+       (text IS NOT NULL AND length(text) > 0) AS valid,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty' END AS first_code
+FROM documents
+"""
+
+
+def q_required(spark, sf_dir):
+    """Required rejects NULL/empty (simple.py:971-984)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "status_nn", F.expr("nullif(o_orderstatus, 'P')")
+    )
+    rows = fs.validate(orders, {"status_nn": fs.Required()})
+    return rows.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("_is_valid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_invalid"),
+    )
+
+
+SQL_REQUIRED = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_invalid
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_choice_canonical(spark, sf_dir):
+    """Choice with case-insensitive canonicalisation (string.py:128-193)."""
+    orders = _t(spark, sf_dir, "orders")
+    rows = fs.validate(
+        orders, {"o_orderstatus": fs.Choice(("o", "f"), case_sensitive=False)}
+    )
+    return rows.groupBy(F.col("o_orderstatus").alias("clean_status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_CHOICE = """
+SELECT CASE WHEN o_orderstatus = 'O' THEN 'o'
+            WHEN o_orderstatus = 'F' THEN 'f' END AS clean_status,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_min_max(spark, sf_dir):
+    """Min/Max range constraints (number.py:139-254); invalid values are
+    nulled so the cleaned aggregate only sees in-range rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = fs.validate(li, {"l_quantity": fs.Min(5.0) | fs.Max(45.0)})
+    return rows.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("_is_valid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_invalid"),
+        F.sum("l_quantity").alias("sum_clean"),
+    )
+
+
+SQL_MIN_MAX = """
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE l_quantity < 5 OR l_quantity > 45) AS BIGINT)
+         AS n_invalid,
+       CAST(sum(l_quantity) FILTER (WHERE l_quantity BETWEEN 5 AND 45) AS DOUBLE)
+         AS sum_clean
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_int_parse(spark, sf_dir):
+    """Int parses strings to integers, then range-checks (number.py:103-136)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ln_str", F.col("l_linenumber").cast("string")
+    )
+    rows = fs.validate(li, {"ln_str": fs.Int() | fs.Min(2) | fs.Max(6)})
+    return rows.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.col("ln_str").cast("long").alias("clean_val"),
+    )
+
+
+SQL_INT_PARSE = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS linenumber,
+       CASE WHEN l_linenumber BETWEEN 2 AND 6
+            THEN CAST(l_linenumber AS BIGINT) END AS clean_val
+FROM lineitem
+"""
+
+
+def q_round_quarter(spark, sf_dir):
+    """Round to an arbitrary grid (nearest 0.25) in exact decimal
+    arithmetic (number.py:257-305).  The 2-dp input grid makes HALF ties
+    impossible, so the result is rounding-mode-independent."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "price_dec", F.col("l_extendedprice").cast("decimal(12,2)")
+    )
+    rows = fs.validate(li, {"price_dec": fs.Round("0.25")})
+    return rows.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum("price_dec").cast("double").alias("sum_rounded")
+    )
+
+
+SQL_ROUND = """
+SELECT l_returnflag AS flag,
+       CAST(sum(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 4, 0) / 4)
+            AS DOUBLE) AS sum_rounded
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_strip(spark, sf_dir):
+    """Strip removes leading/trailing whitespace + control chars via the
+    reference's regex classes (string.py:724-780)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "padded", F.concat(F.lit("  \t"), F.col("event_type"), F.lit(" \r "))
+    )
+    rows = fs.validate(ev, {"padded": fs.Strip()})
+    return rows.select("event_id", F.col("padded").alias("clean"))
+
+
+SQL_STRIP = "SELECT event_id, event_type AS clean FROM events"
+
+
+def q_casefold(spark, sf_dir):
+    """CaseFold (string.py:99-125)."""
+    orders = _t(spark, sf_dir, "orders")
+    rows = fs.validate(orders, {"o_orderpriority": fs.CaseFold()})
+    return rows.groupBy(F.col("o_orderpriority").alias("clean")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_CASEFOLD = """
+SELECT lower(o_orderpriority) AS clean, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_regex_all_matches(spark, sf_dir):
+    """Regex returns ALL matches (finditer semantics, string.py:595-662)."""
+    ev = _t(spark, sf_dir, "events")
+    rows = fs.validate(ev, {"props": fs.Regex("[0-9]+")})
+    return rows.select(
+        "event_id", F.explode("props").alias("match")
+    )
+
+
+SQL_REGEX = """
+SELECT event_id, unnest(regexp_extract_all(props, '[0-9]+')) AS match
+FROM events
+"""
+
+
+def q_split_tokens(spark, sf_dir):
+    """Split on a regex (string.py:665-721)."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = fs.validate(docs, {"text": fs.Split(r"\s+")})
+    return rows.select(
+        "doc_id", F.size("text").cast("long").alias("n_tokens")
+    )
+
+
+SQL_SPLIT = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_maxbytes_truncate(spark, sf_dir):
+    """MaxBytes with multibyte-safe truncation (string.py:305-511)."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = fs.validate(docs, {"text": fs.MaxBytes(64, truncate=True)})
+    return rows.select(
+        "doc_id", F.octet_length("text").cast("long").alias("clean_bytes")
+    )
+
+
+SQL_MAXBYTES = """
+SELECT doc_id, CAST(least(strlen(text), 64) AS BIGINT) AS clean_bytes
+FROM documents
+"""
+
+
+def q_base64_roundtrip(spark, sf_dir):
+    """Base64Decode (alphabet/dialect/padding checks, string.py:38-96)
+    then Unicode decode back to text."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "b64", F.base64(F.encode(F.col("o_orderpriority"), "utf-8"))
+    )
+    rows = fs.validate(orders, {"b64": fs.Base64Decode() | fs.Unicode()})
+    return rows.groupBy(F.col("b64").alias("clean")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_BASE64 = """
+SELECT o_orderpriority AS clean, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_uuid_canonical(spark, sf_dir):
+    """Uuid parse/canonicalise to lowercase hyphenated form
+    (string.py:976-1029)."""
+    orders = _t(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    raw = F.upper(
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        )
+    )
+    df = orders.select("o_orderkey", raw.alias("raw_uuid"))
+    rows = fs.validate(df, {"raw_uuid": fs.Uuid()})
+    return rows.select("o_orderkey", F.col("raw_uuid").alias("uuid_c"))
+
+
+SQL_UUID = """
+SELECT o_orderkey,
+       concat_ws('-',
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8),
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4),
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 4),
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 4),
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 12)) AS uuid_c
+FROM orders
+"""
+
+
+def q_ipaddress(spark, sf_dir):
+    """IpAddress v4 validation (string.py:196-270); invalid → NULL."""
+    orders = _t(spark, sf_dir, "orders")
+    ip = F.format_string(
+        "%d.%d.%d.%d",
+        (F.col("o_orderkey") % 300).cast("int"),
+        (F.col("o_custkey") % 256).cast("int"),
+        (F.col("o_orderkey") % 256).cast("int"),
+        F.lit(7),
+    )
+    df = orders.select("o_orderkey", ip.alias("ip"))
+    rows = fs.validate(df, {"ip": fs.IpAddress()})
+    return rows.select("o_orderkey", F.col("ip").alias("clean_ip"))
+
+
+SQL_IPADDRESS = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 300 <= 255 THEN
+         printf('%d.%d.%d.%d', o_orderkey % 300, o_custkey % 256,
+                o_orderkey % 256, 7) END AS clean_ip
+FROM orders
+"""
+
+
+def q_json_decode(spark, sf_dir):
+    """JsonDecode with a declared schema (string.py:273-302 →
+    ``from_json``)."""
+    ev = _t(spark, sf_dir, "events")
+    rows = fs.validate(ev, {"props": fs.JsonDecode("k BIGINT")})
+    return rows.select("event_id", F.col("props")["k"].alias("k"))
+
+
+SQL_JSON = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_datetime_utc(spark, sf_dir):
+    """Datetime: offset strings normalise to UTC (simple.py:257-336)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("+02:00")
+        ).alias("ts_str"),
+    )
+    rows = fs.validate(df, {"ts_str": fs.Datetime()})
+    return rows.select(
+        "event_id",
+        F.date_format("ts_str", "yyyy-MM-dd HH:mm:ss").alias("utc"),
+    )
+
+
+SQL_DATETIME = """
+SELECT event_id,
+       strftime(ts - INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS utc
+FROM events
+"""
+
+
+def q_optional_default(spark, sf_dir):
+    """Optional replaces NULL/empty with a default (simple.py:784-869)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "pri_opt", F.expr("nullif(o_orderpriority, '1-URGENT')")
+    )
+    rows = fs.validate(orders, {"pri_opt": fs.Optional("missing")})
+    return rows.groupBy(F.col("pri_opt").alias("clean")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_OPTIONAL = """
+SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'missing'
+            ELSE o_orderpriority END AS clean,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_minlength(spark, sf_dir):
+    """MinLength (simple.py:642-678)."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = fs.validate(docs, {"text": fs.MinLength(100)})
+    return rows.select("doc_id", F.col("_is_valid").alias("valid"))
+
+
+SQL_MINLENGTH = """
+SELECT doc_id, length(text) >= 100 AS valid FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# table-level engine queries (BASELINE.json north rule)
+# ---------------------------------------------------------------------------
+
+
+def q_uniqueness(spark, sf_dir):
+    """Salted-safe hash-agg uniqueness check (engine/uniqueness.py)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 200).alias("k1"),
+        (F.col("l_suppkey") % 10).alias("k2"),
+    )
+    return duplicate_keys(li, ["k1", "k2"])
+
+
+SQL_UNIQUENESS = """
+SELECT l_partkey % 200 AS k1, l_suppkey % 10 AS k2,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def q_gapless(spark, sf_dir):
+    """Gapless index check via pure hash aggregation (scale path,
+    engine/referential.py)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_linenumber") - 1).alias("idx")
+    )
+    g = gapless_by_agg(li, "l_orderkey", "idx")
+    return g.select(
+        "l_orderkey",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "is_gapless",
+    )
+
+
+SQL_GAPLESS = """
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       (min(l_linenumber - 1) = 0 AND
+        max(l_linenumber - 1) = count(DISTINCT l_linenumber) - 1) AS is_gapless
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_orphans(spark, sf_dir):
+    """Referential anti-join (broadcast dimension, engine/referential.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    parent = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 7 != 0)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    o = orphans(li, parent, on="l_partkey", broadcast_parent=True)
+    return o.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+SQL_ORPHANS = """
+SELECT CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0)
+"""
+
+
+def q_column_stats(spark, sf_dir):
+    """Single-pass per-column stats (engine/stats.py); exact-distinct
+    variant for the oracle (HLL is the scale path)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_linenumber"
+    )
+    stats = column_stats(li, exact_distinct=True)
+    return stats.where(
+        F.col("metric").isin("count", "null_rate", "distinct", "min", "max", "avg")
+    ).select(
+        F.col("column").alias("col_name"),
+        "metric",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _sql_column_stats() -> str:
+    parts = []
+    for c in ("l_quantity", "l_discount", "l_linenumber"):
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name, 'count' AS metric,
+       round(CAST(count(*) AS DOUBLE), 6) AS value FROM lineitem
+UNION ALL
+SELECT '{c}', 'null_rate',
+       round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6) FROM lineitem
+UNION ALL
+SELECT '{c}', 'distinct',
+       round(CAST(count(DISTINCT {c}) AS DOUBLE), 6) FROM lineitem
+UNION ALL
+SELECT '{c}', 'min', round(CAST(min({c}) AS DOUBLE), 6) FROM lineitem
+UNION ALL
+SELECT '{c}', 'max', round(CAST(max({c}) AS DOUBLE), 6) FROM lineitem
+UNION ALL
+SELECT '{c}', 'avg', round(avg(CAST({c} AS DOUBLE)), 6) FROM lineitem
+"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_drift_frequencies(spark, sf_dir):
+    """Category frequency table feeding the KL drift check
+    (engine/drift.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return frequencies(ev, "event_type")
+
+
+SQL_FREQ = """
+SELECT event_type AS k,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS p
+FROM events GROUP BY 1
+"""
+
+
+def q_length_histogram(spark, sf_dir):
+    """Text-length histogram feeding the PSI drift check
+    (engine/drift.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return length_histogram(docs, "text", bucket_width=50, n_buckets=12)
+
+
+SQL_LENHIST = """
+SELECT CAST(CASE WHEN text IS NULL THEN -1
+            WHEN length(text) >= 600 THEN 12
+            ELSE length(text) // 50 END AS INT) AS bucket,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS p
+FROM documents GROUP BY 1
+"""
+
+
+def q_suite_verdicts(spark, sf_dir):
+    """The full ValidationSuite verdict path (row chains + uniqueness +
+    gaplessness → per-bucket pass/fail) with a portable bucket function
+    and seeded dup/gap violations."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "idx", (F.col("l_linenumber") - 1).cast("int")
+    )
+    li = li.where(
+        ~((F.col("l_orderkey") % 53 == 0) & (F.col("l_linenumber") == 2))
+    )
+    li = li.unionAll(li.where(F.col("l_orderkey") % 97 == 0))
+    suite = ValidationSuite(
+        rules={
+            "l_quantity": fs.Min(3.0) | fs.Max(47.0),
+            "l_returnflag": fs.Choice(("N", "R")),
+        },
+        conv="l_orderkey",
+        idx="idx",
+        n_buckets=16,
+        bucket_fn=lambda c, n: F.pmod(c.cast("long"), F.lit(n)).cast("int"),
+    )
+    rows = suite.row_results(li)
+    return suite.verdicts(li, rows).select(
+        "bucket",
+        "n_rows",
+        F.col("n_invalid").cast("long").alias("n_invalid"),
+        F.col("invalid_rate"),
+        F.col("dup_keys").cast("long").alias("dup_keys"),
+        F.col("surplus_rows").cast("long").alias("surplus_rows"),
+        F.col("n_convs").cast("long").alias("n_convs"),
+        F.col("gappy_convs").cast("long").alias("gappy_convs"),
+        "bucket_pass",
+    )
+
+
+SQL_SUITE = """
+WITH t1 AS (
+  SELECT * FROM lineitem
+  WHERE NOT (l_orderkey % 53 = 0 AND l_linenumber = 2)
+), base AS (
+  SELECT * FROM t1
+  UNION ALL SELECT * FROM t1 WHERE l_orderkey % 97 = 0
+), validity AS (
+  SELECT CAST(l_orderkey % 16 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (WHERE l_quantity < 3 OR l_quantity > 47
+                               OR l_returnflag NOT IN ('N','R'))
+              AS BIGINT) AS n_invalid
+  FROM base GROUP BY 1
+), dups AS (
+  SELECT CAST(l_orderkey % 16 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS dup_keys,
+         CAST(sum(cnt - 1) AS BIGINT) AS surplus_rows
+  FROM (SELECT l_orderkey, l_linenumber, count(*) AS cnt
+        FROM base GROUP BY 1, 2 HAVING count(*) > 1)
+  GROUP BY 1
+), gap AS (
+  SELECT CAST(l_orderkey % 16 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(count(*) FILTER (WHERE NOT g) AS BIGINT) AS gappy_convs
+  FROM (SELECT l_orderkey,
+               (min(l_linenumber - 1) = 0 AND
+                max(l_linenumber - 1) = count(DISTINCT l_linenumber) - 1) AS g
+        FROM base GROUP BY 1)
+  GROUP BY 1
+)
+SELECT v.bucket, v.n_rows, v.n_invalid,
+       CAST(v.n_invalid AS DOUBLE) / v.n_rows AS invalid_rate,
+       coalesce(d.dup_keys, 0) AS dup_keys,
+       coalesce(d.surplus_rows, 0) AS surplus_rows,
+       g.n_convs, g.gappy_convs,
+       (CAST(v.n_invalid AS DOUBLE) / v.n_rows <= 0.05
+        AND coalesce(d.dup_keys, 0) = 0
+        AND g.gappy_convs = 0) AS bucket_pass
+FROM validity v
+LEFT JOIN dups d USING (bucket)
+JOIN gap g USING (bucket)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+# shared oracle CTEs: word-bigram shingles + exact jaccard over documents
+_SQL_SHINGLES = r"""
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i) l
+), sz AS (
+  SELECT doc_id, count(*) AS s FROM sh GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+), jac AS (
+  SELECT a, b, CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = a
+  JOIN sz sb ON sb.doc_id = b
+)
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+SQL_JACCARD = (
+    "WITH " + _SQL_SHINGLES + "SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8"
+)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, bands=8, rows=4, verify_threshold=0.7
+    )
+
+
+SQL_MINHASH = (
+    "WITH "
+    + _SQL_SHINGLES
+    + """
+, mh AS (
+  SELECT doc_id, i,
+         min(CAST('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)),
+                                 1, 15) AS BIGINT)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) hs
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkey
+  FROM mh GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT a, b, jaccard FROM cand JOIN jac USING (a, b) WHERE jaccard >= 0.7
+"""
+)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+SQL_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) bits
+  GROUP BY 1, 2
+)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    p = simhash_pairs(docs, max_hamming=3, bands=4)
+    return p.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_SIMHASH_PAIRS = (
+    "WITH fp AS ("
+    + SQL_SIMHASH.replace("doc_id AS id", "doc_id AS id")
+    + """
+)
+SELECT x.id AS a, y.id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM fp x JOIN fp y ON x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+)
+
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return [float(x) for x in v]
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (similarity baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_embed_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact variant; SRP-LSH is the
+    scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, threshold=0.25)
+    return out.select("a", "b", F.round("score", 6).alias("score"))
+
+
+SQL_EMBED_NEAR_DUPS = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.25
+"""
+
+
+def q_srp_ann_topk(spark, sf_dir):
+    """Approximate top-k via SRP-LSH buckets (no SQL oracle — engine-
+    specific approximate op; driver records rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = srp_topk(
+        emb, _query_vec(spark, sf_dir), k=10, planes=6, multiprobe=3
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs)
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id AS id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs)
+    return q.select(
+        "id",
+        "n_chars",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           AS punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(['the','a','of','to','and','in','is'], x)))
+              AS DOUBLE) AS stop
+  FROM documents
+)
+SELECT doc_id AS id, n_chars, n_tokens,
+       round(punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+       round(digit / greatest(n_chars, 1.0), 6) AS digit_ratio,
+       round(stop / greatest(n_tokens, 1.0), 6) AS stopword_ratio,
+       round(least(n_chars / 500.0, 1.0)
+             * (1 - punct / greatest(n_chars, 1.0))
+             * (1 - digit / greatest(n_chars, 1.0))
+             * (0.5 + 0.5 * least(stop / greatest(n_tokens, 1.0) * 5, 1.0)),
+             6) AS score
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs)
+
+
+SQL_LANG_ID = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_intersect(toks, ['the','a','of','to','and','in','is'])) AS h_en,
+         len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS h_de,
+         len(list_intersect(toks, ['le','la','et','les','des','est'])) AS h_fr,
+         len(list_intersect(toks, ['el','la','de','que','los','es'])) AS h_es
+  FROM t
+)
+SELECT doc_id AS id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS lang_hits
+FROM h
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, n=2, mod=8)
+
+
+SQL_FINGERPRINT = (
+    "WITH "
+    + _SQL_SHINGLES
+    + """
+, k AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+  FROM sh
+)
+SELECT doc_id AS id,
+       md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_selected
+FROM k WHERE h % 8 = 0 GROUP BY doc_id
+"""
+)
+
+
+def q_multimodal_bytestats(spark, sf_dir):
+    """Byte-histogram features over a binary payload column (multimodal
+    plumbing; payload = utf-8 bytes of text)."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_df = docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = byte_features(bin_df, bins=16)
+    return feats.select(
+        "id",
+        "byte_len",
+        F.size(F.filter("histogram", lambda x: x > 0))
+        .cast("long")
+        .alias("n_bins"),
+    )
+
+
+SQL_BYTESTATS = """
+WITH b AS (
+  SELECT doc_id, count(DISTINCT ascii(substr(text, CAST(i AS INT), 1)) // 16)
+           AS nb
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) l
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(strlen(d.text) AS BIGINT) AS byte_len,
+       CAST(b.nb AS BIGINT) AS n_bins
+FROM documents d JOIN b USING (doc_id)
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Stubbed media decode over mapInPandas (real Arrow plumbing,
+    deterministic fake codec)."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_df = docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return decode_media(bin_df, feature_dim=4).select(
+        "id", "media_type", "width", "height", "n_frames"
+    )
+
+
+SQL_DECODE = """
+SELECT doc_id AS id, 'unknown' AS media_type,
+       CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT)
+         AS width,
+       CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT)
+         AS height,
+       CAST(1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 30 AS INT)
+         AS n_frames
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_validate": q_flagship_validate,
+    "required": q_required,
+    "choice_canonical": q_choice_canonical,
+    "min_max": q_min_max,
+    "int_parse": q_int_parse,
+    "round_quarter": q_round_quarter,
+    "strip": q_strip,
+    "casefold": q_casefold,
+    "regex_all_matches": q_regex_all_matches,
+    "split_tokens": q_split_tokens,
+    "maxbytes_truncate": q_maxbytes_truncate,
+    "base64_roundtrip": q_base64_roundtrip,
+    "uuid_canonical": q_uuid_canonical,
+    "ipaddress": q_ipaddress,
+    "json_decode": q_json_decode,
+    "datetime_utc": q_datetime_utc,
+    "optional_default": q_optional_default,
+    "minlength": q_minlength,
+    "uniqueness": q_uniqueness,
+    "gapless": q_gapless,
+    "orphans": q_orphans,
+    "column_stats": q_column_stats,
+    "drift_frequencies": q_drift_frequencies,
+    "length_histogram": q_length_histogram,
+    "suite_verdicts": q_suite_verdicts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "embed_near_dups": q_embed_near_dups,
+    "srp_ann_topk": q_srp_ann_topk,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "multimodal_bytestats": q_multimodal_bytestats,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+_ORACLES: dict[str, str] = {
+    "flagship_validate": SQL_FLAGSHIP,
+    "required": SQL_REQUIRED,
+    "choice_canonical": SQL_CHOICE,
+    "min_max": SQL_MIN_MAX,
+    "int_parse": SQL_INT_PARSE,
+    "round_quarter": SQL_ROUND,
+    "strip": SQL_STRIP,
+    "casefold": SQL_CASEFOLD,
+    "regex_all_matches": SQL_REGEX,
+    "split_tokens": SQL_SPLIT,
+    "maxbytes_truncate": SQL_MAXBYTES,
+    "base64_roundtrip": SQL_BASE64,
+    "uuid_canonical": SQL_UUID,
+    "ipaddress": SQL_IPADDRESS,
+    "json_decode": SQL_JSON,
+    "datetime_utc": SQL_DATETIME,
+    "optional_default": SQL_OPTIONAL,
+    "minlength": SQL_MINLENGTH,
+    "uniqueness": SQL_UNIQUENESS,
+    "gapless": SQL_GAPLESS,
+    "orphans": SQL_ORPHANS,
+    "column_stats": _sql_column_stats(),
+    "drift_frequencies": SQL_FREQ,
+    "length_histogram": SQL_LENHIST,
+    "suite_verdicts": SQL_SUITE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_JACCARD,
+    "dedup_minhash_lsh": SQL_MINHASH,
+    "dedup_simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embed_near_dups": SQL_EMBED_NEAR_DUPS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_score": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "multimodal_bytestats": SQL_BYTESTATS,
+    "multimodal_decode": SQL_DECODE,
+}
+
+#: approximate / engine-specific ops: rows-only driver check by design
+_NO_ORACLE = ("srp_ann_topk",)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_validate(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -72,6 +72,7 @@ class ValidationSuite:
         kl_threshold: float = 0.10,
         psi_threshold: float = 0.25,
         stat_columns: list[str] | None = None,
+        bucket_fn=None,
     ) -> None:
         self.rules = rules
         self.conv = conv
@@ -83,13 +84,18 @@ class ValidationSuite:
         self.kl_threshold = kl_threshold
         self.psi_threshold = psi_threshold
         self.stat_columns = stat_columns
+        #: bucket assignment ``(conv_col, n_buckets) -> int column``;
+        #: default mirrors Iceberg's ``bucket(N, conv_id)`` transform via
+        #: xxhash64.  Override with a portable expression (e.g.
+        #: ``pmod(key, n)``) when results must replay in other engines.
+        self.bucket_fn = bucket_fn or bucket_of
 
     # -- pieces ---------------------------------------------------------
 
     def row_results(self, df: DataFrame) -> DataFrame:
         rows = validate(df, self.rules)
         return rows.withColumn(
-            BUCKET_COL, bucket_of(F.col(self.conv), self.n_buckets)
+            BUCKET_COL, self.bucket_fn(F.col(self.conv), self.n_buckets)
         )
 
     def verdicts(self, df: DataFrame, rows: DataFrame) -> DataFrame:
@@ -107,7 +113,7 @@ class ValidationSuite:
             df.groupBy(self.conv, self.idx)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") > 1)
-            .groupBy(bucket_of(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
+            .groupBy(self.bucket_fn(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
             .agg(
                 F.count(F.lit(1)).alias("dup_keys"),
                 F.sum(F.col("cnt") - 1).alias("surplus_rows"),
@@ -115,7 +121,7 @@ class ValidationSuite:
         )
         gapless = (
             gapless_by_agg(df, self.conv, self.idx)
-            .groupBy(bucket_of(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
+            .groupBy(self.bucket_fn(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
             .agg(
                 F.count(F.lit(1)).alias("n_convs"),
                 F.sum(F.when(~F.col("is_gapless"), 1).otherwise(0)).alias(

@@ -87,9 +87,14 @@ def word_shingles(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    # element_at is 1-based; sequence(1, size-n+1) enumerates shingle starts
+    # element_at is 1-based; sequence(1, size-n+1) enumerates shingle
+    # starts.  Guard size < n: Spark's sequence(1, 0) counts DOWN ([1,0]),
+    # it is not empty — short docs must yield zero shingles instead.
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        starts,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
