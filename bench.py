@@ -1,0 +1,187 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+The headline is the BASELINE.json north-rule metric: turns/sec through
+the FULL validation chain (row chains + stats + uniqueness + referential
++ drift) over the synthetic transcripts table.  Scaling evidence across
+two parallelism levels is produced by ``scripts/scaling.py`` (separate,
+because it needs two SparkContexts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def read_steal_sec() -> float:
+    """Cumulative hypervisor steal time (seconds) — this sandbox sees
+    multi-× run-to-run variance from host contention, so every benchmark
+    records the steal accumulated during its window; numbers with
+    significant steal are not comparable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+def get_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.default.parallelism", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("filters_spark_bench")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Run the full plan without collecting results to the driver (noop
+    sink would skip the final exchange metrics; a count over a cached-free
+    plan keeps every operator live)."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def bench_suite(spark: SparkSession, n_convs: int) -> dict:
+    """Full-chain validation (the north-rule job) over the deterministic
+    synthetic transcripts table; returns timings + turn counts."""
+    import filters_spark as fs
+    from filters_spark.data.transcripts import (
+        transcripts,
+        transcripts_baseline,
+    )
+    from filters_spark.engine.suite import ValidationSuite
+
+    df = transcripts(spark, n_convs=n_convs)
+    baseline = transcripts_baseline(spark, n_convs=max(n_convs // 4, 1))
+    rules = {
+        "conv_id": fs.Required(),
+        "turn_idx": fs.Min(0),
+        "role": fs.Choice(("system", "user", "assistant", "tool")),
+        "text": fs.Required() | fs.Unicode() | fs.Strip() | fs.MaxLength(2000, truncate=True),
+        "tool": fs.Choice(("search", "code", "browser")),
+    }
+    suite = ValidationSuite(rules, stat_columns=["turn_idx", "role", "text", "tool"])
+
+    t0 = time.time()
+    result = suite.run(df, baseline=baseline)
+    # filling the narrow verdict cache executes the full validation
+    # chain once (incl. Arrow kernels) — this is the "turns validated"
+    # pass; the wide cleaned rows stay lazy for the caller's sink
+    n_turns = result.keyed.count()
+    rows_s = time.time() - t0
+    gen_s = 0.0  # generation is fused into the chain pass (no pre-count)
+
+    t0 = time.time()
+    verdicts = result.verdicts.collect()
+    stats = result.stats.collect()
+    n_viol = result.violations.count()
+    agg_s = time.time() - t0
+
+    # release the suite's persisted cache — repeated bench runs in one
+    # JVM otherwise accumulate cached partitions until spill
+    result.unpersist()
+
+    total = rows_s + agg_s
+    return {
+        "n_turns": n_turns,
+        "gen_sec": round(gen_s, 3),
+        "rows_pass_sec": round(rows_s, 3),
+        "agg_sec": round(agg_s, 3),
+        "suite_sec": round(total, 3),
+        "turns_per_sec": round(n_turns / total, 1),
+        "n_buckets": len(verdicts),
+        "n_stat_rows": len(stats),
+        "n_violations": n_viol,
+        "drift": result.metrics,
+    }
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Headline per-query timings from the driver contract at sf_dir."""
+    import __spark_entry__ as e
+
+    names = [
+        "flagship_validate",
+        "min_max",
+        "round_quarter",
+        "uuid_canonical",
+        "datetime_utc",
+        "uniqueness",
+        "gapless",
+        "column_stats",
+        "suite_verdicts",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "cosine_topk",
+        "embed_near_dups",
+        "fingerprint",
+        "multimodal_bytestats",
+    ]
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    # transcripts sized so the suite dominates JVM fixed costs: ~1.7M
+    # turns at sf0.1 (scales linearly with sf)
+    n_convs = max(int(1_200_000 * sf), 2_000)
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    steal0 = read_steal_sec()
+    suite = bench_suite(spark, n_convs)
+    queries = bench_queries(spark, sf_dir)
+    steal_sec = round(read_steal_sec() - steal0, 1)
+    total = round(suite["suite_sec"] + sum(queries.values()), 3)
+
+    out = {
+        "metric": "full_chain_validation_plus_headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {"full_validation_suite": suite["suite_sec"], **queries},
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": suite["n_turns"],
+        "turns_per_sec_full_chain": suite["turns_per_sec"],
+        "hypervisor_steal_cpu_sec": steal_sec,
+        "suite_detail": {
+            k: v
+            for k, v in suite.items()
+            if k not in ("n_turns", "turns_per_sec")
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,19 +33,92 @@ def _freq_dict(freq: DataFrame, alias: str = "k") -> dict[str, float]:
     return {r[alias]: r["p"] for r in freq.collect()}
 
 
-def kl_divergence(
-    current: DataFrame, baseline: DataFrame, alias: str = "k", eps: float = 1e-9
-) -> float:
-    """KL(P_current ‖ Q_baseline) over two frequency tables from
-    :func:`frequencies`.  Missing categories get ``eps`` mass."""
-    p = _freq_dict(current, alias)
-    q = _freq_dict(baseline, alias)
+def kl_from_dicts(p: dict, q: dict, eps: float = 1e-9) -> float:
     kl = 0.0
     for k, pv in p.items():
         qv = q.get(k, eps)
         if pv > 0:
             kl += pv * math.log(pv / max(qv, eps))
     return kl
+
+
+def psi_from_dicts(p: dict, q: dict, eps: float = 1e-6) -> float:
+    out = 0.0
+    for k in set(p) | set(q):
+        pv = max(p.get(k, 0.0), eps)
+        qv = max(q.get(k, 0.0), eps)
+        out += (pv - qv) * math.log(pv / qv)
+    return out
+
+
+def kl_divergence(
+    current: DataFrame, baseline: DataFrame, alias: str = "k", eps: float = 1e-9
+) -> float:
+    """KL(P_current ‖ Q_baseline) over two frequency tables from
+    :func:`frequencies`.  Missing categories get ``eps`` mass."""
+    return kl_from_dicts(
+        _freq_dict(current, alias), _freq_dict(baseline, alias), eps
+    )
+
+
+def length_bucket(col: str, bucket_width: int = 20, n_buckets: int = 50) -> Column:
+    """Length→bucket expression shared by :func:`length_histogram` and the
+    single-pass profile."""
+    ln = F.length(F.col(col))
+    return (
+        F.when(ln.isNull(), F.lit(-1))
+        .when(ln >= bucket_width * n_buckets, F.lit(n_buckets))
+        .otherwise(F.floor(ln / bucket_width))
+    ).cast("int")
+
+
+def dist_profile(
+    df: DataFrame,
+    cat_cols: tuple = ("role", "tool"),
+    length_col: str | None = "text",
+    bucket_width: int = 20,
+    n_buckets: int = 50,
+) -> dict[str, dict[str, float]]:
+    """ALL drift distributions in ONE scan + ONE hash aggregation.
+
+    Each row explodes to one ``(dim, key)`` pair per tracked dimension
+    (category columns + the length histogram); map-side partial
+    aggregation collapses the 3× row blow-up to |categories| rows per
+    task before the shuffle.  Returns ``{dim: {key: probability}}`` —
+    the driver-side divergence math consumes these directly.
+    """
+    entries = []
+    for c in cat_cols:
+        entries.append(
+            F.struct(
+                F.lit(f"cat:{c}").alias("dim"),
+                F.coalesce(F.col(c).cast("string"), F.lit("__null__")).alias(
+                    "k"
+                ),
+            )
+        )
+    if length_col:
+        entries.append(
+            F.struct(
+                F.lit(f"len:{length_col}").alias("dim"),
+                length_bucket(length_col, bucket_width, n_buckets)
+                .cast("string")
+                .alias("k"),
+            )
+        )
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .groupBy("e.dim", "e.k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    for r in counts:
+        totals[r["dim"]] = totals.get(r["dim"], 0) + r["n"]
+    out: dict[str, dict[str, float]] = {}
+    for r in counts:
+        out.setdefault(r["dim"], {})[r["k"]] = r["n"] / totals[r["dim"]]
+    return out
 
 
 def length_histogram(
@@ -56,12 +129,7 @@ def length_histogram(
 ) -> DataFrame:
     """Text-length histogram: fixed-width buckets with an overflow bucket;
     nulls get bucket -1.  Distributed hash agg, ``(bucket, p)``."""
-    ln = F.length(F.col(col))
-    bucket = (
-        F.when(ln.isNull(), F.lit(-1))
-        .when(ln >= bucket_width * n_buckets, F.lit(n_buckets))
-        .otherwise(F.floor(ln / bucket_width))
-    ).cast("int")
+    bucket = length_bucket(col, bucket_width, n_buckets)
     counts = df.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -80,9 +148,4 @@ def psi(
     (the standard industry thresholds)."""
     p = {r[alias]: r["p"] for r in current.collect()}
     q = {r[alias]: r["p"] for r in baseline.collect()}
-    out = 0.0
-    for k in set(p) | set(q):
-        pv = max(p.get(k, 0.0), eps)
-        qv = max(q.get(k, 0.0), eps)
-        out += (pv - qv) * math.log(pv / qv)
-    return out
+    return psi_from_dicts(p, q, eps)

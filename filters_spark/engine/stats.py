@@ -39,12 +39,21 @@ def column_stats(
     columns: list[str] | None = None,
     quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
     exact_distinct: bool = False,
-    rsd: float = 0.02,
+    rsd: float = 0.05,
+    quantile_accuracy: int = 2000,
 ) -> DataFrame:
     """Compute per-column stats in a single aggregation pass.
 
     ``exact_distinct=True`` swaps HLL for exact ``count_distinct`` (used
     by the DuckDB oracle queries; the HLL sketch is the scale path).
+
+    Sketch sizing: ``rsd``/``quantile_accuracy`` control the HLL and
+    quantile-summary buffer sizes.  The defaults keep per-partition
+    partial buffers small — with many columns in one pass, tight
+    settings (rsd 0.02 / accuracy 10000) multiply into hundreds of MB of
+    partial-aggregate allocation, which measurably throttles the agg
+    stage; stats feed drift/verdict thresholds where ±5% distinct and
+    ~1e-3-quantile error are immaterial.
     """
     columns = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -65,7 +74,7 @@ def column_stats(
             aggs.append(F.avg(col.cast("double")).alias(f"{c}__avg"))
             aggs.append(
                 F.percentile_approx(
-                    col.cast("double"), list(quantiles), 10000
+                    col.cast("double"), list(quantiles), quantile_accuracy
                 ).alias(f"{c}__quantiles")
             )
         elif isinstance(dt, T.StringType):
@@ -75,7 +84,7 @@ def column_stats(
             aggs.append(F.avg(ln).alias(f"{c}__avg"))
             aggs.append(
                 F.percentile_approx(
-                    ln.cast("double"), list(quantiles), 10000
+                    ln.cast("double"), list(quantiles), quantile_accuracy
                 ).alias(f"{c}__quantiles")
             )
         elif isinstance(dt, (T.TimestampType, T.DateType)):

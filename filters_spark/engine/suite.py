@@ -30,12 +30,10 @@ from pyspark.sql import functions as F
 
 from filters_spark.core.compiler import validate
 from filters_spark.engine.drift import (
-    frequencies,
-    kl_divergence,
-    length_histogram,
-    psi,
+    dist_profile,
+    kl_from_dicts,
+    psi_from_dicts,
 )
-from filters_spark.engine.referential import gapless_by_agg
 from filters_spark.engine.stats import column_stats
 
 BUCKET_COL = "_bucket"
@@ -47,16 +45,23 @@ def bucket_of(conv_col, n_buckets: int):
 
 @dataclass
 class SuiteResult:
-    rows: DataFrame  # cleaned rows + _violations + _is_valid + _bucket
+    rows: DataFrame  # cleaned rows + _violations + _is_valid + _bucket (lazy)
     verdicts: DataFrame  # per-bucket pass/fail + counters
     stats: DataFrame  # long-format column stats
     violations: DataFrame  # exploded violation rows (key, code, message)
     metrics: dict = field(default_factory=dict)  # drift + thresholds
+    #: narrow persisted projection feeding verdicts/violations (see
+    #: ValidationSuite.run); call :meth:`unpersist` when done
+    keyed: DataFrame | None = None
 
     @property
     def passed(self) -> bool:
         failed = self.verdicts.where(~F.col("bucket_pass")).limit(1).count()
         return failed == 0 and not self.metrics.get("drift_failed", False)
+
+    def unpersist(self) -> None:
+        if self.keyed is not None:
+            self.keyed.unpersist()
 
 
 class ValidationSuite:
@@ -99,28 +104,46 @@ class ValidationSuite:
         )
 
     def verdicts(self, df: DataFrame, rows: DataFrame) -> DataFrame:
-        """Per-bucket verdict: row validity + uniqueness + gaplessness."""
+        """Per-bucket verdict: row validity + uniqueness + gaplessness.
+
+        Uniqueness and gaplessness both derive from ONE ``(conv, idx)``
+        pre-aggregation: dup stats filter its counts, conversation stats
+        re-aggregate it by conv (a much smaller shuffle).  Both branches
+        reference the identical exchange, so Spark's ReuseExchange rule
+        executes the big (conv, idx) shuffle once per action.
+        """
         validity = rows.groupBy(BUCKET_COL).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.when(~F.col("_is_valid"), 1).otherwise(0)).alias(
                 "n_invalid"
             ),
         )
-        # duplicates on (conv, idx), attributed to the conv's bucket.
-        # NOTE: uses the RAW input (df), not cleaned rows — key columns
-        # are never nulled by chains, but raw is the contract.
+        # keyed pre-agg on the RAW input (key columns are never nulled by
+        # chains, but raw is the contract)
+        level1 = df.groupBy(self.conv, self.idx).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
         dups = (
-            df.groupBy(self.conv, self.idx)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .where(F.col("cnt") > 1)
+            level1.where(F.col("cnt") > 1)
             .groupBy(self.bucket_fn(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
             .agg(
                 F.count(F.lit(1)).alias("dup_keys"),
                 F.sum(F.col("cnt") - 1).alias("surplus_rows"),
             )
         )
+        conv_stats = level1.groupBy(self.conv).agg(
+            F.count(F.lit(1)).alias("distinct_turns"),
+            F.min(self.idx).alias("min_idx"),
+            F.max(self.idx).alias("max_idx"),
+        )
         gapless = (
-            gapless_by_agg(df, self.conv, self.idx)
+            conv_stats.select(
+                F.col(self.conv),
+                (
+                    (F.col("min_idx") == 0)
+                    & (F.col("max_idx") == F.col("distinct_turns") - 1)
+                ).alias("is_gapless"),
+            )
             .groupBy(self.bucket_fn(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
             .agg(
                 F.count(F.lit(1)).alias("n_convs"),
@@ -151,16 +174,22 @@ class ValidationSuite:
         )
 
     def drift(self, df: DataFrame, baseline: DataFrame) -> dict:
+        """All drift dimensions in ONE scan per side (dist_profile);
+        KL/PSI math runs on the collected frequency dicts (tiny)."""
+        cur = dist_profile(df, self.drift_cols, self.length_col)
+        base = dist_profile(baseline, self.drift_cols, self.length_col)
         metrics: dict = {}
         failed = False
         for c in self.drift_cols:
-            kl = kl_divergence(frequencies(df, c), frequencies(baseline, c))
+            kl = kl_from_dicts(
+                cur.get(f"cat:{c}", {}), base.get(f"cat:{c}", {})
+            )
             metrics[f"kl_{c}"] = kl
             failed = failed or kl > self.kl_threshold
         if self.length_col:
-            p = psi(
-                length_histogram(df, self.length_col),
-                length_histogram(baseline, self.length_col),
+            p = psi_from_dicts(
+                cur.get(f"len:{self.length_col}", {}),
+                base.get(f"len:{self.length_col}", {}),
             )
             metrics[f"psi_{self.length_col}_len"] = p
             failed = failed or p > self.psi_threshold
@@ -169,12 +198,38 @@ class ValidationSuite:
 
     # -- the job ----------------------------------------------------------
 
-    def run(self, df: DataFrame, baseline: DataFrame | None = None) -> SuiteResult:
+    def run(
+        self,
+        df: DataFrame,
+        baseline: DataFrame | None = None,
+        persist: bool = True,
+    ) -> SuiteResult:
+        """Run the whole suite.
+
+        ``persist=True`` caches a NARROW projection of the row-validation
+        output — ``(conv, idx, bucket, _is_valid, _violations)`` only —
+        so verdicts and violation reporting don't re-execute the full
+        chain per action, while the wide cleaned rows stay a lazy
+        projection the caller streams to its own sink.  Persisting the
+        wide rows instead moves every cleaned text through the block
+        manager: at bench scale that single-box cache write dominated
+        wall time and capped core-scaling; on a cluster it would be a
+        second full materialisation.  Call ``result.unpersist()`` when
+        done.
+        """
+        from pyspark import StorageLevel
+
         rows = self.row_results(df)
-        verdicts = self.verdicts(df, rows)
+        keyed = None
+        if persist:
+            keyed = rows.select(
+                self.conv, self.idx, BUCKET_COL, "_is_valid", "_violations"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        agg_src = keyed if keyed is not None else rows
+        verdicts = self.verdicts(df, agg_src)
         stats = column_stats(df, self.stat_columns)
         violations = (
-            rows.select(
+            agg_src.select(
                 self.conv,
                 self.idx,
                 BUCKET_COL,
@@ -195,4 +250,5 @@ class ValidationSuite:
             stats=stats,
             violations=violations,
             metrics=metrics,
+            keyed=keyed,
         )

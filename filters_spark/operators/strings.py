@@ -103,6 +103,14 @@ def _strip_nonprintables(s: str) -> str:
 
 _NPR = _regex_lib.compile(r"[^\P{C}\s]+", _regex_lib.UNICODE) if _regex_lib else None
 
+#: full-string "fixpoint" detector for the Unicode normalize pipeline:
+#: printable ASCII + tab/LF has nothing to strip (tab/LF are whitespace,
+#: excluded from ``[^\P{C}\s]``), is NFC-invariant, and contains no CR —
+#: so normalise(x) == x and the whole row skips Python-per-element work.
+import re as _re
+
+_UNICODE_FASTSAFE = _re.compile(r"[\x20-\x7e\t\n]*\Z")
+
 
 class Unicode(BaseSpec):
     """Decode + normalise text (``string.py:804-911``) — the north-star
@@ -148,7 +156,44 @@ class Unicode(BaseSpec):
             stripped = unicodedata.normalize("NFC", stripped)
         return stripped.replace("\r\n", "\n").replace("\r", "\n"), None
 
+    def _string_batch(self, s):
+        """Vectorized batch kernel for a known-string column: a C-speed
+        regex scan splits the batch into fixpoint rows (returned as-is)
+        and rows that need the exact per-element pipeline.  On ASCII-
+        dominant corpora this removes ~all Python-per-element work while
+        keeping byte-exact parity (the slow path is unchanged)."""
+        import pandas as pd
+
+        null = s.isna()
+        fast = s.str.match(_UNICODE_FASTSAFE.pattern).fillna(False) & ~null
+        out = s.copy()
+        slow = ~null & ~fast
+        if slow.any():
+            out[slow] = s[slow].map(lambda x: self.scalar(x)[0])
+        out[null] = None
+        codes = pd.Series([None] * len(s), index=s.index, dtype=object)
+        return pd.DataFrame({"value": out, "code": codes})
+
     def compile(self, value, dtype, ctx, key) -> Step:
+        if isinstance(dtype, T.StringType) and not self.normalize:
+            # str → str without normalisation is the identity
+            # (string.py:855-856): no kernel, stays in codegen
+            return Step(value=value, dtype=T.StringType())
+        if isinstance(dtype, T.StringType) and self.normalize:
+            # str input can't hit wrong_encoding/exception → code is
+            # always null; violations list may stay (never fires)
+            from filters_spark.core.arrow import make_struct_kernel
+
+            name = ctx.name("kunicode")
+            k = make_struct_kernel(self._string_batch, T.StringType())
+            res = F.col(name)
+            return Step(
+                value=res["value"],
+                dtype=T.StringType(),
+                invalid=res["code"].isNotNull(),
+                violations=[],
+                pre={name: k(value)},
+            )
         return _kernel_step(
             self,
             value,

@@ -209,21 +209,25 @@ def minhash_lsh_pairs(
     positives don't survive.
     """
     sig = minhash_signatures(df, text_col, id_col, n, bands * rows)
-    band_rows = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws(
-                ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+    # ONE pass over the signatures: band keys as an array-of-structs
+    # column, then explode.  (A per-band unionAll would re-run the whole
+    # signature aggregation `bands` times.)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_key"),
             )
-        )
-        band_rows.append(
-            sig.select(
-                "id", F.lit(b).alias("band"), key.alias("band_key")
-            )
-        )
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionAll(extra)
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(entries).alias("e")).select(
+        "id", "e.band", "e.band_key"
+    )
     a = buckets.select(F.col("id").alias("a"), "band", "band_key")
     b_ = buckets.select(F.col("id").alias("b"), "band", "band_key")
     cand = (
@@ -234,9 +238,32 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    # candidate-restricted exact Jaccard: join the candidate pairs back
+    # to the shingle sets instead of computing all-pairs similarity —
+    # verification cost scales with |candidates|, not |docs|².
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = sh.select(F.col("id").alias("a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        cand.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
     return (
-        cand.join(exact, ["a", "b"])
+        inter.join(F.broadcast(sz_a), "a")
+        .join(F.broadcast(sz_b), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= verify_threshold)
     )
 
@@ -298,19 +325,22 @@ def simhash_pairs(
         raise ValueError("pigeonhole blocking needs max_hamming < bands")
     fps = simhash(df, text_col, id_col, bits)
     width = bits // bands
-    blocks = []
-    for b in range(bands):
-        block = F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-        blocks.append(
-            fps.select(
-                "id", "simhash", F.lit(b).alias("band"), block.alias("bkey")
+    # one pass: block keys as array-of-structs + explode (see
+    # minhash_lsh_pairs — unionAll would recompute the fingerprints)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bkey"),
             )
-        )
-    buckets = blocks[0]
-    for extra in blocks[1:]:
-        buckets = buckets.unionAll(extra)
+            for b in range(bands)
+        ]
+    )
+    buckets = fps.select(
+        "id", "simhash", F.explode(entries).alias("e")
+    ).select("id", "simhash", "e.band", "e.bkey")
     a = buckets.select(
         F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "bkey"
     )

@@ -44,11 +44,31 @@ def _norm(a):
     )
 
 
-def cosine_sim(a, b):
+def cosine_sim(a, b, dim: int | None = None):
     """Cosine similarity of two ``array<numeric>`` columns, computed in
     double precision (cast first: float accumulation drifts).  Sequential
     left-fold — the same order DuckDB's ``list_cosine_similarity`` uses,
-    so oracle values agree to the last ulp on identical input."""
+    so oracle values agree to the last ulp on identical input.
+
+    With ``dim`` given, the fold is UNROLLED into a flat expression:
+    higher-order-function lambdas are interpreted per element (no
+    whole-stage codegen), which costs ~10× on hot paths like all-pairs
+    scoring; the unrolled sum is codegen-friendly and keeps the same
+    left-to-right addition order.
+    """
+    if dim is not None:
+        def _sum(terms):
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = acc + t
+            return acc
+
+        ai = [a[i].cast("double") for i in range(dim)]
+        bi = [b[i].cast("double") for i in range(dim)]
+        dot = _sum([x * y for x, y in zip(ai, bi)])
+        na = F.sqrt(_sum([x * x for x in ai]))
+        nb = F.sqrt(_sum([y * y for y in bi]))
+        return dot / (na * nb)
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
@@ -71,7 +91,7 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        cosine_sim(F.col(vec_col), q).alias("score"),
+        cosine_sim(F.col(vec_col), q, dim=len(query_vec)).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
@@ -94,10 +114,10 @@ def embedding_near_dups(
     """
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    dim = len(df.select(vec_col).first()[0])
     if planes is None:
         pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
     else:
-        dim = len(df.select(vec_col).first()[0])
         ba = srp_bucket(df, dim, planes, seed, vec_col, id_col).select(
             F.col(id_col).alias("a"), F.col("bucket")
         )
@@ -111,7 +131,9 @@ def embedding_near_dups(
         )
     return (
         pairs.select(
-            "a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("score")
+            "a",
+            "b",
+            cosine_sim(F.col("va"), F.col("vb"), dim=dim).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )
@@ -151,11 +173,16 @@ def srp_bucket(
     shuffle partition at the target corpus size.
     """
     hps = _hyperplanes(dim, planes, seed)
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = F.col(vec_col)
+    vd = [v[d].cast("double") for d in range(dim)]
     bucket = F.lit(0).cast("long")
     for p, hp in enumerate(hps):
-        hcol = F.array(*[F.lit(c) for c in hp])
-        bit = F.when(_dot(vd, hcol) > 0, F.lit(1 << p).cast("long")).otherwise(
+        # unrolled dot product — stays in whole-stage codegen (HOF
+        # lambdas are interpreted; see cosine_sim)
+        dot = vd[0] * F.lit(hp[0])
+        for d in range(1, dim):
+            dot = dot + vd[d] * F.lit(hp[d])
+        bit = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + bit

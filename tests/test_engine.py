@@ -139,12 +139,18 @@ def test_column_stats(tdf):
 
 
 def test_hll_distinct_close(tdf):
-    approx = {
-        (r["column"], r["metric"]): r["value"]
-        for r in column_stats(tdf, ["conv_id"], exact_distinct=False).collect()
-    }[("conv_id", "distinct")]
+    def approx_at(rsd):
+        return {
+            (r["column"], r["metric"]): r["value"]
+            for r in column_stats(
+                tdf, ["conv_id"], exact_distinct=False, rsd=rsd
+            ).collect()
+        }[("conv_id", "distinct")]
+
     exact = tdf.select("conv_id").distinct().count()
-    assert abs(approx - exact) / exact < 0.05
+    # tight sketch: within 5%; default (cheaper) sketch: within 3*rsd
+    assert abs(approx_at(0.02) - exact) / exact < 0.05
+    assert abs(approx_at(0.05) - exact) / exact < 0.15
 
 
 def test_drift_self_is_zero(baseline):

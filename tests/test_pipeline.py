@@ -1,0 +1,284 @@
+"""Training-data pipeline operator tests (dedup / similarity / textstats
+/ multimodal) over small deterministic frames with known answers."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from filters_spark.pipeline import (
+    attach_media_meta,
+    byte_features,
+    cosine_topk,
+    decode_media,
+    embedding_near_dups,
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    lang_id,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    quality_score,
+    simhash,
+    simhash_pairs,
+    srp_bucket,
+    srp_topk,
+    token_counts,
+    word_shingles,
+)
+from filters_spark.pipeline.dedup import portable_hash60
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different text about spark engines"),
+    (4, "a"),  # shorter than the shingle width
+    (5, "the quick brown fox leaps over the lazy dog"),  # near-dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+# -- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["group_size"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 2 identical, min id kept
+    assert 2 not in out
+    assert out[1] == 1 and out[3] == 1
+
+
+def test_word_shingles_short_doc(docs):
+    sh = word_shingles(docs, n=2)
+    by_id = (
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    counts = {r["id"]: r["n"] for r in by_id}
+    assert 4 not in counts  # single-token doc yields no bigrams
+    # doc 0: 9 tokens -> 8 bigrams, 'the lazy'/'the quick' distinct
+    assert counts[0] == 8
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # exact dup
+    # 0 vs 1: 8 distinct bigrams each, 7 shared (all but lazy-dog/lazy-cat)
+    assert math.isclose(pairs[(0, 1)], 7 / 9)
+    assert (0, 3) not in pairs
+
+
+def test_portable_hash60_matches_python(docs):
+    row = docs.select(
+        portable_hash60(F.lit("abc")).alias("h"),
+        portable_hash60(F.lit("abc"), salt=7).alias("hs"),
+    ).first()
+    assert row["h"] == int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    assert row["hs"] == int(hashlib.md5(b"abc#7").hexdigest()[:15], 16)
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sig = minhash_signatures(docs, num_hashes=8)
+    rows = {r["id"]: r for r in sig.collect()}
+    assert 4 not in rows  # no shingles -> no signature
+    assert len(rows[0].asDict()) == 9  # id + 8 hashes
+    # identical docs share the full signature
+    assert all(
+        rows[0][f"h{i}"] == rows[2][f"h{i}"] for i in range(8)
+    )
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cand = minhash_lsh_pairs(docs, bands=8, rows=2)
+    pairs = {(r["a"], r["b"]) for r in cand.collect()}
+    assert (0, 2) in pairs  # exact dup always collides
+    verified = minhash_lsh_pairs(docs, bands=8, rows=2, verify_threshold=0.5)
+    vp = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(0, 2)] == 1.0
+    assert all(j >= 0.5 for j in vp.values())
+
+
+def test_simhash_properties(docs):
+    fps = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[0] == fps[2]  # identical text, identical fingerprint
+    ham_near = bin(fps[0] ^ fps[1]).count("1")
+    ham_far = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    assert 0 <= fps[0] < (1 << 60)
+
+
+def test_simhash_pairs_blocking_is_lossless(docs):
+    # brute-force hamming vs blocked pairs must agree
+    fps = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = set()
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3:
+                want.add((i, j))
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    assert got == want
+
+
+def test_simhash_pairs_rejects_bad_blocking(docs):
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=4, bands=4)
+
+
+# -- similarity ------------------------------------------------------------
+
+
+def test_cosine_topk_ordering(emb):
+    out = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+    assert out[0]["score"] == pytest.approx(1.0)
+    assert out[1]["score"] == pytest.approx(0.9 / math.hypot(0.9, 0.1))
+
+
+def test_embedding_near_dups_exact(emb):
+    pairs = {
+        (r["a"], r["b"]): r["score"]
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_srp_bucket_and_topk(emb):
+    b = srp_bucket(emb, dim=4, planes=4)
+    rows = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert all(0 <= v < 16 for v in rows.values())
+    out = srp_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2, planes=2, multiprobe=2)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got and got[0] == 0  # the query's own bucket contains vec 0
+
+
+# -- textstats -------------------------------------------------------------
+
+
+def test_token_counts(docs):
+    rows = {r["id"]: r for r in token_counts(docs).collect()}
+    assert rows[0]["n_ws_tokens"] == 9
+    assert rows[4]["n_ws_tokens"] == 1
+    assert rows[0]["n_bpe_tokens"] == 9  # no punctuation in fixture
+
+
+def test_quality_score_components(docs):
+    rows = {r["id"]: r for r in quality_score(docs).collect()}
+    r0 = rows[0]
+    assert r0["punct_ratio"] == 0.0 and r0["digit_ratio"] == 0.0
+    assert r0["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert 0.0 < r0["score"] <= 1.0
+    assert rows[4]["score"] < r0["score"]  # one-char doc scores lower
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is of the house and in a box"),
+            (1, "der hund ist ein freund und das haus"),
+            (2, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "de"
+    assert rows[2] == "und"
+
+
+def test_fingerprint_deterministic_and_dup_stable(docs):
+    fps = {r["id"]: r["fingerprint"] for r in fingerprint(docs, mod=2).collect()}
+    assert fps[0] == fps[2]  # identical docs -> identical fingerprint
+    assert fps[0] != fps[3]
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\nrestofpng"),
+        (1, b"\xff\xd8\xff\xe0jpegdata"),
+        (2, b"RIFFxxxxWAVEdata"),
+        (3, b"plain text payload"),
+        (4, None),
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).cache()
+
+
+def test_attach_media_meta(payloads):
+    rows = {
+        r["id"]: r["media_meta"]
+        for r in attach_media_meta(payloads).collect()
+    }
+    assert rows[0]["media_type"] == "image"
+    assert rows[1]["media_type"] == "image"
+    assert rows[2]["media_type"] == "audio"
+    assert rows[3]["media_type"] == "unknown"
+    assert rows[0]["byte_len"] == 17
+    assert rows[0]["digest"] == hashlib.md5(
+        b"\x89PNG\r\n\x1a\nrestofpng"
+    ).hexdigest()
+
+
+def test_decode_media_stub(payloads):
+    rows = {r["id"]: r for r in decode_media(payloads).collect()}
+    assert 4 not in rows  # null payload dropped
+    assert rows[0]["media_type"] == "image" and rows[0]["n_frames"] == 1
+    assert rows[2]["media_type"] == "audio" and rows[2]["n_frames"] >= 1
+    assert 16 <= rows[0]["width"] < 80
+    assert len(rows[0]["feature"]) == 8
+
+
+def test_decode_media_strict_raises(payloads):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        decode_media(payloads, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )
+
+
+def test_byte_features(payloads):
+    rows = {r["id"]: r for r in byte_features(payloads, bins=16).collect()}
+    assert rows[3]["byte_len"] == 18
+    hist = rows[3]["histogram"]
+    assert len(hist) == 16
+    assert sum(hist) == pytest.approx(1.0)
+    assert rows[4]["byte_len"] == 0  # null payload -> zero-length row kept
