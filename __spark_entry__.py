@@ -978,6 +978,152 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# structural combinators (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_mapper_nested(spark, sf_dir):
+    """FilterMapper over a struct: per-field chains, dotted violation
+    keys, extra-field passthrough (complex.py:158-344)."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_custkey").alias("extra_key"),
+        ).alias("rec"),
+    )
+    rows = fs.validate(
+        df,
+        {
+            "rec": fs.FilterMapper(
+                {
+                    "status": fs.Choice(("O", "F")),
+                    "pri": fs.CaseFold(),
+                }
+            )
+        },
+    )
+    return rows.select(
+        "o_orderkey",
+        F.col("rec")["status"].alias("clean_status"),
+        F.col("rec")["pri"].alias("clean_pri"),
+        F.get("_violations", 0)["key"].alias("viol_key"),
+        F.get("_violations", 0)["code"].alias("viol_code"),
+    )
+
+
+SQL_MAPPER = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus IN ('O','F') THEN o_orderstatus END
+         AS clean_status,
+       lower(o_orderpriority) AS clean_pri,
+       CASE WHEN o_orderstatus NOT IN ('O','F') THEN 'rec.status' END
+         AS viol_key,
+       CASE WHEN o_orderstatus NOT IN ('O','F') THEN 'not_valid_choice' END
+         AS viol_code
+FROM orders
+"""
+
+
+def q_repeater_elements(spark, sf_dir):
+    """FilterRepeater over an array: per-element chain, invalid elements
+    nulled IN PLACE, per-index violation keys (complex.py:16-155)."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int")).alias(
+            "arr"
+        ),
+    )
+    rows = fs.validate(df, {"arr": fs.FilterRepeater(fs.Max(3))})
+    return rows.select(
+        "o_orderkey",
+        F.size("arr").cast("long").alias("n_elems"),
+        F.size(F.filter("arr", lambda x: x.isNull()))
+        .cast("long")
+        .alias("n_nulled"),
+        F.get("_violations", 0)["key"].alias("first_viol_key"),
+    )
+
+
+SQL_REPEATER = """
+SELECT o_orderkey,
+       CAST(o_orderkey % 5 + 1 AS BIGINT) AS n_elems,
+       CAST(greatest(o_orderkey % 5 + 1 - 3, 0) AS BIGINT) AS n_nulled,
+       CASE WHEN o_orderkey % 5 + 1 > 3 THEN 'arr.3' END AS first_viol_key
+FROM orders
+"""
+
+
+def q_switch_dispatch(spark, sf_dir):
+    """FilterSwitch: per-category chain dispatch; no matching case →
+    not_valid_choice (complex.py:347-390)."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("event_type"),
+            F.col("value").alias("value"),
+        ).alias("rec"),
+    )
+    rows = fs.validate(
+        df,
+        {
+            "rec": fs.FilterSwitch(
+                "event_type",
+                {
+                    "click": fs.Item("value") | fs.Max(50.0),
+                    "view": fs.Item("value") | fs.Max(80.0),
+                },
+            )
+        },
+    )
+    return rows.select(
+        "event_id",
+        F.col("rec").alias("clean_val"),
+        F.get("_violations", 0)["code"].alias("viol_code"),
+    )
+
+
+SQL_SWITCH = """
+SELECT event_id,
+       CASE WHEN event_type = 'click' AND value <= 50 THEN value
+            WHEN event_type = 'view' AND value <= 80 THEN value END
+         AS clean_val,
+       CASE WHEN event_type = 'click' AND value > 50 THEN 'too_big'
+            WHEN event_type = 'view' AND value > 80 THEN 'too_big'
+            WHEN event_type NOT IN ('click','view') THEN 'not_valid_choice'
+       END AS viol_code
+FROM events
+"""
+
+
+def q_pick_item(spark, sf_dir):
+    """Pick (projection copy) then Item (single-field extract)
+    (simple.py:872-968, :388-448)."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_custkey").alias("ck"),
+        ).alias("rec"),
+    )
+    rows = fs.validate(
+        df, {"rec": fs.Pick(["pri", "status"]) | fs.Item("pri") | fs.CaseFold()}
+    )
+    return rows.select("o_orderkey", F.col("rec").alias("picked_pri"))
+
+
+SQL_PICK = """
+SELECT o_orderkey, lower(o_orderpriority) AS picked_pri FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
@@ -1007,6 +1153,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_frequencies": q_drift_frequencies,
     "length_histogram": q_length_histogram,
     "suite_verdicts": q_suite_verdicts,
+    "mapper_nested": q_mapper_nested,
+    "repeater_elements": q_repeater_elements,
+    "switch_dispatch": q_switch_dispatch,
+    "pick_item": q_pick_item,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1049,6 +1199,10 @@ _ORACLES: dict[str, str] = {
     "drift_frequencies": SQL_FREQ,
     "length_histogram": SQL_LENHIST,
     "suite_verdicts": SQL_SUITE,
+    "mapper_nested": SQL_MAPPER,
+    "repeater_elements": SQL_REPEATER,
+    "switch_dispatch": SQL_SWITCH,
+    "pick_item": SQL_PICK,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH,

@@ -135,9 +135,10 @@ def compile_chain_expr(
         fired = _fired_violations(step, err, value, key)
         viols = F.when(err, viols).otherwise(F.concat(viols, fired))
         skip_null = F.lit(False) if step.handles_null else value.isNull()
-        value = F.when(err | skip_null | inv, null_of(step.dtype)).otherwise(
-            step.value
+        nulled = err | skip_null if step.keep_value_on_error else (
+            err | skip_null | inv
         )
+        value = F.when(nulled, null_of(step.dtype)).otherwise(step.value)
         err = err | inv
         dtype = step.dtype
     return ChainResult(value=value, dtype=dtype, violations=viols, pre=pre)
@@ -187,9 +188,10 @@ def attach_chain(
         fired = _fired_violations(step, err, value, key)
         new_viols = F.when(err, viols).otherwise(F.concat(viols, fired))
         skip_null = F.lit(False) if step.handles_null else value.isNull()
-        new_value = F.when(err | skip_null | inv, null_of(step.dtype)).otherwise(
-            step.value
+        nulled = err | skip_null if step.keep_value_on_error else (
+            err | skip_null | inv
         )
+        new_value = F.when(nulled, null_of(step.dtype)).otherwise(step.value)
         new_err = err | inv
 
         v_name, e_name, w_name = (

@@ -108,6 +108,13 @@ class Step:
     #: NotEmpty(allow_none=False), Optional) — the only exceptions to the
     #: None-passes rule (simple.py:971-984, :729-733, :856-858).
     handles_null: bool = False
+    #: Structural combinators return their PARTIAL output when elements/
+    #: fields fail (``FilterChain._apply`` breaks but returns the last
+    #: filter's value, ``base.py:462-473``; e.g. a failing repeater
+    #: yields ``[4, None, None]``, ``test_filter_repeater.py:49``).  When
+    #: True the compiler keeps ``value`` despite ``invalid`` (later chain
+    #: steps are still skipped).
+    keep_value_on_error: bool = False
 
 
 class SpecMeta(type):

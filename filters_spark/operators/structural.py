@@ -233,6 +233,7 @@ class Pick(BaseSpec):
             dtype=T.StructType(out_fields),
             invalid=inv if violations else None,
             violations=violations,
+            keep_value_on_error=True,
         )
 
 
@@ -434,6 +435,7 @@ class FilterSwitch(BaseSpec):
             invalid=F.size(viol_expr) > 0,
             violations_array=viol_expr,
             pre=pre,
+            keep_value_on_error=True,
         )
 
 
@@ -501,6 +503,7 @@ class FilterRepeater(BaseSpec):
             dtype=out_t,
             invalid=F.size(viols) > 0,
             violations_array=viols,
+            keep_value_on_error=True,
         )
 
     def _compile_map(self, value, dtype, ctx, key) -> Step:
@@ -558,6 +561,7 @@ class FilterRepeater(BaseSpec):
             dtype=T.MapType(dtype.keyType, out_elem),
             invalid=F.size(viols) > 0,
             violations_array=viols,
+            keep_value_on_error=True,
         )
 
 
@@ -674,6 +678,7 @@ class FilterMapper(BaseSpec):
             invalid=F.size(viols) > 0,
             violations_array=viols,
             pre=pre,
+            keep_value_on_error=True,
         )
 
 

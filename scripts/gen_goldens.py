@@ -77,7 +77,11 @@ def run_case(chain, value):
     codes = {k: [e["code"] for e in es] for k, es in errors.items()}
     messages = {k: [e["message"] for e in es] for k, es in errors.items()}
     valid = runner.is_valid()
-    cleaned = runner.cleaned_data if valid else None
+    # cleaned is recorded for INVALID cases too: the reference's
+    # cleaned_data is ``filter_chain.apply(data)`` regardless of
+    # validity (handlers.py:344), and failing structural combinators
+    # return partial output (test_filter_repeater.py:49)
+    cleaned = runner.cleaned_data
     return {
         "input": encode(value),
         "valid": valid,
