@@ -7,11 +7,13 @@ conv-bucket, written atomically (tmp + rename), recording lineage (input
 fingerprint, suite config hash) and the bucket's verdict counters.
 
 Resume = enumerate incomplete buckets and re-run ONLY those, pushing the
-bucket predicate into the scan.  The bucket transform is
-``pmod(xxhash64(conv_id), N)`` — identical to an Iceberg
-``bucket(N, conv_id)`` partition spec, so on an Iceberg table the same
-predicate becomes partition pruning (only unfinished partitions are even
-read); on raw parquet it is still a scan-level filter.
+bucket predicate into the scan.  The default bucket transform is
+``pmod(xxhash64(conv_id), N)``; on an Iceberg table partitioned by
+``bucket(N, conv_id)`` use
+``filters_spark.sources.iceberg.iceberg_bucket_fn`` instead (Iceberg's
+transform is Murmur3-32, not xxhash64) so the resume predicate matches
+the partition transform and becomes true partition pruning — on raw
+parquet the default is a scan-level filter.
 
 A killed job re-validates at most the buckets that had not committed
 their manifest entry — per-bucket exactly-once, per-row at-least-once.

@@ -15,10 +15,11 @@ Pipeline shape (what actually runs):
 4. Column stats — one agg pass (HLL + approx quantiles).
 5. Drift — two tiny frequency aggs + driver-side KL/PSI.
 
-Buckets are ``pmod(xxhash64(conv_id), n_buckets)`` — the same transform
-as an Iceberg ``bucket(N, conv_id)`` partition spec, so per-bucket
-verdicts line up with physical partitions and the checkpoint/resume
-filter prunes at the storage layer.
+Buckets default to ``pmod(xxhash64(conv_id), n_buckets)``; pass
+``bucket_fn=filters_spark.sources.iceberg.iceberg_bucket_fn(spark)`` on
+an Iceberg ``bucket(N, conv_id)``-partitioned table (Iceberg's transform
+is Murmur3-32) so per-bucket verdicts line up with physical partitions
+and the checkpoint/resume filter prunes at the storage layer.
 """
 
 from __future__ import annotations

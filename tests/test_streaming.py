@@ -1,0 +1,117 @@
+"""Structured Streaming tests: file-source micro-batches with
+``availableNow`` triggers and memory sinks (deterministic, no clock)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import filters_spark as fs
+from filters_spark.streaming import (
+    conversation_monitor,
+    validate_stream,
+    windowed_violation_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+ROWS = [
+    ("c1", 0, "system", "hello", "2026-01-01 00:00:00"),
+    ("c1", 1, "user", "", "2026-01-01 00:00:10"),  # empty text
+    ("c1", 3, "assistant", "gap after 1", "2026-01-01 00:00:20"),
+    ("c1", 3, "assistant", "dup idx", "2026-01-01 00:00:30"),
+    ("c2", 0, "robot", "bad role", "2026-01-01 00:01:00"),
+    ("c2", 1, "user", "ok", "2026-01-01 00:01:10"),
+    ("c2", 0, "user", "out of order", "2026-01-01 00:01:20"),
+]
+
+RULES = {
+    "role": fs.Choice(("system", "user", "assistant", "tool")),
+    "text": fs.Required(),
+}
+
+
+@pytest.fixture()
+def stream_input(spark, tmp_path):
+    import datetime
+
+    src = tmp_path / "stream_src"
+    full = spark.createDataFrame(
+        [
+            (c, i, r, t, datetime.datetime.fromisoformat(ts))
+            for c, i, r, t, ts in ROWS
+        ],
+        SCHEMA,
+    )
+    full.coalesce(1).write.mode("overwrite").parquet(str(src))
+    yield str(src)
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def _run_stream(spark, out_df, name: str, mode: str = "append"):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_validate_stream_is_stateless_projection(spark, stream_input):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    assert stream.isStreaming
+    out = validate_stream(stream, RULES)
+    name = "t_" + uuid.uuid4().hex[:8]
+    all_rows = _run_stream(spark, out, name).collect()
+    invalid = [r for r in all_rows if not r["_is_valid"]]
+    codes = {v["code"] for r in invalid for v in r["_violations"]}
+    assert codes == {"empty", "not_valid_choice"}
+    assert len(all_rows) == len(ROWS)
+    assert len(invalid) == 2
+
+
+def test_windowed_violation_counts(spark, stream_input):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    out = windowed_violation_counts(
+        stream, RULES, ts_col="ts", window="1 minute", watermark="2 minutes"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    # complete mode: a single availableNow batch leaves every window
+    # open (watermark trails max event time), append would emit nothing
+    got = _run_stream(spark, out, name, mode="complete").collect()
+    by = {(r["key"], r["code"]): r["n"] for r in got}
+    assert by[("text", "empty")] == 1
+    assert by[("role", "not_valid_choice")] == 1
+    # windows are aligned tumbling minutes
+    assert all(r["window_start"].second == 0 for r in got)
+
+
+def test_conversation_monitor_stateful(spark, stream_input):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    out = conversation_monitor(stream)
+    name = "t_" + uuid.uuid4().hex[:8]
+    got = _run_stream(spark, out, name).collect()
+    by = {r["conv_id"]: r for r in got if not r["closed"]}
+    c1, c2 = by["c1"], by["c2"]
+    assert c1["n_turns"] == 4
+    assert c1["max_idx"] == 3
+    assert c1["n_dups"] == 1  # idx 3 twice
+    assert c1["n_gaps"] == 1  # 1 -> 3
+    assert c2["n_turns"] == 3
+    assert c2["n_dups"] == 1  # idx 0 twice (bitmap catches it first)
+    assert c2["n_out_of_order"] == 0  # second 0 counted as dup, not ooo
