@@ -1,0 +1,146 @@
+"""Single-node throughput: reference library vs engine, same text mix.
+
+The north rule asks the engine to match-or-beat the reference's
+single-node throughput at the same data scale.  The reference is a
+single-threaded scalar interpreter, so the honest comparison is ONE
+core, same input distribution (the synthetic transcripts text mix:
+NFC/NFD variants, CRLF, emoji, multibyte, empty, 2.4KB over-length
+pads), same chain (Unicode | Strip | MaxLength(2000, truncate)).
+
+Measured 2026-08-17 on this sandbox (clean runs, steal < 1 CPU-s):
+
+- reference ``FilterRunner`` (the validation API): ~70.8k values/sec
+- reference bare ``chain.apply`` (no error collection): ~92.2k/sec
+- engine, local[1], incl. input generation + Required + violation
+  side-channel: **~126.7k turns/sec** (1.37x bare / 1.79x runner)
+
+Run:  PYTHONPATH=/root/repo python scripts/ref_throughput.py [n_values]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import types
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+
+# -- reference side (single-threaded oracle; same stub as gen_goldens) ------
+sys.path.insert(0, "/root/reference/src")
+_cr = types.ModuleType("class_registry")
+_ep = types.ModuleType("class_registry.entry_points")
+
+
+class _F:  # pragma: no cover
+    def __init__(self, *a, **k):
+        pass
+
+    def __class_getitem__(cls, item):
+        return cls
+
+
+_cr.ClassRegistry = _F
+_ep.EntryPointClassRegistry = _F
+sys.modules.setdefault("class_registry", _cr)
+sys.modules.setdefault("class_registry.entry_points", _ep)
+import filters as f  # noqa: E402
+
+FRAGMENTS = [
+    "Let me check the weather for you.",
+    "café au lait, s'il vous plaît",
+    "The answer is 42, naturally.",
+    "日本語のテキストです",
+    "Running the query now... done \U0001f600",
+    "Here is the summary you asked for.",
+    "Σίσυφος rolls the stone.",
+    "I'll search the docs for that.",
+]
+NFD = "café au lait, s'il vous plaît"
+
+
+def text_mix(n: int) -> list:
+    out = []
+    for i in range(n):
+        base = FRAGMENTS[i % 8]
+        if i % 101 == 11:
+            out.append(None)
+        elif i % 103 == 12:
+            out.append("")
+        elif i % 107 == 13:
+            out.append(base + " " + "pad " * 600)
+        elif i % 19 == 3:
+            out.append(NFD)
+        elif i % 23 == 4:
+            out.append(base + "\r\nsecond line\r")
+        else:
+            out.append(base)
+    return out
+
+
+def main() -> None:
+    texts = text_mix(N)
+    chain = f.Unicode | f.Strip | f.MaxLength(2000, truncate=True)
+
+    t0 = time.time()
+    for x in texts:
+        _ = f.FilterRunner(chain, x).cleaned_data
+    runner_rate = N / (time.time() - t0)
+
+    inst = f.FilterChain(f.Unicode) | f.Strip | f.MaxLength(2000, truncate=True)
+    t0 = time.time()
+    for x in texts:
+        try:
+            inst.apply(x)
+        except Exception:
+            pass
+    bare_rate = N / (time.time() - t0)
+
+    # -- engine side: local[1], same distribution via the generator --------
+    from pyspark.sql import SparkSession
+
+    import filters_spark as fs
+    from bench import materialize, read_steal_sec
+    from filters_spark.core.compiler import validate
+    from filters_spark.data.transcripts import transcripts
+
+    spark = (
+        SparkSession.builder.master("local[1]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = transcripts(spark, n_convs=max(N // 14, 1000))
+    n_rows = df.count()
+    rules = {
+        "text": fs.Required()
+        | fs.Unicode()
+        | fs.Strip()
+        | fs.MaxLength(2000, truncate=True)
+    }
+    materialize(validate(df, rules))  # warm
+    s0 = read_steal_sec()
+    t0 = time.time()
+    materialize(validate(df, rules))
+    engine_rate = n_rows / (time.time() - t0)
+    steal = read_steal_sec() - s0
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "reference_runner_per_sec": round(runner_rate),
+                "reference_bare_apply_per_sec": round(bare_rate),
+                "engine_local1_per_sec": round(engine_rate),
+                "engine_vs_runner": round(engine_rate / runner_rate, 2),
+                "engine_vs_bare": round(engine_rate / bare_rate, 2),
+                "steal_cpu_sec": round(steal, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
