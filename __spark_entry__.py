@@ -692,11 +692,15 @@ SQL_MINHASH = (
     "WITH "
     + _SQL_SHINGLES
     + """
-, mh AS (
-  SELECT doc_id, i,
-         min(CAST('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)),
-                                 1, 15) AS BIGINT)) AS m
-  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) hs
+, ab AS (
+  -- Carter-Wegman family: one md5 per shingle, h_i = a + i*(2b+1)
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) AS b
+  FROM sh
+), mh AS (
+  SELECT doc_id, i, min(a + i * (2 * b + 1)) AS m
+  FROM ab CROSS JOIN (SELECT unnest(range(32)) AS i) hs
   GROUP BY doc_id, i
 ), bands AS (
   SELECT doc_id, i // 4 AS band,

@@ -6,6 +6,7 @@ from filters_spark.engine.referential import (
     orphans,
 )
 from filters_spark.engine.drift import frequencies, kl_divergence, psi
+from filters_spark.engine.explode import explode_validate
 from filters_spark.engine.suite import ValidationSuite
 from filters_spark.engine.checkpoint import CheckpointManifest, run_resumable
 
@@ -14,6 +15,7 @@ __all__ = [
     "ValidationSuite",
     "column_stats",
     "duplicate_keys",
+    "explode_validate",
     "frequencies",
     "gapless_by_agg",
     "gaps_by_window",

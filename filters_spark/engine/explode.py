@@ -1,0 +1,142 @@
+"""Explode-path array validation: per-element chains that need Arrow
+kernels (SURVEY.md §2.7, FilterRepeater general path).
+
+``FilterRepeater`` compiles to ``F.transform`` lambdas — pure JVM, the
+fast path — but Python UDFs cannot run inside higher-order-function
+lambdas, so chains containing Arrow kernels (``Unicode``, ``CaseFold``,
+``MaxBytes`` truncation, ...) validate arrays via:
+
+    posexplode_outer → compiled per-element chain (ONE Arrow batch pass
+    over all elements of all rows) → re-assemble ordered by position
+    (hash agg keyed by a synthetic row id) → join back.
+
+Scale shape: explode multiplies rows by mean array length; the
+re-assembly is a hash aggregation keyed by row id (map-side combined —
+elements of one row co-locate in the scan partition, so the "shuffle"
+carries one pre-merged row per input row), and the join back to the
+original frame is on the same id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filters_spark.core.compiler import compile_chain_expr
+from filters_spark.core.spec import VIOLATION_SCHEMA, Chain, CompileError, Ctx
+
+_RID = "__fs_rid"
+
+
+def explode_validate(
+    df: DataFrame,
+    col_name: str,
+    chain,
+    *,
+    key: str | None = None,
+    ctx: Ctx | None = None,
+    out_value: str | None = None,
+    out_violations: str | None = None,
+    persist_input: bool = True,
+) -> tuple[DataFrame, str, str]:
+    """Validate every element of an array column with an arbitrary chain
+    (Arrow kernels allowed).
+
+    Returns ``(df, value_col, violations_col)`` like ``attach_chain``:
+    the cleaned array has invalid elements nulled IN PLACE (reference
+    FilterRepeater semantics, complex.py:113-129), violations carry
+    ``col.pos`` dotted keys, empty arrays stay empty, NULL arrays pass
+    through as NULL.
+    """
+    ctx = ctx or Ctx()
+    key = key if key is not None else col_name
+    dtype = df.schema[col_name].dataType
+    if not isinstance(dtype, T.ArrayType):
+        raise CompileError(
+            f"explode_validate needs an array column, got {dtype}"
+        )
+    elem_t = dtype.elementType
+
+    out_value = out_value or ctx.name("cleaned")
+    out_violations = out_violations or ctx.name("violset")
+
+    base = df.withColumn(_RID, F.monotonically_increasing_id())
+    if persist_input:
+        # the synthetic row id is referenced on BOTH sides of the
+        # re-assembly join; persisting pins one evaluation so the ids
+        # cannot diverge under non-deterministic upstream plans.  Pass
+        # persist_input=False when the input lineage is deterministic
+        # and the extra materialisation is unwanted.
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = base.select(
+        _RID,
+        F.col(col_name).isNull().alias("__fs_isnull"),
+        F.posexplode_outer(col_name).alias("__fs_pos", "__fs_elem"),
+    )
+
+    elem_key = F.concat_ws(".", F.lit(key), F.col("__fs_pos").cast("string"))
+    r = compile_chain_expr(
+        chain if isinstance(chain, Chain) else Chain([chain]),
+        F.col("__fs_elem"),
+        elem_t,
+        ctx,
+        elem_key,
+        allow_pre=True,
+    )
+    for pname, pcol in (r.pre or {}).items():
+        exploded = exploded.withColumn(pname, pcol)
+
+    # pos NULL = the synthetic row posexplode_outer emits for empty/NULL
+    # arrays: there is no element there, so no violations may fire (a
+    # Required inside the chain would otherwise hit the fake NULL elem)
+    per_elem = exploded.select(
+        _RID,
+        "__fs_isnull",
+        "__fs_pos",
+        r.value.alias("__fs_val"),
+        F.when(
+            F.col("__fs_pos").isNull(),
+            F.array().cast(T.ArrayType(VIOLATION_SCHEMA)),
+        )
+        .otherwise(r.violations)
+        .alias("__fs_viols"),
+    )
+
+    # order-stable re-assembly: sort_array on struct(pos, ...) sorts by
+    # the leading field, so collect_list order doesn't matter
+    assembled = per_elem.groupBy(_RID).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__fs_pos").alias("p"),
+                        F.col("__fs_val").alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("__fs_arr"),
+        F.flatten(F.collect_list("__fs_viols")).alias(out_violations),
+        F.first("__fs_isnull").alias("__fs_isnull"),
+        F.count("__fs_pos").alias("__fs_n"),
+    )
+    # NULL input array -> NULL; empty array -> empty (posexplode_outer
+    # emits one row with pos NULL for both, disambiguate via isnull)
+    cleaned = (
+        F.when(F.col("__fs_isnull"), F.lit(None).cast(T.ArrayType(r.dtype)))
+        .when(F.col("__fs_n") == 0, F.array().cast(T.ArrayType(r.dtype)))
+        .otherwise(F.col("__fs_arr"))
+    )
+    viols = F.when(
+        F.col(out_violations).isNull(),
+        F.array().cast(T.ArrayType(VIOLATION_SCHEMA)),
+    ).otherwise(F.col(out_violations))
+    assembled = assembled.select(
+        _RID, cleaned.alias(out_value), viols.alias(out_violations)
+    )
+
+    joined = base.join(assembled, _RID, "left").drop(_RID)
+    return joined, out_value, out_violations

@@ -83,9 +83,20 @@ def word_shingles(
     ``n``-word shingles with a pure-expression ``transform(sequence(...))``
     — no Python, no explode until the caller needs it.  Output is
     exploded + distinct: one row per (doc, distinct shingle).
+
+    The token array is materialised as its own projection FIRST: an
+    expression captured inside a higher-order-function lambda is
+    re-evaluated per element access, so referencing the raw
+    ``split(trim(text))`` tree from the lambda re-tokenised the whole
+    document once per shingle (measured ~30µs/shingle; a column
+    reference makes it O(1)).
     """
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    toks = F.col("__fs_toks")
+    tokenised = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("__fs_toks"),
     )
     # element_at is 1-based; sequence(1, size-n+1) enumerates shingle
     # starts.  Guard size < n: Spark's sequence(1, 0) counts DOWN ([1,0]),
@@ -100,8 +111,7 @@ def word_shingles(
         ),
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
+        tokenised.select("id", F.explode(sh).alias("shingle")).distinct()
     )
 
 
@@ -171,19 +181,28 @@ def minhash_signatures(
     n: int = 2,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signatures: ``(id, h0..h{k-1})``, one 60-bit min per
-    permutation.
+    """MinHash signatures: ``(id, h0..h{k-1})``.
 
-    One explode + ONE hash aggregation computes all ``num_hashes`` minima
-    (``min(hash(shingle, i))`` per i) — Spark's partial aggregation gives
-    the map-side combine, so the shuffle carries ``num_hashes`` longs per
-    document, not the shingle stream.  Permutations are salted md5 hashes
-    (portable; see :func:`portable_hash60`).
+    One explode + ONE hash aggregation computes all ``num_hashes`` minima;
+    Spark's partial aggregation gives the map-side combine, so the
+    shuffle carries ``num_hashes`` longs per document, not the shingle
+    stream.
+
+    The permutation family is Carter-Wegman over ONE md5 per shingle:
+    split the digest into two 48-bit halves ``(a, b)`` and take
+    ``h_i = a + i·(2b+1)`` — a universal hash family at ~1/32 the cost
+    of per-permutation salted digests (measured: the 32-salted-md5
+    variant spent 8 core-µs per hash on ``md5``+``conv`` alone), and
+    every term stays < 2^54 so the arithmetic is exact ``BIGINT`` in any
+    engine — the DuckDB oracle replays it bit-for-bit.
     """
     sh = word_shingles(df, text_col, id_col, n)
+    digest = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+    b = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+    step = b * 2 + 1  # odd -> nonzero stride
     aggs = [
-        F.min(portable_hash60(F.col("shingle"), salt=i)).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(a + F.lit(i) * step).alias(f"h{i}") for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -196,6 +215,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     rows: int = 2,
     verify_threshold: float | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -207,8 +227,16 @@ def minhash_lsh_pairs(
     ``verify_threshold`` re-checks candidates with exact Jaccard (join
     back to shingle sets) — the standard verify step so LSH false
     positives don't survive.
+
+    ``cache=True`` persists the signature table (``num_hashes`` longs
+    per doc) and, when verifying, the shingle index: both sit on BOTH
+    sides of a self-join, which would otherwise re-run the signature
+    aggregation twice.  At corpus scale the equivalent is writing
+    signatures to a table and joining from there.
     """
     sig = minhash_signatures(df, text_col, id_col, n, bands * rows)
+    if cache:
+        sig = sig.persist()
     # ONE pass over the signatures: band keys as an array-of-structs
     # column, then explode.  (A per-band unionAll would re-run the whole
     # signature aggregation `bands` times.)
@@ -242,6 +270,8 @@ def minhash_lsh_pairs(
     # to the shingle sets instead of computing all-pairs similarity —
     # verification cost scales with |candidates|, not |docs|².
     sh = word_shingles(df, text_col, id_col, n)
+    if cache:
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col("id").alias("a"), "shingle")
     b_sh = sh.select(F.col("id").alias("b"), "shingle")
