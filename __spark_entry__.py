@@ -406,6 +406,130 @@ FROM orders GROUP BY 1
 """
 
 
+def q_len_range(spark, sf_dir):
+    """Len with min/max bounds (simple.py:451-552): too_short/too_long."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = fs.validate(docs, {"text": fs.Len(min=60, max=400)})
+    return rows.select(
+        "doc_id",
+        F.col("_is_valid").alias("valid"),
+        F.get("_violations", 0)["code"].alias("code"),
+    )
+
+
+SQL_LEN_RANGE = """
+SELECT doc_id,
+       length(text) BETWEEN 60 AND 400 AS valid,
+       CASE WHEN length(text) < 60 THEN 'too_short'
+            WHEN length(text) > 400 THEN 'too_long' END AS code
+FROM documents
+"""
+
+
+def q_maxchars_truncate(spark, sf_dir):
+    """MaxChars with truncation + suffix inside the budget
+    (string.py:514-592)."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = fs.validate(
+        docs, {"text": fs.MaxChars(80, truncate=True, suffix="...")}
+    )
+    return rows.select(
+        "doc_id",
+        F.length("text").cast("long").alias("clean_chars"),
+        F.substring("text", 78, 3).alias("tail"),
+    )
+
+
+SQL_MAXCHARS = """
+SELECT doc_id,
+       CAST(least(length(text), 80) AS BIGINT) AS clean_chars,
+       CASE WHEN length(text) > 80 THEN '...'
+            ELSE substr(text, 78, 3) END AS tail
+FROM documents
+"""
+
+
+def q_date_utc(spark, sf_dir):
+    """Date: parse then truncate to the UTC day (simple.py:339-362)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+    )
+    rows = fs.validate(df, {"s": fs.Date()})
+    return rows.select(
+        "event_id", F.date_format("s", "yyyy-MM-dd").alias("day")
+    )
+
+
+SQL_DATE = """
+SELECT event_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+"""
+
+
+def q_empty_notempty(spark, sf_dir):
+    """Empty requires zero length; NotEmpty default tolerates NULL
+    (simple.py:365-385, :690-733)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "maybe", F.expr("CASE WHEN o_orderkey % 3 = 0 THEN '' "
+                        "WHEN o_orderkey % 3 = 1 THEN NULL "
+                        "ELSE o_orderstatus END")
+    )
+    e = fs.validate(orders, {"maybe": fs.Empty()}, violations_col="_v1",
+                    valid_col="_ok_empty", replace=False)
+    ne = fs.validate(orders, {"maybe": fs.NotEmpty()}, violations_col="_v2",
+                     valid_col="_ok_notempty", replace=False)
+    return (
+        e.select("o_orderkey", "_ok_empty")
+        .join(ne.select("o_orderkey", "_ok_notempty"), "o_orderkey")
+    )
+
+
+SQL_EMPTY_NOTEMPTY = """
+SELECT o_orderkey,
+       (o_orderkey % 3 = 1 OR o_orderkey % 3 = 0) AS _ok_empty,
+       (o_orderkey % 3 <> 0) AS _ok_notempty
+FROM orders
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-level salted aggregation for skewed grouping keys
+    (engine/uniqueness.py:salted_agg — AQE does not rebalance hash
+    aggregations, SURVEY.md §4.3(4))."""
+    from filters_spark.engine.uniqueness import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("min_qty").cast("double").alias("min_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+SQL_SALTED = """
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_minlength(spark, sf_dir):
     """MinLength (simple.py:642-678)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1150,6 +1274,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datetime_utc": q_datetime_utc,
     "optional_default": q_optional_default,
     "minlength": q_minlength,
+    "len_range": q_len_range,
+    "maxchars_truncate": q_maxchars_truncate,
+    "date_utc": q_date_utc,
+    "empty_notempty": q_empty_notempty,
+    "salted_agg": q_salted_agg,
     "uniqueness": q_uniqueness,
     "gapless": q_gapless,
     "orphans": q_orphans,
@@ -1196,6 +1325,11 @@ _ORACLES: dict[str, str] = {
     "datetime_utc": SQL_DATETIME,
     "optional_default": SQL_OPTIONAL,
     "minlength": SQL_MINLENGTH,
+    "len_range": SQL_LEN_RANGE,
+    "maxchars_truncate": SQL_MAXCHARS,
+    "date_utc": SQL_DATE,
+    "empty_notempty": SQL_EMPTY_NOTEMPTY,
+    "salted_agg": SQL_SALTED,
     "uniqueness": SQL_UNIQUENESS,
     "gapless": SQL_GAPLESS,
     "orphans": SQL_ORPHANS,

@@ -116,7 +116,13 @@ def embedding_near_dups(
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     dim = len(df.select(vec_col).first()[0])
     if planes is None:
-        pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+        # spread the streamed side: a small corpus often arrives as ONE
+        # file partition, which would run the whole O(n²) scoring loop
+        # on a single core (the broadcast side stays un-shuffled)
+        spread = a.sparkSession.sparkContext.defaultParallelism
+        pairs = a.repartition(spread).crossJoin(F.broadcast(b)).where(
+            F.col("a") < F.col("b")
+        )
     else:
         ba = srp_bucket(df, dim, planes, seed, vec_col, id_col).select(
             F.col(id_col).alias("a"), F.col("bucket")
