@@ -342,6 +342,26 @@ GROUPS: dict[str, tuple] = {
             "x" * 30,
         ],
     ),
+    "json_decode": (
+        f.JsonDecode(),
+        S,
+        ['{"a": 1, "b": "x"}', '{"a": 7, "b": "y"}', "not json", None],
+    ),
+    "toml_decode": (
+        f.TomlDecode(),
+        S,
+        ['a = 1\nb = "x"', "not [ toml", None],
+    ),
+    "bytestring": (
+        f.ByteString(),
+        S,
+        ["plain", "caf\u00e9", "", None],
+    ),
+    "noop": (
+        f.NoOp(),
+        S,
+        ["anything", "", None],
+    ),
 }
 
 
@@ -407,6 +427,37 @@ NESTED_GROUPS: dict[str, tuple] = {
             [],
             None,
         ],
+    ),
+    "item_field": (
+        f.Item("b"),
+        "struct<a:string, b:string>",
+        [{"a": "1", "b": "x"}, {"a": "2", "b": None}],
+    ),
+    "pick_keys": (
+        f.Pick(["a", "b"]),
+        "struct<a:string, c:string>",
+        [{"a": "keep", "c": "drop"}],
+    ),
+    "omit_keys": (
+        f.Omit(["c"]),
+        "struct<a:string, b:string, c:string>",
+        [{"a": "1", "b": "2", "c": "secret"}],
+    ),
+    "switch_item": (
+        f.FilterSwitch(
+            lambda v: v["mode"],
+            {"num": f.Item("val") | f.Int()},
+        ),
+        "struct<mode:string, val:string>",
+        [
+            {"mode": "num", "val": "42"},
+            {"mode": "other", "val": "x"},
+        ],
+    ),
+    "repeater_restrict": (
+        f.FilterRepeater(f.Int, restrict_keys=[0, 1]),
+        "array<string>",
+        [["1", "2"], ["1", "2", "3"]],
     ),
 }
 

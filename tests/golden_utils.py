@@ -63,6 +63,15 @@ def values_equal(expected, actual) -> bool:
     if isinstance(expected, float):
         return math.isclose(float(actual), expected, rel_tol=1e-9)
     if isinstance(expected, dict):
+        if isinstance(actual, str):
+            # TomlDecode deviation: reference returns a dict, the engine
+            # a JSON string (Spark columns need a concrete type)
+            import json
+
+            try:
+                actual = json.loads(actual)
+            except ValueError:
+                return False
         if isinstance(actual, Row):
             actual = actual.asDict(recursive=False)
         if not isinstance(actual, dict) or set(actual) != set(expected):

@@ -58,6 +58,13 @@ SPEC_CHAINS = {
     "date_iso": lambda: fs.Date(),
     "chain_short_circuit": lambda: fs.Required() | fs.MinLength(3) | fs.MaxLength(5),
     "flagship": lambda: fs.Required() | fs.Unicode() | fs.Strip() | fs.MaxLength(20),
+    # JSON: declared schema (Spark is schema-first; inputs carry all keys)
+    "json_decode": lambda: fs.JsonDecode("a BIGINT, b STRING"),
+    # TOML: engine returns the doc as a JSON string (documented deviation,
+    # bridged in values_equal)
+    "toml_decode": lambda: fs.TomlDecode(),
+    "bytestring": lambda: fs.ByteString(),
+    "noop": lambda: fs.NoOp(),
 }
 
 NESTED_SPEC_CHAINS = {
@@ -84,6 +91,15 @@ NESTED_SPEC_CHAINS = {
     ),
     "repeater_int": lambda: fs.FilterRepeater(
         fs.Required() | fs.Int() | fs.Max(100)
+    ),
+    "item_field": lambda: fs.Item("b"),
+    "pick_keys": lambda: fs.Pick(["a", "b"]),
+    "omit_keys": lambda: fs.Omit(["c"]),
+    "switch_item": lambda: fs.FilterSwitch(
+        "mode", {"num": fs.Item("val") | fs.Int()}
+    ),
+    "repeater_restrict": lambda: fs.FilterRepeater(
+        fs.Int(), restrict_keys=[0, 1]
     ),
 }
 
