@@ -187,7 +187,11 @@ class Chain(BaseSpec):
 
 def resolve(spec) -> BaseSpec:
     """Normalise class / instance / chain → spec instance, mirroring
-    ``resolve_filter`` (``base.py:380-408``)."""
+    ``resolve_filter`` (``base.py:380-408``).  Macro instances
+    (``filter_macro`` results carry ``expand()``) expand to their chain
+    so a macro is usable anywhere a spec is."""
+    if hasattr(spec, "expand") and callable(spec.expand):
+        return spec.expand()
     if isinstance(spec, BaseSpec):
         return spec
     if isinstance(spec, SpecMeta):
