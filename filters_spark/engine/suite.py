@@ -107,11 +107,15 @@ class ValidationSuite:
     def verdicts(self, df: DataFrame, rows: DataFrame) -> DataFrame:
         """Per-bucket verdict: row validity + uniqueness + gaplessness.
 
-        Uniqueness and gaplessness both derive from ONE ``(conv, idx)``
-        pre-aggregation: dup stats filter its counts, conversation stats
-        re-aggregate it by conv (a much smaller shuffle).  Both branches
-        reference the identical exchange, so Spark's ReuseExchange rule
-        executes the big (conv, idx) shuffle once per action.
+        Uniqueness and gaplessness derive from ONE aggregation cascade
+        over the raw input — ``(conv, idx)`` counts → per-conversation
+        stats (dup counters AND gapless flags computed together) →
+        bucket rollup — so the big keyed shuffle runs exactly once.
+        (An earlier design aggregated dups and gaplessness as two
+        branches over the shared pre-agg, counting on exchange reuse;
+        measured plans showed Spark does NOT dedupe those exchanges, so
+        the cascade makes single-execution structural instead of
+        optimizer-dependent.)
         """
         validity = rows.groupBy(BUCKET_COL).agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -124,22 +128,22 @@ class ValidationSuite:
         level1 = df.groupBy(self.conv, self.idx).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        dups = (
-            level1.where(F.col("cnt") > 1)
-            .groupBy(self.bucket_fn(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
-            .agg(
-                F.count(F.lit(1)).alias("dup_keys"),
-                F.sum(F.col("cnt") - 1).alias("surplus_rows"),
-            )
-        )
         conv_stats = level1.groupBy(self.conv).agg(
             F.count(F.lit(1)).alias("distinct_turns"),
             F.min(self.idx).alias("min_idx"),
             F.max(self.idx).alias("max_idx"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+                "dup_keys"
+            ),
+            F.sum(
+                F.greatest(F.col("cnt") - 1, F.lit(0))
+            ).alias("surplus_rows"),
         )
-        gapless = (
+        keyed = (
             conv_stats.select(
                 F.col(self.conv),
+                "dup_keys",
+                "surplus_rows",
                 (
                     (F.col("min_idx") == 0)
                     & (F.col("max_idx") == F.col("distinct_turns") - 1)
@@ -147,16 +151,16 @@ class ValidationSuite:
             )
             .groupBy(self.bucket_fn(F.col(self.conv), self.n_buckets).alias(BUCKET_COL))
             .agg(
+                F.sum("dup_keys").alias("dup_keys"),
+                F.sum("surplus_rows").alias("surplus_rows"),
                 F.count(F.lit(1)).alias("n_convs"),
                 F.sum(F.when(~F.col("is_gapless"), 1).otherwise(0)).alias(
                     "gappy_convs"
                 ),
             )
         )
-        v = (
-            validity.join(dups, BUCKET_COL, "left")
-            .join(gapless, BUCKET_COL, "left")
-            .fillna(0, subset=["dup_keys", "surplus_rows", "gappy_convs"])
+        v = validity.join(keyed, BUCKET_COL, "left").fillna(
+            0, subset=["dup_keys", "surplus_rows", "gappy_convs"]
         )
         return v.select(
             F.col(BUCKET_COL).alias("bucket"),

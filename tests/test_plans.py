@@ -1,0 +1,132 @@
+"""Physical-plan discipline tests: assert the plans we designed for are
+the plans Catalyst actually produces (the 100 TB contract — SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import filters_spark as fs
+from filters_spark.engine.referential import orphans
+from filters_spark.engine.suite import ValidationSuite
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    """Plain (union-free) transcripts-shaped frame: the synthetic
+    generator contains a unionAll, which legitimately duplicates the
+    validation projection into both branches — fine for execution, noisy
+    for plan-shape assertions."""
+    rows = [
+        (f"c{i % 7}", i % 5, "user" if i % 2 else "assistant",
+         f"text {i}", None)
+        for i in range(100)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+RULES = {
+    "role": fs.Choice(("system", "user", "assistant", "tool")),
+    "text": fs.Required() | fs.Unicode() | fs.Strip() | fs.MaxLength(100, truncate=True),
+    "tool": fs.Choice(("search", "code", "browser")),
+}
+
+
+def test_validate_is_shuffle_free_single_kernel(tdf):
+    """The whole multi-column chain compiles to a projection: zero
+    exchanges, exactly ONE ArrowEvalPython (the Unicode kernel), and
+    whole-stage codegen segments for everything else."""
+    out = fs.validate(tdf, RULES)
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(" in plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark, tmp_path):
+    """A chain over one column must not read the others (ReadSchema
+    pruning through the compiled projection)."""
+    from filters_spark.data.transcripts import transcripts
+
+    transcripts(spark, n_convs=50).write.mode("overwrite").parquet(
+        str(tmp_path / "t")
+    )
+    df = spark.read.parquet(str(tmp_path / "t"))
+    out = fs.validate(
+        df.select("conv_id", "text"), {"text": fs.Required()}
+    ).select("conv_id", "_is_valid")
+    plan = plan_of(out)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "conv_id" in scan_line and "text" in scan_line
+    assert "role" not in scan_line and "tool" not in scan_line
+
+
+def test_predicate_pushdown_reaches_parquet_scan(spark, tmp_path):
+    from filters_spark.data.transcripts import transcripts
+
+    transcripts(spark, n_convs=50).write.mode("overwrite").parquet(
+        str(tmp_path / "t2")
+    )
+    df = spark.read.parquet(str(tmp_path / "t2"))
+    out = fs.validate(df, {"text": fs.Required()}).where(
+        F.col("turn_idx") > 3
+    )
+    plan = plan_of(out)
+    assert "PushedFilters: [IsNotNull(turn_idx), GreaterThan(turn_idx,3)]" in plan
+
+
+def test_orphans_broadcast_anti_join(spark, tdf):
+    parent = spark.range(10).select(
+        F.format_string("conv-%010d", F.col("id")).alias("conv_id")
+    )
+    o = orphans(tdf, parent, on="conv_id", broadcast_parent=True)
+    plan = plan_of(o)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_verdicts_single_keyed_shuffle(tdf):
+    """Uniqueness + gaplessness must come from ONE (conv, idx) shuffle —
+    the aggregation cascade makes this structural (measured: Spark does
+    not dedupe twin exchanges over a shared pre-agg, so branching
+    designs silently double the big shuffle)."""
+    spark = tdf.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        suite = ValidationSuite(RULES, n_buckets=8)
+        rows = suite.row_results(tdf)
+        v = suite.verdicts(tdf, rows)
+        plan = plan_of(v)
+        import re
+
+        keyed = re.findall(
+            r"hashpartitioning\(conv_id#\d+, turn_idx#\d+", plan
+        )
+        assert len(keyed) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_stats_single_aggregation_pass(tdf):
+    from filters_spark.engine.stats import column_stats
+
+    plan = plan_of(column_stats(tdf, ["turn_idx", "text"]))
+    # one aggregation over the input: exactly one pair of partial/final
+    # (Hash/ObjectHashAggregate or SortAggregate), no join
+    # one partial/final pair (imperative sketch aggs may split across
+    # Hash/ObjectHash operators), a single global exchange, no join
+    n_aggs = sum(
+        plan.count(k)
+        for k in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+    )
+    assert 2 <= n_aggs <= 4, plan[:2000]
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # SinglePartition (+AQE wrapper)
