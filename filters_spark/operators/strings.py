@@ -253,8 +253,13 @@ class Strip(BaseSpec):
     (``string.py:724-780``).
 
     JVM-side: Java regex supports single-letter Unicode categories, so the
-    default ``[\\p{C}\\s]+`` runs in whole-stage codegen.  Custom patterns
-    are passed through in Java syntax.
+    default ``[\\p{C}\\s]+`` runs in whole-stage codegen.  Patterns are
+    compiled with the embedded ``(?U)`` (UNICODE_CHARACTER_CLASS) flag:
+    the reference's ``regex`` lib gives ``\\s`` Unicode White_Space
+    semantics (NBSP, ogham space, ideographic space, ...), which Java's
+    default ASCII ``\\s`` misses — found by the fuzzed parity suite on
+    ``'\\xa0'``.  Custom patterns are passed through in Java syntax
+    (under the same flag).
     """
 
     def __init__(
@@ -269,9 +274,9 @@ class Strip(BaseSpec):
         _require_string(dtype, self)
         out = value
         if self.leading:
-            out = F.regexp_replace(out, f"^(?:{self.leading})", "")
+            out = F.regexp_replace(out, f"(?U)^(?:{self.leading})", "")
         if self.trailing:
-            out = F.regexp_replace(out, f"(?:{self.trailing})$", "")
+            out = F.regexp_replace(out, f"(?U)(?:{self.trailing})$", "")
         return Step(value=out, dtype=T.StringType())
 
     def __repr__(self):

@@ -30,7 +30,9 @@ def normalise(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, bool):
             return str(v)
         if isinstance(v, float):
-            return f"{v:.9g}"
+            # exact: the driver's value-hash may be byte-strict; any
+            # query whose doubles differ at ulp level must be caught here
+            return repr(v)
         return str(v)
 
     out = df.map(canon)

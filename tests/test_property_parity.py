@@ -1,0 +1,122 @@
+"""Fuzzed parity: hypothesis-generated adversarial text through the
+engine AND the live reference library, compared case by case.
+
+The golden suite replays curated reference outputs; this suite generates
+fresh inputs every run (deterministic seed) and runs the reference
+in-process as the oracle — the strongest statement that the text kernels
+(Unicode NFC/strip, CaseFold, Strip, MaxBytes truncation) match on
+inputs nobody hand-picked.  Skipped automatically if the reference
+tree is unavailable.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _load_reference():
+    sys.path.insert(0, "/root/reference/src")
+    _cr = types.ModuleType("class_registry")
+    _ep = types.ModuleType("class_registry.entry_points")
+
+    class _F:
+        def __init__(self, *a, **k):
+            pass
+
+        def __class_getitem__(cls, item):
+            return cls
+
+        def __iter__(self):
+            return iter(())
+
+    _cr.ClassRegistry = _F
+    _ep.EntryPointClassRegistry = _F
+    _cr.entry_points = _ep
+    sys.modules.setdefault("class_registry", _cr)
+    sys.modules.setdefault("class_registry.entry_points", _ep)
+    import filters as ref
+
+    return ref
+
+
+try:
+    ref = _load_reference()
+except Exception:  # pragma: no cover
+    ref = None
+
+pytestmark = pytest.mark.skipif(
+    ref is None, reason="reference library unavailable"
+)
+
+import filters_spark as fs  # noqa: E402
+from filters_spark.core.compiler import attach_chain  # noqa: E402
+
+# arbitrary unicode text incl. controls, surrogive-free astral chars,
+# combining marks, CR/LF mixes
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8"),  # everything UTF-8 encodable
+    max_size=60,
+)
+
+
+def _ref_apply(chain, value):
+    runner = ref.FilterRunner(chain, value)
+    codes = sorted(
+        c for cs in runner.error_codes.values() for c in cs
+    )
+    return runner.cleaned_data, codes
+
+
+def _engine_apply_batch(spark, spec_chain, values):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, v string"
+    )
+    out, val_col, viol_col = attach_chain(df, "v", spec_chain, key="")
+    got = {
+        r["i"]: (r[val_col], sorted(x["code"] for x in r[viol_col]))
+        for r in out.select("i", val_col, viol_col).collect()
+    }
+    return [got[i] for i in range(len(values))]
+
+
+PAIRS = [
+    ("unicode", lambda: ref.Unicode(), lambda: fs.Unicode()),
+    ("casefold", lambda: ref.CaseFold(), lambda: fs.CaseFold()),
+    ("strip", lambda: ref.Strip(), lambda: fs.Strip()),
+    (
+        "maxbytes_trunc",
+        lambda: ref.MaxBytes(12, truncate=True),
+        lambda: fs.MaxBytes(12, truncate=True),
+    ),
+    (
+        "maxbytes_trunc_suffix",
+        lambda: ref.MaxBytes(12, truncate=True, suffix="…"),
+        lambda: fs.MaxBytes(12, truncate=True, suffix="…"),
+    ),
+    ("maxchars_trunc",
+     lambda: ref.MaxChars(7, truncate=True, suffix=".."),
+     lambda: fs.MaxChars(7, truncate=True, suffix="..")),
+]
+
+
+@pytest.mark.parametrize("name,ref_chain,spec_chain", PAIRS, ids=[p[0] for p in PAIRS])
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(values=st.lists(TEXT, min_size=1, max_size=25))
+def test_fuzzed_text_parity(spark, name, ref_chain, spec_chain, values):
+    expected = [_ref_apply(ref_chain(), v) for v in values]
+    got = _engine_apply_batch(spark, spec_chain(), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        assert act_codes == exp_codes, (
+            f"{name}: codes differ for {v!r}: {act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"{name}: cleaned differs for {v!r}: {act_val!r} != {exp_val!r}"
+        )
