@@ -296,7 +296,11 @@ class Regex(BaseSpec):
 
     def compile(self, value, dtype, ctx, key) -> Step:
         _require_string(dtype, self)
-        matches = F.regexp_extract_all(value, F.lit(self.pattern), 0)
+        # (?U): the reference's regex lib gives \d\w\s\b Unicode
+        # semantics; Java defaults to ASCII classes (see Strip)
+        matches = F.regexp_extract_all(
+            value, F.lit(f"(?U){self.pattern}"), 0
+        )
         inv = F.size(matches) == 0
         return Step(
             value=F.when(inv, F.lit(None)).otherwise(matches),
@@ -328,7 +332,8 @@ class Split(BaseSpec):
 
     def compile(self, value, dtype, ctx, key) -> Step:
         _require_string(dtype, self)
-        parts = F.split(value, self.pattern, -1)
+        # (?U): Unicode \s\d\w semantics, matching the reference (see Strip)
+        parts = F.split(value, f"(?U){self.pattern}", -1)
         if not self.keys:
             return Step(value=parts, dtype=T.ArrayType(T.StringType()))
         n = len(self.keys)

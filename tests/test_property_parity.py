@@ -102,6 +102,11 @@ PAIRS = [
     ("maxchars_trunc",
      lambda: ref.MaxChars(7, truncate=True, suffix=".."),
      lambda: fs.MaxChars(7, truncate=True, suffix="..")),
+    ("regex_digits", lambda: ref.Regex(r"\d+"), lambda: fs.Regex(r"\d+")),
+    ("uuid", lambda: ref.Uuid(), lambda: fs.Uuid()),
+    ("choice", lambda: ref.Choice(("a", "b", "\xa0")),
+     lambda: fs.Choice(("a", "b", "\xa0"))),
+    ("length", lambda: ref.Length(3), lambda: fs.Length(3)),
 ]
 
 
