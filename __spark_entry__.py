@@ -912,10 +912,11 @@ LIMIT 10
 
 
 def q_embed_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact variant; SRP-LSH is the
-    scale path)."""
+    """Embedding-cosine near-dup pairs (exact variant — explicit opt-in;
+    the SRP-bucketed default is oracled separately as
+    ``embed_near_dups_srp``)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dups(emb, threshold=0.25)
+    out = embedding_near_dups(emb, threshold=0.25, exact=True)
     return out.select("a", "b", F.round("score", 6).alias("score"))
 
 
@@ -929,14 +930,82 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+def _srp_bucket_sql(dim: int = 64, planes: int = 6, seed: int = 42) -> str:
+    """DuckDB expression replicating ``srp_bucket`` bit-for-bit: the
+    hyperplanes are md5-seeded constants (similarity.py::_hyperplanes),
+    the dot product is the same left-to-right double-precision fold the
+    Spark side unrolls, and the sign threshold is identical — so the
+    approximate op is fully deterministic and therefore oracle-able
+    (VERDICT r1 next-round #4)."""
+    from filters_spark.pipeline.similarity import _hyperplanes
+
+    hps = _hyperplanes(dim, planes, seed)
+    terms = []
+    for p, hp in enumerate(hps):
+        dot = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {hp[d]!r}"
+            for d in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 def q_srp_ann_topk(spark, sf_dir):
-    """Approximate top-k via SRP-LSH buckets (no SQL oracle — engine-
-    specific approximate op; driver records rows-only)."""
+    """Approximate top-k via SRP-LSH buckets.  Deterministic (md5-seeded
+    hyperplanes), so the DuckDB oracle replays the exact bucket + probe
+    selection."""
     emb = _t(spark, sf_dir, "embeddings")
     out = srp_topk(
         emb, _query_vec(spark, sf_dir), k=10, planes=6, multiprobe=3
     )
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _sql_srp_ann_topk() -> str:
+    # probes = query bucket + single-bit flips of bits 0..2 (srp_topk
+    # multiprobe=3)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({_srp_bucket_sql()}) AS bucket FROM embeddings
+), q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT bucket FROM q
+  UNION SELECT xor(bucket, 1) FROM q
+  UNION SELECT xor(bucket, 2) FROM q
+  UNION SELECT xor(bucket, 4) FROM q
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM b e, q
+WHERE e.bucket IN (SELECT bucket FROM probes)
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_embed_near_dups_srp(spark, sf_dir):
+    """SRP-bucketed near-dup pairs — the scale-path DEFAULT of
+    ``embedding_near_dups`` (equi-join on bucket id, no cross join),
+    oracled deterministically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, threshold=0.25, planes=6)
+    return out.select("a", "b", F.round("score", 6).alias("score"))
+
+
+def _sql_embed_near_dups_srp() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({_srp_bucket_sql()}) AS bucket FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS score
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.25
+"""
 
 
 def q_token_counts(spark, sf_dir):
@@ -1297,6 +1366,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "embed_near_dups": q_embed_near_dups,
+    "embed_near_dups_srp": q_embed_near_dups_srp,
     "srp_ann_topk": q_srp_ann_topk,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
@@ -1348,6 +1418,8 @@ _ORACLES: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "cosine_topk": SQL_COSINE_TOPK,
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,
+    "embed_near_dups_srp": _sql_embed_near_dups_srp(),
+    "srp_ann_topk": _sql_srp_ann_topk(),
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
@@ -1356,8 +1428,9 @@ _ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_DECODE,
 }
 
-#: approximate / engine-specific ops: rows-only driver check by design
-_NO_ORACLE = ("srp_ann_topk",)
+#: every registered query now has a SQL oracle (SRP ops included — the
+#: md5-seeded hyperplanes make them deterministic and replayable)
+_NO_ORACLE = ()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -52,17 +52,31 @@ from filters_spark.operators.structural import (
     Type,
 )
 from filters_spark.operators.macros import FilterExtensionRegistry, filter_macro
+from filters_spark.engine.handlers import (
+    FilterError,
+    error_codes,
+    errors_by_key,
+    errors_by_record,
+    fail_fast,
+    log_violations,
+)
 
-__version__ = "0.1.0"
+#: Ready extension-registry instance, mirroring the reference's exported
+#: ``ext`` namespace object (``src/filters/__init__.py:67``).
+ext = FilterExtensionRegistry()
+
+__version__ = "0.2.0"
 
 __all__ = [
     "Array", "Base64Decode", "BaseSpec", "ByteArray", "ByteString", "Call",
     "CaseFold", "Chain", "Choice", "CompileError", "Ctx", "Date", "Datetime",
-    "Decimal", "Empty", "FilterExtensionRegistry", "FilterMapper",
-    "FilterRepeater", "FilterSwitch", "Int", "IpAddress", "Item",
-    "JsonDecode", "Len", "Length", "Max", "MaxBytes", "MaxChars",
+    "Decimal", "Empty", "FilterError", "FilterExtensionRegistry",
+    "FilterMapper", "FilterRepeater", "FilterSwitch", "Int", "IpAddress",
+    "Item", "JsonDecode", "Len", "Length", "Max", "MaxBytes", "MaxChars",
     "MaxLength", "Min", "MinLength", "NamedTuple", "NoOp", "NotEmpty",
     "Omit", "Optional", "Pick", "Regex", "Required", "Round", "Split",
     "Step", "Strip", "TomlDecode", "Type", "Unicode", "Uuid",
-    "attach_chain", "compile_chain_expr", "filter_macro", "validate",
+    "attach_chain", "compile_chain_expr", "error_codes", "errors_by_key",
+    "errors_by_record", "ext", "fail_fast", "filter_macro",
+    "log_violations", "validate",
 ]

@@ -135,10 +135,20 @@ def compile_chain_expr(
         fired = _fired_violations(step, err, value, key)
         viols = F.when(err, viols).otherwise(F.concat(viols, fired))
         skip_null = F.lit(False) if step.handles_null else value.isNull()
-        nulled = err | skip_null if step.keep_value_on_error else (
-            err | skip_null | inv
+        own_nulled = skip_null if step.keep_value_on_error else (
+            skip_null | inv
         )
-        value = F.when(nulled, null_of(step.dtype)).otherwise(step.value)
+        own = F.when(own_nulled, null_of(step.dtype)).otherwise(step.value)
+        # Chain break carries the FAILING step's output forward (the
+        # reference's FilterChain._apply, base.py:462-473, breaks and
+        # returns the last-applied filter's value — a structural
+        # combinator's PARTIAL output, not None).  When the step changes
+        # the column type the frozen value is unrepresentable, so it
+        # degrades to NULL (scalar replacement semantics).
+        if step.dtype == dtype:
+            value = F.when(err, value).otherwise(own)
+        else:
+            value = F.when(err, null_of(step.dtype)).otherwise(own)
         err = err | inv
         dtype = step.dtype
     return ChainResult(value=value, dtype=dtype, violations=viols, pre=pre)
@@ -188,10 +198,16 @@ def attach_chain(
         fired = _fired_violations(step, err, value, key)
         new_viols = F.when(err, viols).otherwise(F.concat(viols, fired))
         skip_null = F.lit(False) if step.handles_null else value.isNull()
-        nulled = err | skip_null if step.keep_value_on_error else (
-            err | skip_null | inv
+        own_nulled = skip_null if step.keep_value_on_error else (
+            skip_null | inv
         )
-        new_value = F.when(nulled, null_of(step.dtype)).otherwise(step.value)
+        own = F.when(own_nulled, null_of(step.dtype)).otherwise(step.value)
+        # chain break carries the failing step's (partial) output when the
+        # type allows — see compile_chain_expr
+        if step.dtype == dtype:
+            new_value = F.when(err, value).otherwise(own)
+        else:
+            new_value = F.when(err, null_of(step.dtype)).otherwise(own)
         new_err = err | inv
 
         v_name, e_name, w_name = (

@@ -9,13 +9,29 @@ from filters_spark.engine.drift import frequencies, kl_divergence, psi
 from filters_spark.engine.explode import explode_validate
 from filters_spark.engine.suite import ValidationSuite
 from filters_spark.engine.checkpoint import CheckpointManifest, run_resumable
+from filters_spark.engine.handlers import (
+    FilterError,
+    error_codes,
+    errors_by_key,
+    errors_by_record,
+    explode_violations,
+    fail_fast,
+    log_violations,
+)
 
 __all__ = [
     "CheckpointManifest",
+    "FilterError",
     "ValidationSuite",
     "column_stats",
     "duplicate_keys",
+    "error_codes",
+    "errors_by_key",
+    "errors_by_record",
     "explode_validate",
+    "explode_violations",
+    "fail_fast",
+    "log_violations",
     "frequencies",
     "gapless_by_agg",
     "gaps_by_window",

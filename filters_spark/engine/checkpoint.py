@@ -30,7 +30,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from filters_spark.engine.suite import ValidationSuite, bucket_of
+from filters_spark.engine.suite import ValidationSuite
 
 
 class CheckpointManifest:
@@ -70,10 +70,26 @@ def run_resumable(
     baseline: DataFrame | None = None,
     buckets_per_job: int = 8,
     fail_after_buckets: int | None = None,
+    output: str | None = None,
 ) -> dict:
     """Run the suite bucket-group by bucket-group, committing the manifest
     after each group.  Returns aggregate counters across ALL completed
     buckets (this run + prior runs).
+
+    The resume predicate uses ``suite.bucket_fn`` — the SAME transform
+    that keys the suite's verdicts — so selected rows and verdict buckets
+    can never diverge (with a custom transform, e.g. ``iceberg_bucket_fn``
+    on a ``bucket(N, conv_id)`` table, both sides speak Iceberg's
+    Murmur3-32).  A verdict keyed outside the requested group means the
+    two transforms disagree after all and is raised, never silently
+    recorded.
+
+    ``output`` (optional) streams each group's verdicts + violations to
+    ``{output}/verdicts`` / ``{output}/violations`` parquet, partitioned
+    by bucket with dynamic partition overwrite — re-running a bucket
+    after a crash replaces exactly its own partition, so the result
+    tables stay consistent with the manifest without a second full
+    validation pass over the table.
 
     ``fail_after_buckets`` is a test hook: abort after N newly-completed
     buckets to simulate a killed job.
@@ -84,19 +100,47 @@ def run_resumable(
     done = manifest.completed()
     todo = [b for b in range(n) if b not in done]
     newly = 0
-    conv_bucket = bucket_of(F.col(suite.conv), n)
+    conv_bucket = suite.bucket_fn(F.col(suite.conv), n)
 
     for i in range(0, len(todo), buckets_per_job):
         group = todo[i : i + buckets_per_job]
-        # On Iceberg with bucket(N, conv_id) partitioning this predicate
-        # prunes to exactly these partitions.
+        # On Iceberg with bucket(N, conv_id) partitioning (and
+        # bucket_fn=iceberg_bucket_fn) this predicate prunes to exactly
+        # these partitions.
         sub = df.where(conv_bucket.isin(group))
         result = suite.run(sub, baseline=baseline)
-        verdict_rows = {r["bucket"]: r.asDict() for r in result.verdicts.collect()}
+        try:
+            if output is not None:
+                out = output.rstrip("/")
+                for name, frame in (
+                    ("verdicts", result.verdicts),
+                    ("violations", result.violations),
+                ):
+                    (
+                        frame.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("bucket")
+                        .parquet(f"{out}/{name}")
+                    )
+            verdict_rows = {
+                r["bucket"]: r.asDict() for r in result.verdicts.collect()
+            }
+        finally:
+            result.unpersist()
+        stray = set(verdict_rows) - set(group)
+        if stray:
+            raise RuntimeError(
+                f"verdict buckets {sorted(stray)} fall outside the requested "
+                f"group {group}: the resume predicate and suite.bucket_fn "
+                "disagree (mixed bucket transforms?)"
+            )
         for b in group:
-            row = verdict_rows.get(
-                b,
-                {
+            row = verdict_rows.get(b)
+            if row is None:
+                # No verdict for a requested bucket ⇒ the predicate
+                # matched zero rows for it ⇒ genuinely empty (same
+                # transform on both sides, checked above).
+                row = {
                     "n_rows": 0,
                     "n_invalid": 0,
                     "dup_keys": 0,
@@ -104,8 +148,7 @@ def run_resumable(
                     "n_convs": 0,
                     "gappy_convs": 0,
                     "bucket_pass": True,
-                },
-            )
+                }
             row.pop("bucket", None)
             manifest.mark(b, {"verdict": row, "metrics": result.metrics})
             newly += 1

@@ -6,15 +6,24 @@ fast path — but Python UDFs cannot run inside higher-order-function
 lambdas, so chains containing Arrow kernels (``Unicode``, ``CaseFold``,
 ``MaxBytes`` truncation, ...) validate arrays via:
 
-    posexplode_outer → compiled per-element chain (ONE Arrow batch pass
-    over all elements of all rows) → re-assemble ordered by position
-    (hash agg keyed by a synthetic row id) → join back.
+    posexplode_outer (carrying the row payload) → compiled per-element
+    chain (ONE Arrow batch pass over all elements of all rows) →
+    re-assemble ordered by position (hash agg keyed by a synthetic row
+    id).
 
-Scale shape: explode multiplies rows by mean array length; the
-re-assembly is a hash aggregation keyed by row id (map-side combined —
-elements of one row co-locate in the scan partition, so the "shuffle"
-carries one pre-merged row per input row), and the join back to the
-original frame is on the same id.
+Single-lineage, single-pass: the row's other columns ride through the
+explode as ONE conditional struct (built only on the first exploded row
+of each input row) and come back via a map-side-combined ``first()`` in
+the same aggregation that rebuilds the array — so there is no self-join
+and no persist.  The synthetic ``monotonically_increasing_id`` is
+produced and consumed inside one plan branch, which keeps it safe under
+task retries (each map attempt regenerates ids consistently for its own
+partition, and reducers consume exactly one complete attempt).
+
+Scale shape: explode multiplies rows by mean array length inside the map
+task only; the shuffle carries one pre-merged row per input row (partial
+aggregation collapses elements and payload in-task because a row's
+elements are adjacent in the scan partition).
 """
 
 from __future__ import annotations
@@ -38,7 +47,7 @@ def explode_validate(
     ctx: Ctx | None = None,
     out_value: str | None = None,
     out_violations: str | None = None,
-    persist_input: bool = True,
+    persist_input: bool = False,
 ) -> tuple[DataFrame, str, str]:
     """Validate every element of an array column with an arbitrary chain
     (Arrow kernels allowed).
@@ -48,7 +57,12 @@ def explode_validate(
     FilterRepeater semantics, complex.py:113-129), violations carry
     ``col.pos`` dotted keys, empty arrays stay empty, NULL arrays pass
     through as NULL.
+
+    ``persist_input`` is accepted for back-compatibility and ignored:
+    the current single-lineage plan has no self-join, so there is no
+    cross-branch row-id consistency to pin with a cache.
     """
+    del persist_input  # no longer needed — single lineage, no join
     ctx = ctx or Ctx()
     key = key if key is not None else col_name
     dtype = df.schema[col_name].dataType
@@ -61,17 +75,10 @@ def explode_validate(
     out_value = out_value or ctx.name("cleaned")
     out_violations = out_violations or ctx.name("violset")
 
+    payload_cols = list(df.columns)
     base = df.withColumn(_RID, F.monotonically_increasing_id())
-    if persist_input:
-        # the synthetic row id is referenced on BOTH sides of the
-        # re-assembly join; persisting pins one evaluation so the ids
-        # cannot diverge under non-deterministic upstream plans.  Pass
-        # persist_input=False when the input lineage is deterministic
-        # and the extra materialisation is unwanted.
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     exploded = base.select(
+        *payload_cols,
         _RID,
         F.col(col_name).isNull().alias("__fs_isnull"),
         F.posexplode_outer(col_name).alias("__fs_pos", "__fs_elem"),
@@ -89,11 +96,18 @@ def explode_validate(
     for pname, pcol in (r.pre or {}).items():
         exploded = exploded.withColumn(pname, pcol)
 
+    # the row payload travels ONCE per input row: posexplode_outer emits
+    # pos 0 for the first element and pos NULL for empty/NULL arrays, so
+    # exactly one exploded row per input row builds the struct
+    first_of_row = F.col("__fs_pos").isNull() | (F.col("__fs_pos") == 0)
     # pos NULL = the synthetic row posexplode_outer emits for empty/NULL
     # arrays: there is no element there, so no violations may fire (a
     # Required inside the chain would otherwise hit the fake NULL elem)
     per_elem = exploded.select(
         _RID,
+        F.when(
+            first_of_row, F.struct(*[F.col(c) for c in payload_cols])
+        ).alias("__fs_row"),
         "__fs_isnull",
         "__fs_pos",
         r.value.alias("__fs_val"),
@@ -108,6 +122,7 @@ def explode_validate(
     # order-stable re-assembly: sort_array on struct(pos, ...) sorts by
     # the leading field, so collect_list order doesn't matter
     assembled = per_elem.groupBy(_RID).agg(
+        F.first("__fs_row", ignorenulls=True).alias("__fs_row"),
         F.transform(
             F.array_sort(
                 F.collect_list(
@@ -134,9 +149,9 @@ def explode_validate(
         F.col(out_violations).isNull(),
         F.array().cast(T.ArrayType(VIOLATION_SCHEMA)),
     ).otherwise(F.col(out_violations))
-    assembled = assembled.select(
-        _RID, cleaned.alias(out_value), viols.alias(out_violations)
+    out = assembled.select(
+        *[F.col("__fs_row")[c].alias(c) for c in payload_cols],
+        cleaned.alias(out_value),
+        viols.alias(out_violations),
     )
-
-    joined = base.join(assembled, _RID, "left").drop(_RID)
-    return joined, out_value, out_violations
+    return out, out_value, out_violations

@@ -56,7 +56,12 @@ def salted_agg(
     ever sees more than ~1/salt_buckets of a hot key's rows.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    # Per-ROW salt, not a hash of the row's values: a hot key flooded
+    # with byte-identical duplicate rows would hash to ONE salt bucket
+    # and land on a single reducer again (the exact case salting exists
+    # for).  monotonically_increasing_id is a per-partition counter, so
+    # consecutive duplicates round-robin across all salt_buckets.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     phase1_aggs = []
     phase2_aggs = []
     for out_name, (agg_name, in_col) in aggs.items():

@@ -110,16 +110,27 @@ def main(argv: list[str] | None = None) -> int:
         max_invalid_rate=args.max_invalid_rate,
     )
 
+    out = args.output.rstrip("/")
     if args.manifest:
+        # run_resumable writes verdicts/violations per bucket group as it
+        # goes (dynamic partition overwrite keyed by bucket), so the only
+        # extra work here is the stats scan over the raw input — the
+        # validation chains never run a second time.
         summary = run_resumable(
             df,
             suite,
             CheckpointManifest(args.manifest),
             baseline=baseline,
             buckets_per_job=args.buckets_per_job,
+            output=out,
         )
-        # result tables for the completed run
-        result = suite.run(df, baseline=baseline)
+        from filters_spark.engine.stats import column_stats
+
+        column_stats(df, suite.stat_columns).write.mode("overwrite").parquet(
+            f"{out}/stats"
+        )
+        drift = suite.drift(df, baseline) if baseline is not None else {}
+        summary["drift"] = drift
     else:
         result = suite.run(df, baseline=baseline)
         verdicts = result.verdicts.collect()
@@ -132,14 +143,12 @@ def main(argv: list[str] | None = None) -> int:
             "passed": all(r["bucket_pass"] for r in verdicts)
             and not result.metrics.get("drift_failed", False),
         }
+        result.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+        result.violations.write.mode("overwrite").parquet(f"{out}/violations")
+        result.stats.write.mode("overwrite").parquet(f"{out}/stats")
+        result.unpersist()
+        summary["drift"] = result.metrics
 
-    out = args.output.rstrip("/")
-    result.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
-    result.violations.write.mode("overwrite").parquet(f"{out}/violations")
-    result.stats.write.mode("overwrite").parquet(f"{out}/stats")
-    result.unpersist()
-
-    summary["drift"] = result.metrics
     summary["output"] = out
     print(json.dumps(summary))
     spark.stop()

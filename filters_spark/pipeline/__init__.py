@@ -22,6 +22,7 @@ from filters_spark.pipeline.dedup import (
 from filters_spark.pipeline.similarity import (
     cosine_sim,
     cosine_topk,
+    auto_planes,
     embedding_near_dups,
     srp_bucket,
     srp_topk,
@@ -46,6 +47,7 @@ __all__ = [
     "cosine_sim",
     "cosine_topk",
     "decode_media",
+    "auto_planes",
     "embedding_near_dups",
     "exact_dedup",
     "fingerprint",

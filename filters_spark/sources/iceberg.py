@@ -50,7 +50,11 @@ def iceberg_bucket_fn(spark: SparkSession):
         )
 
     def fn(conv_col: Column, n_buckets: int) -> Column:
-        return F.expr(f"system.bucket({n_buckets}, {conv_col._jc.toString()})")
+        # call_function keeps this Connect-compatible (no _jc) and works
+        # for arbitrary Column expressions, not just bare references
+        return F.call_function(
+            "system.bucket", F.lit(n_buckets), conv_col
+        )
 
     return fn
 

@@ -67,3 +67,33 @@ def test_rejects_non_array(arr_df):
 
     with pytest.raises(CompileError):
         explode_validate(arr_df, "rid", fs.Min(0))
+
+
+def test_single_pass_plan_no_join_no_persist(arr_df):
+    """The explode path must be single-lineage: no self-join, no
+    InMemoryRelation introduced by explode_validate itself (VERDICT r1
+    item 8)."""
+    chain = fs.Required() | fs.Unicode()
+    out, v, w = explode_validate(arr_df.unpersist(), "texts", chain)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+    arr_df.cache()
+
+
+def test_chain_break_returns_partial_array(arr_df, spark):
+    """A structural combinator that fails mid-chain still returns its
+    PARTIAL output (FilterChain._apply breaks and returns the failing
+    filter's value, base.py:462-473; test_filter_repeater.py:49)."""
+    df = spark.createDataFrame(
+        [(0, [1, 5, 2]), (1, [1, 2, 3])], "rid long, arr array<long>"
+    )
+    res = fs.validate(df, {"arr": fs.FilterRepeater(fs.Max(3)) | fs.MinLength(1)})
+    rows = {r["rid"]: r for r in res.collect()}
+    # element 5 fails Max(3) -> nulled in place; chain breaks but the
+    # partial array survives, and MinLength never fires
+    assert rows[0]["arr"] == [1, None, 2]
+    assert [(x["key"], x["code"]) for x in rows[0]["_violations"]] == [
+        ("arr.1", "too_big")
+    ]
+    assert rows[1]["arr"] == [1, 2, 3] and rows[1]["_violations"] == []

@@ -163,10 +163,36 @@ def test_cosine_topk_ordering(emb):
 def test_embedding_near_dups_exact(emb):
     pairs = {
         (r["a"], r["b"]): r["score"]
-        for r in embedding_near_dups(emb, threshold=0.9).collect()
+        for r in embedding_near_dups(emb, threshold=0.9, exact=True).collect()
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_embedding_near_dups_default_is_bucketed(emb):
+    """The quadratic cross join is opt-in only (exact=True); the default
+    plans an equi-join on bucket id."""
+    plan = embedding_near_dups(
+        emb, threshold=0.9, planes=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # bucketed recall: the near-identical pair survives bucketing here
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(emb, threshold=0.9, planes=4).collect()
+    }
+    assert pairs <= {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(emb, threshold=0.9, exact=True).collect()
+    }
+
+
+def test_auto_planes_scaling():
+    from filters_spark.pipeline.similarity import auto_planes
+
+    assert auto_planes(1_000) == 4          # clamp floor
+    assert auto_planes(1 << 40) == 24       # clamp ceiling
+    assert auto_planes(1_048_576) == 10     # 2^20 / 2^10 target
 
 
 def test_srp_bucket_and_topk(emb):
