@@ -1321,6 +1321,369 @@ SELECT o_orderkey, lower(o_orderpriority) AS picked_pri FROM orders
 
 
 # ---------------------------------------------------------------------------
+# round-2 oracle coverage: the 13 SURVEY §2 operators that previously rode
+# on goldens/unit tests alone (VERDICT r1 next-round #1), plus the
+# errors-dict handler aggregation (#2)
+# ---------------------------------------------------------------------------
+
+
+def q_decimal_quantize(spark, sf_dir):
+    """Decimal(max_precision=1): parse + quantize HALF_UP
+    (number.py:15-100, quantize :97-98); invalid strings → not_numeric."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "price_s",
+        F.when(F.col("l_linenumber") == 7, F.lit("n/a")).otherwise(
+            F.col("l_extendedprice").cast("string")
+        ),
+    )
+    rows = fs.validate(li, {"price_s": fs.Decimal(1)})
+    return rows.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("price_s").cast("string").alias("price_q"),
+        F.get("_violations", 0)["code"].alias("err_code"),
+    )
+
+
+SQL_DECIMAL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber = 7 THEN NULL
+            ELSE CAST(CAST(CAST(l_extendedprice AS VARCHAR)
+                           AS DECIMAL(38,1)) AS VARCHAR) END AS price_q,
+       CASE WHEN l_linenumber = 7 THEN 'not_numeric' END AS err_code
+FROM lineitem
+"""
+
+
+def q_length_exact(spark, sf_dir):
+    """Length(18): exact-length check (simple.py:555-597)."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "name_v",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.substring("c_name", 1, 10)
+        ).otherwise(F.col("c_name")),
+    )
+    rows = fs.validate(cust, {"name_v": fs.Length(18)})
+    return rows.select(
+        "c_custkey",
+        F.col("_is_valid").alias("valid"),
+        F.get("_violations", 0)["code"].alias("first_code"),
+    )
+
+
+SQL_LENGTH = """
+WITH v AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN substr(c_name, 1, 10)
+              ELSE c_name END AS name_v
+  FROM customer
+)
+SELECT c_custkey,
+       length(name_v) = 18 AS valid,
+       CASE WHEN length(name_v) > 18 THEN 'too_long'
+            WHEN length(name_v) < 18 THEN 'too_short' END AS first_code
+FROM v
+"""
+
+
+def q_bytestring_encode(spark, sf_dir):
+    """ByteString: str → utf-8 bytes (string.py:914-973); md5 + byte
+    count prove byte-exactness (DuckDB md5(VARCHAR) hashes UTF-8)."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = fs.validate(docs, {"text": fs.ByteString()})
+    return rows.select(
+        "doc_id",
+        F.md5("text").alias("md5_bytes"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_BYTESTRING = """
+SELECT doc_id, md5(text) AS md5_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_toml_decode(spark, sf_dir):
+    """TomlDecode: TOML literal → JSON string (string.py:783-801);
+    malformed input → not_toml."""
+    nat = _t(spark, sf_dir, "nation").withColumn(
+        "toml",
+        F.when(F.col("n_nationkey") == 13, F.lit("= bad")).otherwise(
+            F.concat(
+                F.lit('name = "'),
+                F.col("n_name"),
+                F.lit('"\nkey = '),
+                F.col("n_nationkey").cast("string"),
+            )
+        ),
+    )
+    rows = fs.validate(nat, {"toml": fs.TomlDecode()})
+    return rows.select(
+        "n_nationkey",
+        F.col("toml").alias("doc_json"),
+        F.get("_violations", 0)["code"].alias("err_code"),
+    )
+
+
+SQL_TOML = """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 13 THEN NULL
+            ELSE '{"name": "' || n_name || '", "key": ' || n_nationkey || '}'
+       END AS doc_json,
+       CASE WHEN n_nationkey = 13 THEN 'not_toml' END AS err_code
+FROM nation
+"""
+
+
+def q_bytearray_pack(spark, sf_dir):
+    """ByteArray over int sequences: 0..255 range check with per-index
+    violation keys, then byte packing (simple.py:149-213, :195-208)."""
+    docs = _t(spark, sf_dir, "documents")
+    a1 = (F.col("doc_id") % 95 + 32).cast("long")
+    a2 = F.when(F.col("doc_id") % 11 == 0, F.lit(999).cast("long")).otherwise(
+        ((F.col("doc_id") * 7 + 5) % 95 + 32).cast("long")
+    )
+    rows = fs.validate(
+        docs.withColumn("arr", F.array(a1, a2)), {"arr": fs.ByteArray()}
+    )
+    return rows.select(
+        "doc_id",
+        F.lower(F.hex("arr")).alias("hexv"),
+        F.get("_violations", 0)["code"].alias("err_code"),
+        F.get("_violations", 0)["key"].alias("err_key"),
+    )
+
+
+SQL_BYTEARRAY = """
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE lower(hex(encode(
+                   chr(CAST(doc_id % 95 + 32 AS INT)) ||
+                   chr(CAST((doc_id * 7 + 5) % 95 + 32 AS INT))))) END AS hexv,
+       CASE WHEN doc_id % 11 = 0 THEN 'too_big' END AS err_code,
+       CASE WHEN doc_id % 11 = 0 THEN 'arr.1' END AS err_key
+FROM documents
+"""
+
+
+def q_omit_project(spark, sf_dir):
+    """Omit: copy-without-keys over a struct (simple.py:736-781); the
+    JSON render proves the omitted field is gone."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "rec",
+        F.struct(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_custkey").alias("ck"),
+        ),
+    )
+    rows = fs.validate(orders, {"rec": fs.Omit(["ck"])})
+    return rows.select("o_orderkey", F.to_json("rec").alias("rec_json"))
+
+
+SQL_OMIT = """
+SELECT o_orderkey,
+       '{"pri":"' || o_orderpriority || '","status":"' || o_orderstatus
+       || '"}' AS rec_json
+FROM orders
+"""
+
+
+def q_namedtuple_fields(spark, sf_dir):
+    """NamedTuple: exact field set, declared order, per-field mapper
+    (complex.py:393-481)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "rec",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("pri"),
+        ),
+    )
+    rows = fs.validate(
+        orders,
+        {"rec": fs.NamedTuple(["pri", "status"], {"pri": fs.CaseFold()})},
+    )
+    return rows.select("o_orderkey", F.to_json("rec").alias("rec_json"))
+
+
+SQL_NAMEDTUPLE = """
+SELECT o_orderkey,
+       '{"pri":"' || lower(o_orderpriority) || '","status":"'
+       || o_orderstatus || '"}' AS rec_json
+FROM orders
+"""
+
+
+def q_noop_chain(spark, sf_dir):
+    """NoOp composes as the identity inside a chain (simple.py's NoOp;
+    the chain's other step still fires)."""
+    ev = _t(spark, sf_dir, "events")
+    rows = fs.validate(ev, {"value": fs.NoOp() | fs.Max(100)})
+    return rows.select(
+        "event_id",
+        F.col("value").alias("clean_value"),
+        F.col("_is_valid").alias("valid"),
+    )
+
+
+SQL_NOOP = """
+SELECT event_id,
+       CASE WHEN value > 100 THEN NULL ELSE value END AS clean_value,
+       (value IS NULL OR value <= 100) AS valid
+FROM events
+"""
+
+
+def q_call_custom(spark, sf_dir):
+    """Call: arbitrary deterministic scalar function in one Arrow kernel
+    (simple.py:216-254)."""
+    cust = _t(spark, sf_dir, "customer")
+    rows = fs.validate(cust, {"c_name": fs.Call(lambda x: x[::-1])})
+    return rows.select(
+        "c_custkey", F.col("c_name").alias("reversed_name")
+    )
+
+
+SQL_CALL = """
+SELECT c_custkey, reverse(c_name) AS reversed_name FROM customer
+"""
+
+
+def q_macro_registry(spark, sf_dir):
+    """filter_macro + FilterExtensionRegistry: a registry-served macro
+    chain produces byte-identical output to the inline chain
+    (macros.py:36-89, extensions.py:21-112)."""
+    seg_norm = fs.filter_macro(lambda: fs.Required() | fs.CaseFold())
+    reg = fs.FilterExtensionRegistry()
+    reg.register("seg_norm", seg_norm)
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "seg2", F.col("c_mktsegment")
+    )
+    rows = fs.validate(
+        cust,
+        {
+            "c_mktsegment": reg.seg_norm(),
+            "seg2": fs.Required() | fs.CaseFold(),
+        },
+    )
+    return rows.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("macro_out"),
+        F.col("seg2").alias("inline_out"),
+        (F.col("c_mktsegment") == F.col("seg2")).alias("agree"),
+    )
+
+
+SQL_MACRO = """
+SELECT c_custkey, lower(c_mktsegment) AS macro_out,
+       lower(c_mktsegment) AS inline_out, true AS agree
+FROM customer
+"""
+
+
+def _probe_compiles(spark, sf_dir, cases):
+    out = []
+    for probe, table, col, chain in cases:
+        df = _t(spark, sf_dir, table)
+        try:
+            fs.validate(df, {col: chain})
+            out.append((probe, True))
+        except fs.CompileError:
+            out.append((probe, False))
+    return spark.createDataFrame(out, "probe string, compiles boolean")
+
+
+def q_type_static(spark, sf_dir):
+    """Type as STATIC schema analysis (base.py:543-633): matching types
+    compile to a no-op, mismatches are rejected before any data moves —
+    probed against the live parquet schemas."""
+    return _probe_compiles(
+        spark,
+        sf_dir,
+        [
+            ("str_on_string", "documents", "text", fs.Type(str)),
+            ("int_on_string", "documents", "text", fs.Type(int)),
+            ("int_on_bigint", "documents", "doc_id", fs.Type(int)),
+            ("str_on_bigint", "documents", "doc_id", fs.Type(str)),
+            ("float_on_double", "events", "value", fs.Type(float)),
+        ],
+    )
+
+
+SQL_TYPE_STATIC = """
+SELECT 'str_on_string' AS probe, true AS compiles
+UNION ALL SELECT 'int_on_string', false
+UNION ALL SELECT 'int_on_bigint', true
+UNION ALL SELECT 'str_on_bigint', false
+UNION ALL SELECT 'float_on_double', true
+"""
+
+
+def q_array_static(spark, sf_dir):
+    """Array (non-string Sequence check, simple.py:121-146) as a static
+    ArrayType requirement, probed against the live schemas."""
+    return _probe_compiles(
+        spark,
+        sf_dir,
+        [
+            ("array_on_array", "embeddings", "embedding", fs.Array()),
+            ("array_on_string", "documents", "text", fs.Array()),
+            ("array_on_bigint", "documents", "doc_id", fs.Array()),
+            (
+                "repeater_on_scalar",
+                "documents",
+                "doc_id",
+                fs.FilterRepeater(fs.Min(0)),
+            ),
+        ],
+    )
+
+
+SQL_ARRAY_STATIC = """
+SELECT 'array_on_array' AS probe, true AS compiles
+UNION ALL SELECT 'array_on_string', false
+UNION ALL SELECT 'array_on_bigint', false
+UNION ALL SELECT 'repeater_on_scalar', false
+"""
+
+
+def q_handler_errors(spark, sf_dir):
+    """The FilterRunner errors-dict aggregation (handlers.py:216-290):
+    violations grouped to key → (code, message) with counts."""
+    from filters_spark.engine.handlers import explode_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    rows = fs.validate(
+        orders,
+        {
+            "o_orderstatus": fs.Choice(("O", "F")),
+            "o_totalprice": fs.Max(300000),
+        },
+    )
+    flat = explode_violations(rows.select("_violations"))
+    return flat.groupBy("key", "code", "message").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+SQL_HANDLER_ERRORS = """
+SELECT * FROM (
+  SELECT 'o_orderstatus' AS key, 'not_valid_choice' AS code,
+         'Valid options are: [''F'', ''O'']' AS message,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+  UNION ALL
+  SELECT 'o_totalprice', 'too_big',
+         'Value is too large (must be <= 300000).',
+         CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_totalprice > 300000
+) WHERE n > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
@@ -1374,6 +1737,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "multimodal_bytestats": q_multimodal_bytestats,
     "multimodal_decode": q_multimodal_decode,
+    "decimal_quantize": q_decimal_quantize,
+    "length_exact": q_length_exact,
+    "bytestring_encode": q_bytestring_encode,
+    "toml_decode": q_toml_decode,
+    "bytearray_pack": q_bytearray_pack,
+    "omit_project": q_omit_project,
+    "namedtuple_fields": q_namedtuple_fields,
+    "noop_chain": q_noop_chain,
+    "call_custom": q_call_custom,
+    "macro_registry": q_macro_registry,
+    "type_static": q_type_static,
+    "array_static": q_array_static,
+    "handler_errors": q_handler_errors,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1426,6 +1802,19 @@ _ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_bytestats": SQL_BYTESTATS,
     "multimodal_decode": SQL_DECODE,
+    "decimal_quantize": SQL_DECIMAL,
+    "length_exact": SQL_LENGTH,
+    "bytestring_encode": SQL_BYTESTRING,
+    "toml_decode": SQL_TOML,
+    "bytearray_pack": SQL_BYTEARRAY,
+    "omit_project": SQL_OMIT,
+    "namedtuple_fields": SQL_NAMEDTUPLE,
+    "noop_chain": SQL_NOOP,
+    "call_custom": SQL_CALL,
+    "macro_registry": SQL_MACRO,
+    "type_static": SQL_TYPE_STATIC,
+    "array_static": SQL_ARRAY_STATIC,
+    "handler_errors": SQL_HANDLER_ERRORS,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the
