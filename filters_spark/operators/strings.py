@@ -283,55 +283,144 @@ class Strip(BaseSpec):
         return f"Strip(leading={self.leading!r}, trailing={self.trailing!r})"
 
 
+def _java_regex_ok(pattern: str) -> bool:
+    """True when the JVM's ``java.util.regex`` accepts ``pattern``.
+
+    The live probe catches regex-module-only syntax (fuzzy ``{e<=1}``,
+    recursion ``(?R)``, some ``\\p{...}`` property spellings) that Java
+    rejects at compile time; those chains route through the Arrow kernel
+    using the same ``regex`` lib as the reference (string.py:50).
+    Without an active session (no JVM to ask) the JVM path is assumed —
+    matching the previous behaviour.
+    """
+    if pattern in _JAVA_REGEX_CACHE:
+        return _JAVA_REGEX_CACHE[pattern]
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None or getattr(s, "_jvm", None) is None:
+        return True  # Spark Connect / no JVM: keep the expression path
+    try:
+        s._jvm.java.util.regex.Pattern.compile(pattern)
+        ok = True
+    except Exception:
+        ok = False
+    _JAVA_REGEX_CACHE[pattern] = ok
+    return ok
+
+
+_JAVA_REGEX_CACHE: dict[str, bool] = {}
+
+
+def _as_regex(pattern):
+    """Compile a pattern string / precompiled pattern with the ``regex``
+    lib (the reference also accepts precompiled patterns,
+    string.py:636-640)."""
+    if _regex_lib is None:  # pragma: no cover
+        raise CompileError(
+            "this pattern needs the 'regex' library, which is unavailable"
+        )
+    if isinstance(pattern, str):
+        return _regex_lib.compile(pattern)
+    return _regex_lib.compile(pattern.pattern, pattern.flags)
+
+
 class Regex(BaseSpec):
     """Return a LIST of all regex matches; no match → invalid
-    (``string.py:595-662``, finditer at :651)."""
+    (``string.py:595-662``, finditer at :651).
+
+    JVM ``regexp_extract_all`` with ``(?U)`` when Java accepts the
+    pattern; otherwise (regex-module-only syntax, or a precompiled
+    ``regex``/``re`` pattern object) an Arrow kernel running the same
+    ``regex`` lib as the reference.
+    """
 
     templates = {
         CODE_MALFORMED: "Value does not match regular expression {pattern}."
     }
 
-    def __init__(self, pattern: str) -> None:
+    def __init__(self, pattern) -> None:
         self.pattern = pattern
+
+    def _pattern_str(self) -> str:
+        return (
+            self.pattern
+            if isinstance(self.pattern, str)
+            else self.pattern.pattern
+        )
 
     def compile(self, value, dtype, ctx, key) -> Step:
         _require_string(dtype, self)
-        # (?U): the reference's regex lib gives \d\w\s\b Unicode
-        # semantics; Java defaults to ASCII classes (see Strip)
-        matches = F.regexp_extract_all(
-            value, F.lit(f"(?U){self.pattern}"), 0
+        use_jvm = isinstance(self.pattern, str) and _java_regex_ok(
+            f"(?U){self.pattern}"
         )
-        inv = F.size(matches) == 0
-        return Step(
-            value=F.when(inv, F.lit(None)).otherwise(matches),
-            dtype=T.ArrayType(T.StringType()),
-            invalid=inv,
-            violations=[
-                Violation(
-                    inv,
-                    F.lit(CODE_MALFORMED),
-                    F.lit(self.render(CODE_MALFORMED, pattern=self.pattern)),
-                )
-            ],
+        msg = self.render(CODE_MALFORMED, pattern=self._pattern_str())
+        if use_jvm:
+            # (?U): the reference's regex lib gives \d\w\s\b Unicode
+            # semantics; Java defaults to ASCII classes (see Strip)
+            matches = F.regexp_extract_all(
+                value, F.lit(f"(?U){self.pattern}"), 0
+            )
+            inv = F.size(matches) == 0
+            return Step(
+                value=F.when(inv, F.lit(None)).otherwise(matches),
+                dtype=T.ArrayType(T.StringType()),
+                invalid=inv,
+                violations=[
+                    Violation(inv, F.lit(CODE_MALFORMED), F.lit(msg))
+                ],
+            )
+        rx = _as_regex(self.pattern)
+
+        def scalar(x):
+            found = [m.group(0) for m in rx.finditer(x)]
+            if not found:
+                return None, CODE_MALFORMED
+            return found, None
+
+        return _kernel_step(
+            self,
+            value,
+            ctx,
+            T.ArrayType(T.StringType()),
+            scalar,
+            {CODE_MALFORMED: msg},
         )
 
     def __repr__(self):
-        return f"Regex({self.pattern!r})"
+        return f"Regex({self._pattern_str()!r})"
 
 
 class Split(BaseSpec):
     """Regex split; with ``keys`` the result becomes a map (reference
     returns ``dict(zip_longest(keys, split))``, ``string.py:665-721``) and
-    length > len(keys) is ``too_long`` via a nested MaxLength (:714)."""
+    length > len(keys) is ``too_long`` via a nested MaxLength (:714).
+
+    Same engine dispatch as :class:`Regex`: JVM split when Java accepts
+    the pattern, Arrow ``regex``-lib kernel otherwise (or for
+    precompiled pattern objects).
+    """
 
     templates = {CODE_TOO_LONG: "Value is too long (length must be < {max})."}
 
-    def __init__(self, pattern: str, keys=None) -> None:
+    def __init__(self, pattern, keys=None) -> None:
         self.pattern = pattern
         self.keys = list(keys) if keys else None
 
+    def _pattern_str(self) -> str:
+        return (
+            self.pattern
+            if isinstance(self.pattern, str)
+            else self.pattern.pattern
+        )
+
     def compile(self, value, dtype, ctx, key) -> Step:
         _require_string(dtype, self)
+        use_jvm = isinstance(self.pattern, str) and _java_regex_ok(
+            f"(?U){self.pattern}"
+        )
+        if not use_jvm:
+            return self._compile_kernel(value, ctx)
         # (?U): Unicode \s\d\w semantics, matching the reference (see Strip)
         parts = F.split(value, f"(?U){self.pattern}", -1)
         if not self.keys:
@@ -357,8 +446,37 @@ class Split(BaseSpec):
             ],
         )
 
+    def _compile_kernel(self, value, ctx) -> Step:
+        rx = _as_regex(self.pattern)
+        keys = self.keys
+        if not keys:
+            return _kernel_step(
+                self,
+                value,
+                ctx,
+                T.ArrayType(T.StringType()),
+                lambda x: (rx.split(x), None),
+                {},
+            )
+        n = len(keys)
+
+        def scalar(x):
+            parts = rx.split(x)
+            if len(parts) > n:
+                return None, CODE_TOO_LONG
+            return dict(zip(keys, parts + [None] * (n - len(parts)))), None
+
+        return _kernel_step(
+            self,
+            value,
+            ctx,
+            T.MapType(T.StringType(), T.StringType()),
+            scalar,
+            {CODE_TOO_LONG: self.render(CODE_TOO_LONG, max=n)},
+        )
+
     def __repr__(self):
-        return f"Split({self.pattern!r}, keys={self.keys!r})"
+        return f"Split({self._pattern_str()!r}, keys={self.keys!r})"
 
 
 class Choice(BaseSpec):

@@ -205,6 +205,35 @@ GROUPS: dict[str, tuple] = {
         S,
         ["short", "truncate me please", None],
     ),
+    # prefix-bearing truncation (string.py:447-511, :573-582) — the
+    # least-exercised reference edge (VERDICT r1 next-round #9)
+    "maxchars_trunc_prefix": (
+        f.MaxChars(6, truncate=True, prefix=">>"),
+        S,
+        ["abc", "abcdefgh", "ééééééé", "exact6", None],
+    ),
+    "maxchars_trunc_prefix_suffix": (
+        f.MaxChars(8, truncate=True, prefix=">>", suffix=".."),
+        S,
+        ["tiny", "this one is long", "ééééééééééé", None],
+    ),
+    "maxchars_trunc_suffix_overflow": (
+        # max_chars smaller than the suffix: reference returns
+        # suffix[0:max_chars] (string.py:578-581)
+        f.MaxChars(2, truncate=True, suffix="...."),
+        S,
+        ["overflow case", "ab", None],
+    ),
+    "maxbytes_trunc_prefix": (
+        f.MaxBytes(12, truncate=True, prefix="[…]"),
+        S,
+        ["short", "truncate me please", "ééééééééé", None],
+    ),
+    "maxbytes_trunc_prefix_suffix": (
+        f.MaxBytes(14, truncate=True, prefix="[…]", suffix="…"),
+        S,
+        ["ok", "a much longer value here", "éééééééééééé", None],
+    ),
     "base64": (
         f.Base64Decode(),
         B,
