@@ -11,6 +11,7 @@ md5-derived so results are portable across engines (the DuckDB oracle in
 """
 
 from filters_spark.pipeline.dedup import (
+    release,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -56,6 +57,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "quality_score",
+    "release",
     "simhash",
     "simhash_pairs",
     "srp_bucket",

@@ -27,10 +27,27 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "release",
     "simhash",
     "simhash_pairs",
     "portable_hash60",
 ]
+
+
+def _track_persisted(result: DataFrame, persisted: list[DataFrame]) -> DataFrame:
+    """Attach the intermediate frames an operator persisted to its result
+    so callers can release executor storage once the result is
+    materialised (long-running sessions would otherwise leak one cached
+    table per call).  Release with :func:`release`."""
+    result._fs_persisted = persisted  # type: ignore[attr-defined]
+    return result
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist every intermediate frame a pipeline operator cached on
+    behalf of ``df`` (no-op for frames that cached nothing)."""
+    for p in getattr(df, "_fs_persisted", ()):  # type: ignore[attr-defined]
+        p.unpersist()
 
 
 def portable_hash60(col, salt=None):
@@ -139,6 +156,7 @@ def jaccard_pairs(
     shuffle join on id — both expressed by the same code, AQE picks.
     """
     sh = word_shingles(df, text_col, id_col, n).cache()
+    persisted = [sh]
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     index = sh
     if max_df is not None:
@@ -159,7 +177,7 @@ def jaccard_pairs(
     )
     sz_a = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(F.broadcast(sz_a), "a")
         .join(F.broadcast(sz_b), "b")
         .select(
@@ -172,6 +190,7 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return _track_persisted(out, persisted)
 
 
 def minhash_signatures(
@@ -235,8 +254,10 @@ def minhash_lsh_pairs(
     signatures to a table and joining from there.
     """
     sig = minhash_signatures(df, text_col, id_col, n, bands * rows)
+    persisted: list[DataFrame] = []
     if cache:
         sig = sig.persist()
+        persisted.append(sig)
     # ONE pass over the signatures: band keys as an array-of-structs
     # column, then explode.  (A per-band unionAll would re-run the whole
     # signature aggregation `bands` times.)
@@ -265,13 +286,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify_threshold is None:
-        return cand
+        return _track_persisted(cand, persisted)
     # candidate-restricted exact Jaccard: join the candidate pairs back
     # to the shingle sets instead of computing all-pairs similarity —
     # verification cost scales with |candidates|, not |docs|².
     sh = word_shingles(df, text_col, id_col, n)
     if cache:
         sh = sh.persist()
+        persisted.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col("id").alias("a"), "shingle")
     b_sh = sh.select(F.col("id").alias("b"), "shingle")
@@ -283,7 +305,7 @@ def minhash_lsh_pairs(
     )
     sz_a = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(F.broadcast(sz_a), "a")
         .join(F.broadcast(sz_b), "b")
         .select(
@@ -296,6 +318,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= verify_threshold)
     )
+    return _track_persisted(out, persisted)
 
 
 def simhash(

@@ -308,3 +308,17 @@ def test_byte_features(payloads):
     assert len(hist) == 16
     assert sum(hist) == pytest.approx(1.0)
     assert rows[4]["byte_len"] == 0  # null payload -> zero-length row kept
+
+
+def test_pipeline_persist_release(docs, spark):
+    """Operators that persist intermediates attach them to the result so
+    callers can release executor storage (ADVICE r1)."""
+    from filters_spark.pipeline import minhash_lsh_pairs, release
+
+    out = minhash_lsh_pairs(docs, bands=4, rows=2, verify_threshold=0.3)
+    out.collect()
+    tracked = getattr(out, "_fs_persisted", [])
+    assert len(tracked) == 2  # signatures + shingle index
+    assert all(t.storageLevel.useMemory for t in tracked)
+    release(out)
+    assert all(not t.storageLevel.useMemory for t in tracked)
