@@ -165,7 +165,9 @@ class Unicode(BaseSpec):
         import pandas as pd
 
         null = s.isna()
-        fast = s.str.match(_UNICODE_FASTSAFE.pattern).fillna(False) & ~null
+        # `== True` instead of fillna(False): str.match yields object
+        # dtype with NaN for nulls, and fillna-downcasting is deprecated
+        fast = (s.str.match(_UNICODE_FASTSAFE.pattern) == True) & ~null  # noqa: E712
         out = s.copy()
         slow = ~null & ~fast
         if slow.any():
