@@ -1321,6 +1321,133 @@ SELECT o_orderkey, lower(o_orderpriority) AS picked_pri FROM orders
 
 
 # ---------------------------------------------------------------------------
+# curation operators (repetition / decontamination / PII)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-line fraction +
+    top-bigram fraction per document."""
+    from filters_spark.pipeline import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, n=2)
+    return out.select(
+        "id",
+        "n_lines",
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("top_ngram_frac", 9).alias("top_ngram_frac"),
+    )
+
+
+SQL_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS l,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i) s
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+), bstat AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1
+)
+SELECT t.doc_id AS id,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE len(l) END AS BIGINT)
+         AS n_lines,
+       round(CASE WHEN text IS NULL OR len(l) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l)
+             END, 9) AS dup_line_frac,
+       round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0), 9) AS top_ngram_frac
+FROM t JOIN documents USING (doc_id) LEFT JOIN bstat ON bstat.doc_id = t.doc_id
+"""
+
+
+def q_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: distinct 3-gram collisions between the
+    corpus and a 'benchmark' subset (every 20th doc stands in)."""
+    from filters_spark.pipeline import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return ngram_overlap(docs, bench, n=3, min_hits=2)
+
+
+SQL_NGRAM_OVERLAP = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           AS shingle
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1))) AS i) s
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM sh JOIN bench USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       coalesce(n, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction over text with injected synthetic PII (emails, IPs,
+    phone numbers) — patterns are RE2/Java-common so both engines
+    substitute identically."""
+    from filters_spark.pipeline import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "pii_text",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.1.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or +1 (555) 010-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" re: "),
+            F.substring(F.col("text"), 1, 40),
+        ),
+    )
+    return redact_pii(docs, text_col="pii_text")
+
+
+SQL_REDACT_PII = r"""
+WITH p AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@example.com at 10.1.2.'
+           || (doc_id % 256) || ' or +1 (555) 010-'
+           || (1000 + doc_id % 9000) || ' re: ' || substr(text, 1, 40)
+           AS pii_text
+  FROM documents
+)
+SELECT doc_id AS id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(pii_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+         '\+[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(pii_text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(pii_text,
+         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(pii_text,
+         '\+[0-9][0-9()\-. ]{6,}[0-9]')) AS BIGINT) AS n_phone
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # round-2 oracle coverage: the 13 SURVEY §2 operators that previously rode
 # on goldens/unit tests alone (VERDICT r1 next-round #1), plus the
 # errors-dict handler aggregation (#2)
@@ -1750,6 +1877,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "type_static": q_type_static,
     "array_static": q_array_static,
     "handler_errors": q_handler_errors,
+    "repetition_stats": q_repetition_stats,
+    "ngram_overlap": q_ngram_overlap,
+    "redact_pii": q_redact_pii,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1815,6 +1945,9 @@ _ORACLES: dict[str, str] = {
     "type_static": SQL_TYPE_STATIC,
     "array_static": SQL_ARRAY_STATIC,
     "handler_errors": SQL_HANDLER_ERRORS,
+    "repetition_stats": SQL_REPETITION,
+    "ngram_overlap": SQL_NGRAM_OVERLAP,
+    "redact_pii": SQL_REDACT_PII,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

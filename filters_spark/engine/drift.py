@@ -89,23 +89,35 @@ def dist_profile(
     """
     entries = []
     for c in cat_cols:
-        entries.append(
-            F.struct(
-                F.lit(f"cat:{c}").alias("dim"),
-                F.coalesce(F.col(c).cast("string"), F.lit("__null__")).alias(
-                    "k"
-                ),
-            )
-        )
+        entries.append(cat_entry(c, F.col(c)))
     if length_col:
         entries.append(
-            F.struct(
-                F.lit(f"len:{length_col}").alias("dim"),
-                length_bucket(length_col, bucket_width, n_buckets)
-                .cast("string")
-                .alias("k"),
+            len_entry(
+                length_col, length_bucket(length_col, bucket_width, n_buckets)
             )
         )
+    return profile_from_entries(df, entries)
+
+
+def cat_entry(name: str, col: Column) -> Column:
+    """One ``(dim, key)`` profile entry for a categorical column."""
+    return F.struct(
+        F.lit(f"cat:{name}").alias("dim"),
+        F.coalesce(col.cast("string"), F.lit("__null__")).alias("k"),
+    )
+
+
+def len_entry(name: str, bucket_col: Column) -> Column:
+    """One ``(dim, key)`` profile entry for a pre-computed length bucket."""
+    return F.struct(
+        F.lit(f"len:{name}").alias("dim"),
+        bucket_col.cast("string").alias("k"),
+    )
+
+
+def profile_from_entries(df: DataFrame, entries: list) -> dict:
+    """Shared core of :func:`dist_profile`: explode the per-row entry
+    structs, ONE hash aggregation, normalise on the driver."""
     counts = (
         df.select(F.explode(F.array(*entries)).alias("e"))
         .groupBy("e.dim", "e.k")

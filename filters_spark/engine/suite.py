@@ -5,15 +5,21 @@ structured violation rows.
 
 Pipeline shape (what actually runs):
 
-1. ONE projection pass compiles all row chains (``validate``) and tags
-   each row with its conv-bucket — no shuffle.
+1. ONE projection pass compiles all row chains (``validate``), carries
+   tiny RAW copies of the key/drift columns, and tags each row with its
+   conv-bucket — no shuffle.
 2. Per-bucket verdict aggregation — hash agg keyed by bucket
    (``n_buckets`` groups; map-side combine reduces each task's output to
    ``n_buckets`` rows before the shuffle).
 3. Uniqueness + gaplessness — hash aggs keyed by (conv_id, turn_idx) /
-   conv_id, rolled up to buckets.
-4. Column stats — one agg pass (HLL + approx quantiles).
-5. Drift — two tiny frequency aggs + driver-side KL/PSI.
+   conv_id, rolled up to buckets, reading the PERSISTED narrow
+   projection (raw-key copies), not a second input scan.
+4. Column stats — one agg pass over the input (HLL + approx quantiles).
+5. Drift — current side from the persisted raw copies (pre-bucketed
+   lengths), baseline side one scan, driver-side KL/PSI.
+
+Input scans at 10^12 rows: the chain pass and the stats pass — every
+other stage reads the cached narrow projection.
 
 Buckets default to ``pmod(xxhash64(conv_id), n_buckets)``; pass
 ``bucket_fn=filters_spark.sources.iceberg.iceberg_bucket_fn(spark)`` on
@@ -33,11 +39,20 @@ from filters_spark.core.compiler import validate
 from filters_spark.engine.drift import (
     dist_profile,
     kl_from_dicts,
+    length_bucket,
     psi_from_dicts,
 )
 from filters_spark.engine.stats import column_stats
 
 BUCKET_COL = "_bucket"
+
+#: raw-copy columns carried through the row pass so the uniqueness
+#: aggregation and the current-side drift profile read the narrow
+#: persisted projection instead of rescanning the input (chains REPLACE
+#: validated columns with cleaned values, so the raw key/drift values
+#: must ride along; they are small — two keys, the categorical drift
+#: columns, and a pre-computed length-bucket int, never the text)
+RAW_PREFIX = "__raw_"  # NOT "__fs_": validate() prunes its own temps by that prefix
 
 
 def bucket_of(conv_col, n_buckets: int):
@@ -98,8 +113,17 @@ class ValidationSuite:
 
     # -- pieces ---------------------------------------------------------
 
+    def _raw_copy_cols(self, df: DataFrame) -> dict:
+        keep = [self.conv, self.idx] + [
+            c for c in self.drift_cols if c in df.columns
+        ]
+        raws = {RAW_PREFIX + c: F.col(c) for c in dict.fromkeys(keep)}
+        if self.length_col and self.length_col in df.columns:
+            raws[RAW_PREFIX + "lenbucket"] = length_bucket(self.length_col)
+        return raws
+
     def row_results(self, df: DataFrame) -> DataFrame:
-        rows = validate(df, self.rules)
+        rows = validate(df.withColumns(self._raw_copy_cols(df)), self.rules)
         return rows.withColumn(
             BUCKET_COL, self.bucket_fn(F.col(self.conv), self.n_buckets)
         )
@@ -108,9 +132,13 @@ class ValidationSuite:
         """Per-bucket verdict: row validity + uniqueness + gaplessness.
 
         Uniqueness and gaplessness derive from ONE aggregation cascade
-        over the raw input — ``(conv, idx)`` counts → per-conversation
-        stats (dup counters AND gapless flags computed together) →
-        bucket rollup — so the big keyed shuffle runs exactly once.
+        over the RAW key copies carried in ``rows`` — ``(conv, idx)``
+        counts → per-conversation stats (dup counters AND gapless flags
+        computed together) → bucket rollup — so the big keyed shuffle
+        runs exactly once AND reads the narrow persisted projection
+        instead of rescanning the input (chains replace validated
+        columns, so cleaned keys could be nulled; the ``__raw_`` copies
+        preserve the raw-key contract without a second scan).
         (An earlier design aggregated dups and gaplessness as two
         branches over the shared pre-agg, counting on exchange reuse;
         measured plans showed Spark does NOT dedupe those exchanges, so
@@ -123,9 +151,11 @@ class ValidationSuite:
                 "n_invalid"
             ),
         )
-        # keyed pre-agg on the RAW input (key columns are never nulled by
-        # chains, but raw is the contract)
-        level1 = df.groupBy(self.conv, self.idx).agg(
+        raw_src = rows.select(
+            F.col(RAW_PREFIX + self.conv).alias(self.conv),
+            F.col(RAW_PREFIX + self.idx).alias(self.idx),
+        )
+        level1 = raw_src.groupBy(self.conv, self.idx).agg(
             F.count(F.lit(1)).alias("cnt")
         )
         conv_stats = level1.groupBy(self.conv).agg(
@@ -178,10 +208,40 @@ class ValidationSuite:
             ).alias("bucket_pass"),
         )
 
-    def drift(self, df: DataFrame, baseline: DataFrame) -> dict:
+    def _cur_profile_from_rows(self, rows: DataFrame) -> dict:
+        """Current-side drift profile from the raw copies riding the
+        (persisted) row-pass output — no rescan of the input.  The
+        length dimension uses the pre-computed bucket int, so the text
+        itself never enters the cache."""
+        from filters_spark.engine.drift import (
+            cat_entry,
+            len_entry,
+            profile_from_entries,
+        )
+
+        entries = [
+            cat_entry(c, F.col(RAW_PREFIX + c))
+            for c in self.drift_cols
+            if RAW_PREFIX + c in rows.columns
+        ]
+        if self.length_col and RAW_PREFIX + "lenbucket" in rows.columns:
+            entries.append(
+                len_entry(self.length_col, F.col(RAW_PREFIX + "lenbucket"))
+            )
+        return profile_from_entries(rows, entries)
+
+    def drift(
+        self,
+        df: DataFrame,
+        baseline: DataFrame,
+        cur_profile: dict | None = None,
+    ) -> dict:
         """All drift dimensions in ONE scan per side (dist_profile);
-        KL/PSI math runs on the collected frequency dicts (tiny)."""
-        cur = dist_profile(df, self.drift_cols, self.length_col)
+        KL/PSI math runs on the collected frequency dicts (tiny).
+        ``cur_profile`` (from :meth:`_cur_profile_from_rows`) skips the
+        current-side scan; the baseline side is scanned here — at real
+        scale the baseline profile is computed once and stored."""
+        cur = cur_profile or dist_profile(df, self.drift_cols, self.length_col)
         base = dist_profile(baseline, self.drift_cols, self.length_col)
         metrics: dict = {}
         failed = False
@@ -225,10 +285,16 @@ class ValidationSuite:
         from pyspark import StorageLevel
 
         rows = self.row_results(df)
+        raw_cols = [c for c in rows.columns if c.startswith(RAW_PREFIX)]
         keyed = None
         if persist:
             keyed = rows.select(
-                self.conv, self.idx, BUCKET_COL, "_is_valid", "_violations"
+                self.conv,
+                self.idx,
+                BUCKET_COL,
+                "_is_valid",
+                "_violations",
+                *raw_cols,
             ).persist(StorageLevel.MEMORY_AND_DISK)
         agg_src = keyed if keyed is not None else rows
         verdicts = self.verdicts(df, agg_src)
@@ -248,9 +314,15 @@ class ValidationSuite:
                 F.col("v.message").alias("message"),
             )
         )
-        metrics = self.drift(df, baseline) if baseline is not None else {}
+        metrics = (
+            self.drift(
+                df, baseline, cur_profile=self._cur_profile_from_rows(agg_src)
+            )
+            if baseline is not None
+            else {}
+        )
         return SuiteResult(
-            rows=rows,
+            rows=rows.drop(*raw_cols),
             verdicts=verdicts,
             stats=stats,
             violations=violations,

@@ -10,6 +10,11 @@ md5-derived so results are portable across engines (the DuckDB oracle in
 ``__spark_entry__.py`` reproduces them bit-for-bit).
 """
 
+from filters_spark.pipeline.curation import (
+    ngram_overlap,
+    redact_pii,
+    repetition_stats,
+)
 from filters_spark.pipeline.dedup import (
     release,
     exact_dedup,
@@ -56,8 +61,11 @@ __all__ = [
     "lang_id",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "ngram_overlap",
     "quality_score",
+    "redact_pii",
     "release",
+    "repetition_stats",
     "simhash",
     "simhash_pairs",
     "srp_bucket",

@@ -322,3 +322,75 @@ def test_pipeline_persist_release(docs, spark):
     assert all(t.storageLevel.useMemory for t in tracked)
     release(out)
     assert all(not t.storageLevel.useMemory for t in tracked)
+
+
+# -- curation --------------------------------------------------------------
+
+
+def test_repetition_stats(spark):
+    from filters_spark.pipeline import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a\na\nb"),                  # duplicate line
+            (1, "x y x y x y"),              # dominant bigram
+            (2, "all words unique here ok"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert rows[0]["n_lines"] == 3
+    assert rows[0]["dup_line_frac"] == pytest.approx(1 / 3)
+    # bigrams of doc1: "x y","y x","x y","y x","x y" -> top 3/5
+    assert rows[1]["top_ngram_frac"] == pytest.approx(3 / 5)
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] == pytest.approx(1 / 4)
+    assert rows[3]["n_lines"] == 0 and rows[3]["top_ngram_frac"] == 0.0
+
+
+def test_ngram_overlap_decontamination(spark):
+    from filters_spark.pipeline import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown cat sits still"),
+            (2, "completely unrelated content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in ngram_overlap(corpus, bench, n=3).collect()}
+    # doc0 shares "quick brown fox" and "brown fox jumps"
+    assert rows[0]["n_hits"] == 2 and rows[0]["contaminated"]
+    assert rows[1]["n_hits"] == 0 and not rows[1]["contaminated"]
+    assert rows[2]["n_hits"] == 0
+    plan = ngram_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark grams broadcast
+
+
+def test_redact_pii(spark):
+    from filters_spark.pipeline import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at john.doe+x@corp.example.org today"),
+            (1, "server 192.168.0.1 and backup 10.0.0.254"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "nothing sensitive"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in redact_pii(df).collect()}
+    assert rows[0]["clean_text"] == "mail me at <EMAIL> today"
+    assert rows[0]["n_email"] == 1
+    assert rows[1]["clean_text"] == "server <IP> and backup <IP>"
+    assert rows[1]["n_ip"] == 2
+    assert rows[2]["clean_text"] == "call <PHONE> now"
+    assert rows[2]["n_phone"] == 1
+    assert rows[3]["clean_text"] == "nothing sensitive"
+    assert rows[4]["clean_text"] is None
