@@ -229,6 +229,40 @@ def attach_chain(
     return df, out_value, out_violations
 
 
+def _kernel_repeater_inner(df, col_name, chain, ctx):
+    """If ``chain`` is exactly one FilterRepeater over an array column
+    whose element chain needs an Arrow kernel, return that element
+    chain (the explode-path route); else None (normal projection
+    compile, which covers pure-expression repeaters via F.transform)."""
+    from filters_spark.operators.structural import FilterRepeater
+
+    specs = as_chain(chain).specs
+    if len(specs) != 1 or not isinstance(specs[0], FilterRepeater):
+        return None
+    if col_name not in df.columns:
+        return None
+    if df.isStreaming:
+        # the explode path re-assembles via a grouped aggregation, which
+        # a streaming plan cannot host in append mode — keep the clear
+        # compile error instead of a confusing runtime one
+        return None
+    dtype = df.schema[col_name].dataType
+    if not isinstance(dtype, T.ArrayType):
+        return None
+    try:
+        compile_chain_expr(
+            specs[0].chain,
+            F.col(col_name),
+            dtype.elementType,
+            Ctx(prefix="__probe"),
+            col_name,
+            allow_pre=False,
+        )
+        return None  # pure-expression chain: the F.transform path is fine
+    except CompileError:
+        return specs[0].chain
+
+
 def validate(
     df: DataFrame,
     rules: dict[str, BaseSpec | Chain],
@@ -248,11 +282,25 @@ def validate(
 
     Scale notes: no shuffle — pure projection; Column-expression kernels
     stay in whole-stage codegen; pandas kernels ride Arrow batches.
+    Exception: a rule that is exactly ``FilterRepeater(inner)`` over an
+    array column where ``inner`` needs an Arrow kernel (kernels cannot
+    run inside higher-order-function lambdas) is routed through the
+    explode path automatically — that one rule costs a per-row-id hash
+    aggregation (see ``engine/explode.py``); everything else stays a
+    projection.
     """
     ctx = Ctx()
     produced: list[tuple[str, str, str]] = []
     for col_name, chain in rules.items():
-        df, v, w = attach_chain(df, col_name, chain, ctx=ctx)
+        inner = _kernel_repeater_inner(df, col_name, chain, ctx)
+        if inner is not None:
+            from filters_spark.engine.explode import explode_validate
+
+            df, v, w = explode_validate(
+                df, col_name, inner, key=col_name, ctx=ctx
+            )
+        else:
+            df, v, w = attach_chain(df, col_name, chain, ctx=ctx)
         produced.append((col_name, v, w))
 
     viols = F.concat(*[F.col(w) for _, _, w in produced]) if produced else _empty_viols()

@@ -97,3 +97,23 @@ def test_chain_break_returns_partial_array(arr_df, spark):
         ("arr.1", "too_big")
     ]
     assert rows[1]["arr"] == [1, 2, 3] and rows[1]["_violations"] == []
+
+
+def test_validate_autoroutes_kernel_repeater(arr_df, spark):
+    """validate() with a rule that is exactly FilterRepeater(kernel
+    chain) over an array column routes through the explode path instead
+    of raising CompileError (UX parity: the reference repeater takes any
+    chain)."""
+    rules = {"texts": fs.FilterRepeater(fs.Required() | fs.Unicode())}
+    out = fs.validate(arr_df, rules)
+    rows = {r["rid"]: r for r in out.collect()}
+    assert rows[0]["texts"] == ["café", "café", "plain"]
+    assert [(x["key"], x["code"]) for x in rows[1]["_violations"]] == [
+        ("texts.1", "empty")
+    ]
+    assert rows[3]["texts"] is None
+    assert rows[1]["_is_valid"] is False and rows[4]["_is_valid"] is True
+    # pure-expression repeaters must STILL take the transform path
+    pure = fs.validate(arr_df, {"texts": fs.FilterRepeater(fs.MinLength(2))})
+    plan = pure._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "HashAggregate" not in plan
