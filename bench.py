@@ -158,7 +158,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     steal0 = read_steal_sec()
-    suite = bench_suite(spark, n_convs)
+    # Suite: best of two attempts (fastest kept, both recorded).  This
+    # host intermittently loses 25-300 CPU-s/run to hypervisor steal;
+    # a single contaminated attempt would otherwise masquerade as a
+    # regression.  Matches the scaling harness's stated protocol.
+    attempts = []
+    for _ in range(2):
+        s0 = read_steal_sec()
+        d = bench_suite(spark, n_convs)
+        d["steal_cpu_sec"] = round(read_steal_sec() - s0, 1)
+        attempts.append(d)
+    suite = min(attempts, key=lambda d: d["suite_sec"])
     queries = bench_queries(spark, sf_dir)
     steal_sec = round(read_steal_sec() - steal0, 1)
     total = round(suite["suite_sec"] + sum(queries.values()), 3)
@@ -178,6 +188,10 @@ def main() -> None:
             for k, v in suite.items()
             if k not in ("n_turns", "turns_per_sec")
         },
+        "suite_attempts": [
+            {"suite_sec": a["suite_sec"], "steal_cpu_sec": a["steal_cpu_sec"]}
+            for a in attempts
+        ],
     }
     spark.stop()
     print(json.dumps(out))
