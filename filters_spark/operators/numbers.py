@@ -202,20 +202,71 @@ class Min(BaseSpec):
         return f"Min({self.min_value!r}, exclusive={self.exclusive!r})"
 
 
+#: every :mod:`decimal` rounding mode, expressed as an exact-decimal
+#: Spark expression over the scaled value (scale → round → unscale)
+_ROUNDING_MODES = (
+    "ROUND_HALF_UP",
+    "ROUND_HALF_EVEN",
+    "ROUND_HALF_DOWN",
+    "ROUND_CEILING",
+    "ROUND_FLOOR",
+    "ROUND_UP",
+    "ROUND_DOWN",
+    "ROUND_05UP",
+)
+
+
+def _round_expr(scaled, mode: str):
+    """Integer-quantize ``scaled`` (a decimal column) under a
+    :mod:`decimal` rounding mode.  All arithmetic stays in Spark decimal
+    (exact), mirroring ``Decimal.quantize(1, rounding=mode)``."""
+    ceil_x, floor_x = F.ceil(scaled), F.floor(scaled)
+    toward_zero = F.when(scaled >= 0, floor_x).otherwise(ceil_x)
+    away_zero = F.when(scaled >= 0, ceil_x).otherwise(floor_x)
+    if mode == "ROUND_HALF_UP":
+        return F.round(scaled, 0)  # Java HALF_UP = ties away from zero
+    if mode == "ROUND_HALF_EVEN":
+        return F.bround(scaled, 0)
+    if mode == "ROUND_HALF_DOWN":
+        # ties toward zero: x>=0 → ceil(x - 1/2), x<0 → floor(x + 1/2)
+        half = F.lit(py_decimal.Decimal("0.5"))
+        return F.when(scaled >= 0, F.ceil(scaled - half)).otherwise(
+            F.floor(scaled + half)
+        )
+    if mode == "ROUND_CEILING":
+        return ceil_x
+    if mode == "ROUND_FLOOR":
+        return floor_x
+    if mode == "ROUND_UP":
+        return away_zero
+    if mode == "ROUND_DOWN":
+        return toward_zero
+    if mode == "ROUND_05UP":
+        # away from zero only when truncation would end in 0 or 5
+        return F.when(
+            (F.pmod(F.abs(toward_zero), F.lit(5)) == 0)
+            & (scaled != toward_zero),
+            away_zero,
+        ).otherwise(toward_zero)
+    raise CompileError(f"unsupported rounding mode {mode!r}")
+
+
 class Round(BaseSpec):
     """Round to an arbitrary grid: scale → round → unscale in exact
     decimal arithmetic (``number.py:257-305``).
 
-    ``rounding``: ``ROUND_HALF_UP`` (default, = Spark ``round``) or
-    ``ROUND_HALF_EVEN`` (= Spark ``bround``); both JVM-side.  Other decimal
-    rounding modes are not supported (CompileError).
+    Every :mod:`decimal` rounding mode is supported, JVM-side
+    (``rounding=`` one of ``ROUND_HALF_UP`` (default), ``ROUND_HALF_EVEN``,
+    ``ROUND_HALF_DOWN``, ``ROUND_CEILING``, ``ROUND_FLOOR``, ``ROUND_UP``,
+    ``ROUND_DOWN``, ``ROUND_05UP``) — semantics mirror
+    ``Decimal.quantize`` exactly (unit-tested against it).
     """
 
     def __init__(self, to_nearest=1, rounding: str = "ROUND_HALF_UP") -> None:
         self.to_nearest = py_decimal.Decimal(str(to_nearest))
         if self.to_nearest < 0:
             raise ValueError("Rounding to negative values isn't supported.")
-        if rounding not in ("ROUND_HALF_UP", "ROUND_HALF_EVEN"):
+        if rounding not in _ROUNDING_MODES:
             raise CompileError(f"unsupported rounding mode {rounding!r}")
         self.rounding = rounding
 
@@ -223,11 +274,7 @@ class Round(BaseSpec):
         casted, not_numeric, non_finite = coerce_decimal(value, dtype)
         n = F.lit(self.to_nearest)
         scaled = casted / n
-        rounded = (
-            F.round(scaled, 0)
-            if self.rounding == "ROUND_HALF_UP"
-            else F.bround(scaled, 0)
-        )
+        rounded = _round_expr(scaled, self.rounding)
         out_scale = max(0, -self.to_nearest.as_tuple().exponent)
         out_type = _decimal_type(out_scale)
         inv = not_numeric | non_finite

@@ -49,15 +49,47 @@ class Datetime(BaseSpec):
 
     def __init__(
         self,
-        timezone: int | float | None = None,
+        timezone=None,
         naive: bool = False,
         strict: bool = True,
         formats=DEFAULT_FORMATS,
     ) -> None:
-        self.timezone = timezone
+        """``timezone`` accepts int/float hour offsets (reference
+        ``simple.py:288-298``) AND ``tzinfo`` objects: fixed-offset
+        tzinfos (``datetime.timezone``, ``dateutil.tz.tzoffset``) via
+        their ``utcoffset()``, IANA-named zones (``zoneinfo.ZoneInfo``,
+        pytz) via the zone NAME — the JVM strict path hands the name to
+        ``to_utc_timestamp``, which applies real DST rules per value."""
+        import datetime as _dt
+
         self.naive = naive  # Spark timestamps are tz-less; kept for API parity
         self.strict = strict
         self.formats = tuple(formats)
+        self._tzinfo = None  # kernel path: exact tzinfo to attach
+        self._tz_name: str | None = None  # JVM path: IANA zone name
+        self.timezone: float | None = None  # JVM path: fixed hour offset
+        if timezone is None:
+            pass
+        elif isinstance(timezone, (int, float)):
+            self.timezone = float(timezone)
+        elif isinstance(timezone, _dt.tzinfo):
+            self._tzinfo = timezone
+            name = getattr(timezone, "key", None) or getattr(
+                timezone, "zone", None
+            )
+            if name:
+                self._tz_name = str(name)
+            else:
+                off = timezone.utcoffset(None)
+                if off is None:
+                    raise ValueError(
+                        "DST-dependent tzinfo without an IANA name "
+                        "(no .key/.zone and no fixed utcoffset) is not "
+                        "supported; pass a zoneinfo.ZoneInfo or an offset"
+                    )
+                self.timezone = off.total_seconds() / 3600.0
+        else:
+            raise TypeError(f"unsupported timezone {timezone!r}")
 
     # -- kernel path (dateutil parity) --------------------------------------
 
@@ -74,8 +106,11 @@ class Datetime(BaseSpec):
             except (ValueError, OverflowError):
                 return None, self._code
         if parsed.tzinfo is None:
-            offset = float(self.timezone or 0)
-            parsed = parsed.replace(tzinfo=_tz(timedelta(hours=offset)))
+            if self._tzinfo is not None:
+                parsed = parsed.replace(tzinfo=self._tzinfo)
+            else:
+                offset = float(self.timezone or 0)
+                parsed = parsed.replace(tzinfo=_tz(timedelta(hours=offset)))
         return parsed.astimezone(_tz.utc).replace(tzinfo=None), None
 
     # -- compile -------------------------------------------------------------
@@ -86,7 +121,11 @@ class Datetime(BaseSpec):
             F.try_to_timestamp(value, F.lit(fmt)) for fmt in self.formats
         ]
         parsed = F.coalesce(*candidates)
-        if self.timezone:
+        if self._tz_name:
+            # named zone: the JVM applies the zone's real (DST-aware)
+            # rules per value — same tzdata as zoneinfo
+            parsed = F.to_utc_timestamp(parsed, self._tz_name)
+        elif self.timezone:
             # naive input assumed at the configured offset → shift to UTC
             sign = "+" if self.timezone >= 0 else "-"
             hh = int(abs(self.timezone))

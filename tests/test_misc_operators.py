@@ -122,3 +122,71 @@ def test_extension_registry_manual_registration(sdf):
     assert dict(iter(reg))["Shout"] is fs.CaseFold
     with pytest.raises(AttributeError):
         _ = reg.Missing
+
+
+def test_round_all_decimal_modes(spark):
+    """Every decimal rounding mode must mirror Decimal.quantize exactly
+    (reference number.py:257-305 passes `rounding` straight through)."""
+    import decimal as d
+
+    import filters_spark as fs
+    from filters_spark.operators.numbers import _ROUNDING_MODES
+
+    values = [
+        "2.5", "3.5", "-2.5", "-3.5", "1.25", "-1.25", "5.01", "-5.01",
+        "0.049999", "7.5", "2.0", "-2.0", "10.0", "4.999", "-0.5", "0.5",
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i int, v string")
+    for mode in _ROUNDING_MODES:
+        for nearest in ("1", "0.05", "0.25"):
+            out = fs.validate(df, {"v": fs.Round(nearest, rounding=mode)})
+            got = {r["i"]: r["v"] for r in out.collect()}
+            tn = d.Decimal(nearest)
+            for i, v in enumerate(values):
+                exp = (d.Decimal(v) / tn).quantize(
+                    d.Decimal(1), rounding=getattr(d, mode)
+                ) * tn
+                assert got[i] == exp, (mode, nearest, v, got[i], exp)
+
+
+def test_round_rejects_unknown_mode():
+    import filters_spark as fs
+    from filters_spark.core.spec import CompileError
+
+    with pytest.raises(CompileError):
+        fs.Round(1, rounding="ROUND_SIDEWAYS")
+
+
+def test_datetime_tzinfo_objects(spark):
+    """Datetime(timezone=tzinfo): fixed-offset tzinfos via utcoffset,
+    IANA-named zones with real DST rules (DEVIATIONS #2 closed)."""
+    import datetime as dt
+
+    import filters_spark as fs
+
+    df = spark.createDataFrame(
+        [(0, "2024-01-15 12:00:00"), (1, "2024-07-15 12:00:00")],
+        "i int, ts string",
+    )
+    # fixed offset +05:30 (datetime.timezone object)
+    fixed = dt.timezone(dt.timedelta(hours=5, minutes=30))
+    out = fs.validate(df, {"ts": fs.Datetime(timezone=fixed)})
+    got = {r["i"]: r["ts"] for r in out.collect()}
+    assert got[0] == dt.datetime(2024, 1, 15, 6, 30)
+    assert got[1] == dt.datetime(2024, 7, 15, 6, 30)
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        ny = ZoneInfo("America/New_York")
+    except Exception:
+        pytest.skip("tzdata unavailable")
+    out = fs.validate(df, {"ts": fs.Datetime(timezone=ny)})
+    got = {r["i"]: r["ts"] for r in out.collect()}
+    assert got[0] == dt.datetime(2024, 1, 15, 17, 0)  # EST -5
+    assert got[1] == dt.datetime(2024, 7, 15, 16, 0)  # EDT -4 (DST!)
+    # kernel path agrees with the JVM path
+    out2 = fs.validate(df, {"ts": fs.Datetime(timezone=ny, strict=False)})
+    got2 = {r["i"]: r["ts"] for r in out2.collect()}
+    assert got2 == got
