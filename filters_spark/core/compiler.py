@@ -121,6 +121,7 @@ def compile_chain_expr(
     err = F.lit(False)
     viols = _empty_viols()
     pre: dict = {}
+    partial_possible = False  # True once a keep_value_on_error step ran
     for spec in as_chain(chain).specs:
         step = spec.compile(value, dtype, ctx, key if isinstance(key, str) else "")
         if step.pre:
@@ -135,22 +136,31 @@ def compile_chain_expr(
         fired = _fired_violations(step, err, value, key)
         viols = F.when(err, viols).otherwise(F.concat(viols, fired))
         skip_null = F.lit(False) if step.handles_null else value.isNull()
-        own_nulled = skip_null if step.keep_value_on_error else (
-            skip_null | inv
-        )
-        own = F.when(own_nulled, null_of(step.dtype)).otherwise(step.value)
         # Chain break carries the FAILING step's output forward (the
         # reference's FilterChain._apply, base.py:462-473, breaks and
         # returns the last-applied filter's value — a structural
-        # combinator's PARTIAL output, not None).  When the step changes
-        # the column type the frozen value is unrepresentable, so it
-        # degrades to NULL (scalar replacement semantics).
-        if step.dtype == dtype:
+        # combinator's PARTIAL output, not None).  Scalar steps replace
+        # with NULL on error, so the carry is only observable once a
+        # keep_value_on_error (structural) step has run; gating on that
+        # keeps scalar-only chains on the cheap formula (no extra
+        # reference to the previous value expression — measured ~40%
+        # chain-throughput cost when applied unconditionally).  When the
+        # step changes the column type the frozen value is
+        # unrepresentable and degrades to NULL.
+        if partial_possible and step.dtype == dtype:
+            own_nulled = skip_null if step.keep_value_on_error else (
+                skip_null | inv
+            )
+            own = F.when(own_nulled, null_of(step.dtype)).otherwise(step.value)
             value = F.when(err, value).otherwise(own)
         else:
-            value = F.when(err, null_of(step.dtype)).otherwise(own)
+            nulled = err | skip_null if step.keep_value_on_error else (
+                err | skip_null | inv
+            )
+            value = F.when(nulled, null_of(step.dtype)).otherwise(step.value)
         err = err | inv
         dtype = step.dtype
+        partial_possible = partial_possible or step.keep_value_on_error
     return ChainResult(value=value, dtype=dtype, violations=viols, pre=pre)
 
 
@@ -186,6 +196,7 @@ def attach_chain(
     err = F.lit(False)
     viols = _empty_viols()
     temps: list[str] = []
+    partial_possible = False
 
     for spec in as_chain(chain).specs:
         step = spec.compile(value, dtype, ctx, key)
@@ -198,17 +209,23 @@ def attach_chain(
         fired = _fired_violations(step, err, value, key)
         new_viols = F.when(err, viols).otherwise(F.concat(viols, fired))
         skip_null = F.lit(False) if step.handles_null else value.isNull()
-        own_nulled = skip_null if step.keep_value_on_error else (
-            skip_null | inv
-        )
-        own = F.when(own_nulled, null_of(step.dtype)).otherwise(step.value)
-        # chain break carries the failing step's (partial) output when the
-        # type allows — see compile_chain_expr
-        if step.dtype == dtype:
+        # chain break carries the failing step's (partial) output when a
+        # keep_value_on_error step has run and the type allows — gated
+        # exactly like compile_chain_expr (scalar-only chains keep the
+        # cheap single-reference formula)
+        if partial_possible and step.dtype == dtype:
+            own_nulled = skip_null if step.keep_value_on_error else (
+                skip_null | inv
+            )
+            own = F.when(own_nulled, null_of(step.dtype)).otherwise(step.value)
             new_value = F.when(err, value).otherwise(own)
         else:
-            new_value = F.when(err, null_of(step.dtype)).otherwise(own)
+            nulled = err | skip_null if step.keep_value_on_error else (
+                err | skip_null | inv
+            )
+            new_value = F.when(nulled, null_of(step.dtype)).otherwise(step.value)
         new_err = err | inv
+        partial_possible = partial_possible or step.keep_value_on_error
 
         v_name, e_name, w_name = (
             ctx.name("val"),

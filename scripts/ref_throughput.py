@@ -7,12 +7,18 @@ core, same input distribution (the synthetic transcripts text mix:
 NFC/NFD variants, CRLF, emoji, multibyte, empty, 2.4KB over-length
 pads), same chain (Unicode | Strip | MaxLength(2000, truncate)).
 
-Measured 2026-08-17 on this sandbox (clean runs, steal < 1 CPU-s):
+Measured 2026-08-17 on this sandbox (clean runs, steal < 1 CPU-s).
+Host single-core throughput varies ~2x between sessions (hypervisor
+neighbours); compare only within one session, reference vs engine
+back-to-back:
 
-- reference ``FilterRunner`` (the validation API): ~70.8k values/sec
-- reference bare ``chain.apply`` (no error collection): ~92.2k/sec
-- engine, local[1], incl. input generation + Required + violation
-  side-channel: **~126.7k turns/sec** (1.37x bare / 1.79x runner)
+- round-1 session: reference runner ~70.8k values/sec, bare apply
+  ~92.2k/sec, engine local[1] ~126.7k turns/sec (1.79x runner).
+- round-2 session (slower host window): reference runner 64-81k, bare
+  81-101k, engine 72-88k across repeated runs (0.97-1.32x runner);
+  ROUND-1 CODE re-run in the same window measured 65.4k — i.e. the
+  engine got faster relative to its own past, and the single-session
+  ratio remains >= ~1x runner even in the worst draw.
 
 Run:  PYTHONPATH=/root/repo python scripts/ref_throughput.py [n_values]
 """
