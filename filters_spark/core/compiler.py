@@ -264,13 +264,17 @@ def _kernel_repeater_inner(df, col_name, chain, ctx):
         # compile error instead of a confusing runtime one
         return None
     dtype = df.schema[col_name].dataType
-    if not isinstance(dtype, T.ArrayType):
+    if isinstance(dtype, T.ArrayType):
+        elem_t = dtype.elementType
+    elif isinstance(dtype, T.MapType):
+        elem_t = dtype.valueType
+    else:
         return None
     try:
         compile_chain_expr(
             specs[0].chain,
             F.col(col_name),
-            dtype.elementType,
+            elem_t,
             Ctx(prefix="__probe"),
             col_name,
             allow_pre=False,

@@ -66,9 +66,14 @@ def explode_validate(
     ctx = ctx or Ctx()
     key = key if key is not None else col_name
     dtype = df.schema[col_name].dataType
+    if isinstance(dtype, T.MapType):
+        return _explode_validate_map(
+            df, col_name, chain, key=key, ctx=ctx,
+            out_value=out_value, out_violations=out_violations,
+        )
     if not isinstance(dtype, T.ArrayType):
         raise CompileError(
-            f"explode_validate needs an array column, got {dtype}"
+            f"explode_validate needs an array or map column, got {dtype}"
         )
     elem_t = dtype.elementType
 
@@ -144,6 +149,117 @@ def explode_validate(
         F.when(F.col("__fs_isnull"), F.lit(None).cast(T.ArrayType(r.dtype)))
         .when(F.col("__fs_n") == 0, F.array().cast(T.ArrayType(r.dtype)))
         .otherwise(F.col("__fs_arr"))
+    )
+    viols = F.when(
+        F.col(out_violations).isNull(),
+        F.array().cast(T.ArrayType(VIOLATION_SCHEMA)),
+    ).otherwise(F.col(out_violations))
+    out = assembled.select(
+        *[F.col("__fs_row")[c].alias(c) for c in payload_cols],
+        cleaned.alias(out_value),
+        viols.alias(out_violations),
+    )
+    return out, out_value, out_violations
+
+
+def _explode_validate_map(
+    df: DataFrame,
+    col_name: str,
+    chain,
+    *,
+    key: str,
+    ctx: Ctx,
+    out_value: str | None = None,
+    out_violations: str | None = None,
+) -> tuple[DataFrame, str, str]:
+    """Map variant of :func:`explode_validate`: the chain (Arrow kernels
+    allowed) runs over every map VALUE; violation keys carry the map key
+    (``col.mapkey`` dotted path — reference FilterRepeater over mappings,
+    complex.py:97-129).  Same single-lineage shape as the array path:
+    explode ``map_entries`` carrying the row payload, one hash agg keyed
+    by a synthetic row id, ``map_from_entries`` re-assembly (maps are
+    unordered, so no position bookkeeping is needed)."""
+    dtype = df.schema[col_name].dataType
+    val_t = dtype.valueType
+
+    out_value = out_value or ctx.name("cleaned")
+    out_violations = out_violations or ctx.name("violset")
+
+    payload_cols = list(df.columns)
+    base = df.withColumn(_RID, F.monotonically_increasing_id())
+    exploded = base.select(
+        *payload_cols,
+        _RID,
+        F.col(col_name).isNull().alias("__fs_isnull"),
+        F.posexplode_outer(F.map_entries(F.col(col_name))).alias(
+            "__fs_pos", "__fs_e"
+        ),
+    )
+
+    entry_key = F.concat_ws(
+        ".", F.lit(key), F.col("__fs_e.key").cast("string")
+    )
+    r = compile_chain_expr(
+        chain if isinstance(chain, Chain) else Chain([chain]),
+        F.col("__fs_e.value"),
+        val_t,
+        ctx,
+        entry_key,
+        allow_pre=True,
+    )
+    for pname, pcol in (r.pre or {}).items():
+        exploded = exploded.withColumn(pname, pcol)
+
+    first_of_row = F.col("__fs_pos").isNull() | (F.col("__fs_pos") == 0)
+    per_entry = exploded.select(
+        _RID,
+        F.when(
+            first_of_row, F.struct(*[F.col(c) for c in payload_cols])
+        ).alias("__fs_row"),
+        "__fs_isnull",
+        F.col("__fs_e.key").alias("__fs_k"),
+        r.value.alias("__fs_val"),
+        F.when(
+            F.col("__fs_e").isNull(),
+            F.array().cast(T.ArrayType(VIOLATION_SCHEMA)),
+        )
+        .otherwise(r.violations)
+        .alias("__fs_viols"),
+    )
+
+    assembled = per_entry.groupBy(_RID).agg(
+        F.first("__fs_row", ignorenulls=True).alias("__fs_row"),
+        F.map_from_entries(
+            F.filter(
+                F.collect_list(
+                    F.struct(
+                        F.col("__fs_k").alias("key"),
+                        F.col("__fs_val").alias("value"),
+                    )
+                ),
+                lambda s: s["key"].isNotNull(),
+            )
+        ).alias("__fs_map"),
+        F.flatten(F.collect_list("__fs_viols")).alias(out_violations),
+        F.first("__fs_isnull").alias("__fs_isnull"),
+        F.count("__fs_k").alias("__fs_n"),
+    )
+    out_t = T.MapType(dtype.keyType, r.dtype)
+    cleaned = (
+        F.when(F.col("__fs_isnull"), F.lit(None).cast(out_t))
+        .when(F.col("__fs_n") == 0, F.map_from_entries(
+            F.array().cast(
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("key", dtype.keyType),
+                            T.StructField("value", r.dtype),
+                        ]
+                    )
+                )
+            )
+        ))
+        .otherwise(F.col("__fs_map").cast(out_t))
     )
     viols = F.when(
         F.col(out_violations).isNull(),

@@ -117,3 +117,30 @@ def test_validate_autoroutes_kernel_repeater(arr_df, spark):
     pure = fs.validate(arr_df, {"texts": fs.FilterRepeater(fs.MinLength(2))})
     plan = pure._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "HashAggregate" not in plan
+
+
+def test_explode_validate_map_values(spark):
+    """Map variant: kernel chain over every map VALUE, violation keys
+    carry the map key, NULL/empty maps pass through (reference
+    FilterRepeater over mappings, complex.py:97-129)."""
+    df = spark.createDataFrame(
+        [
+            (0, {"a": "café", "b": "x\r\ny"}),   # NFD + CRLF normalise
+            (1, {"a": "ok", "b": ""}),            # empty value fails Required
+            (2, {}),
+            (3, None),
+        ],
+        "rid long, m map<string,string>",
+    )
+    chain = fs.Required() | fs.Unicode()
+    out, v, w = explode_validate(df, "m", chain)
+    rows = {r["rid"]: r for r in out.collect()}
+    assert rows[0][v] == {"a": "café", "b": "x\ny"}
+    assert rows[1][v] == {"a": "ok", "b": None}
+    assert [(x["key"], x["code"]) for x in rows[1][w]] == [("m.b", "empty")]
+    assert rows[2][v] == {} and rows[2][w] == []
+    assert rows[3][v] is None and rows[3][w] == []
+    # auto-route through validate() too
+    res = fs.validate(df, {"m": fs.FilterRepeater(chain)})
+    got = {r["rid"]: r["m"] for r in res.collect()}
+    assert got[0] == {"a": "café", "b": "x\ny"} and got[3] is None
