@@ -235,6 +235,7 @@ def minhash_lsh_pairs(
     rows: int = 2,
     verify_threshold: float | None = None,
     cache: bool = True,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -246,6 +247,16 @@ def minhash_lsh_pairs(
     ``verify_threshold`` re-checks candidates with exact Jaccard (join
     back to shingle sets) — the standard verify step so LSH false
     positives don't survive.
+
+    ``max_bucket`` guards the self-join against FLOODED buckets: a
+    document duplicated k times shares ALL its band keys, so one flood
+    contributes k² candidate pairs per band — at web scale a 10^5-copy
+    boilerplate page alone is 10^10 pairs.  Buckets larger than
+    ``max_bucket`` are dropped (their members are near-identical by
+    construction and are captured by the cheap ``exact_dedup`` pass,
+    which should run first in any pipeline).  ``None`` disables the
+    guard; the default is far above any honest bucket size at test SFs,
+    so oracle replay is unaffected.
 
     ``cache=True`` persists the signature table (``num_hashes`` longs
     per doc) and, when verifying, the shingle index: both sit on BOTH
@@ -277,6 +288,16 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(entries).alias("e")).select(
         "id", "e.band", "e.band_key"
     )
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") > max_bucket)
+            .select("band", "band_key")
+        )
+        buckets = buckets.join(
+            F.broadcast(hot), ["band", "band_key"], "left_anti"
+        )
     a = buckets.select(F.col("id").alias("a"), "band", "band_key")
     b_ = buckets.select(F.col("id").alias("b"), "band", "band_key")
     cand = (

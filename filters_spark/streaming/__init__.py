@@ -7,6 +7,8 @@ engine additions for validating transcript *streams*:
   streaming DataFrame (stateless: identical plan to batch).
 - :func:`windowed_violation_counts` — watermarked tumbling-window
   violation-code counts for monitoring sinks.
+- :func:`stream_dedup` — bounded-state streaming exact dedup
+  (``dropDuplicatesWithinWatermark``).
 - :func:`conversation_monitor` — custom stateful operator
   (``applyInPandasWithState``) tracking per-conversation turn progress
   across micro-batches: duplicate / out-of-order / gap detection with
@@ -15,12 +17,14 @@ engine additions for validating transcript *streams*:
 
 from filters_spark.streaming.validation import (
     conversation_monitor,
+    stream_dedup,
     validate_stream,
     windowed_violation_counts,
 )
 
 __all__ = [
     "conversation_monitor",
+    "stream_dedup",
     "validate_stream",
     "windowed_violation_counts",
 ]

@@ -79,6 +79,27 @@ def windowed_violation_counts(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with bounded state.
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per
+    distinct key seen within the watermark horizon and is evicted as
+    event time advances — the streaming analogue of the batch
+    ``exact_dedup``/uniqueness pass, safe on unbounded streams (plain
+    ``dropDuplicates`` would grow state forever).  Duplicates arriving
+    later than ``watermark`` are passed through (the same late-data
+    contract as every watermarked operator).
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 #: output schema of conversation_monitor
 MONITOR_SCHEMA = T.StructType(
     [

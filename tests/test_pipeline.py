@@ -394,3 +394,24 @@ def test_redact_pii(spark):
     assert rows[2]["n_phone"] == 1
     assert rows[3]["clean_text"] == "nothing sensitive"
     assert rows[4]["clean_text"] is None
+
+
+def test_minhash_lsh_bucket_flood_guard(spark):
+    """A flooded band bucket (exact-duplicate spam) is dropped from the
+    LSH self-join when it exceeds max_bucket — the k^2-pairs guard; the
+    flood itself is exact_dedup's job."""
+    from filters_spark.pipeline import minhash_lsh_pairs
+
+    spam = [(i, "copy pasted boiler plate page") for i in range(40)]
+    # identical pair -> collides in EVERY band (deterministic), and its
+    # own bucket (size 2) stays under max_bucket
+    real = [(100, "a genuinely unique document about spark"),
+            (101, "a genuinely unique document about spark")]
+    df = spark.createDataFrame(spam + real, ["doc_id", "text"])
+    guarded = minhash_lsh_pairs(df, bands=4, rows=2, max_bucket=10)
+    pairs = {(r["a"], r["b"]) for r in guarded.collect()}
+    assert all(a >= 100 and b >= 100 for a, b in pairs)  # spam excluded
+    assert (100, 101) in pairs  # real near-dups still found
+    unguarded = minhash_lsh_pairs(df, bands=4, rows=2, max_bucket=None)
+    up = {(r["a"], r["b"]) for r in unguarded.collect()}
+    assert len(up) >= 40 * 39 / 2  # the quadratic flood the guard removes

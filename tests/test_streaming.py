@@ -115,3 +115,26 @@ def test_conversation_monitor_stateful(spark, stream_input):
     assert c2["n_turns"] == 3
     assert c2["n_dups"] == 1  # idx 0 twice (bitmap catches it first)
     assert c2["n_out_of_order"] == 0  # second 0 counted as dup, not ooo
+
+
+def test_stream_dedup_bounded_state(spark, stream_input):
+    """dropDuplicatesWithinWatermark-based dedup: duplicate (conv, idx)
+    rows within the watermark collapse to one."""
+    from filters_spark.streaming import stream_dedup
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    deduped = stream_dedup(stream, ["conv_id", "turn_idx"], ts_col="ts",
+                           watermark="1 hour")
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"select conv_id, turn_idx from {sink}").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert len(keys) == len(set(keys))  # no duplicate keys survive
+    assert set(keys) == {("c1", 0), ("c1", 1), ("c1", 3), ("c2", 0), ("c2", 1)}
