@@ -617,7 +617,7 @@ def q_column_stats(spark, sf_dir):
     ).select(
         F.col("column").alias("col_name"),
         "metric",
-        F.round("value", 6).alias("value"),
+        _round6("value").alias("value"),
     )
 
 
@@ -627,19 +627,19 @@ def _sql_column_stats() -> str:
         parts.append(
             f"""
 SELECT '{c}' AS col_name, 'count' AS metric,
-       round(CAST(count(*) AS DOUBLE), 6) AS value FROM lineitem
+       round(CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS value FROM lineitem
 UNION ALL
 SELECT '{c}', 'null_rate',
-       round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6) FROM lineitem
+       round(CAST(count(*) - count({c}) AS DOUBLE) / count(*) * 1e6) / 1e6 FROM lineitem
 UNION ALL
 SELECT '{c}', 'distinct',
-       round(CAST(count(DISTINCT {c}) AS DOUBLE), 6) FROM lineitem
+       round(CAST(count(DISTINCT {c}) AS DOUBLE) * 1e6) / 1e6 FROM lineitem
 UNION ALL
-SELECT '{c}', 'min', round(CAST(min({c}) AS DOUBLE), 6) FROM lineitem
+SELECT '{c}', 'min', round(CAST(min({c}) AS DOUBLE) * 1e6) / 1e6 FROM lineitem
 UNION ALL
-SELECT '{c}', 'max', round(CAST(max({c}) AS DOUBLE), 6) FROM lineitem
+SELECT '{c}', 'max', round(CAST(max({c}) AS DOUBLE) * 1e6) / 1e6 FROM lineitem
 UNION ALL
-SELECT '{c}', 'avg', round(avg(CAST({c} AS DOUBLE)), 6) FROM lineitem
+SELECT '{c}', 'avg', round(avg(CAST({c} AS DOUBLE)) * 1e6) / 1e6 FROM lineitem
 """
         )
     return " UNION ALL ".join(parts)
@@ -896,14 +896,15 @@ def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (similarity baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    return out.select("vec_id", _round6("score").alias("score"))
 
 
 SQL_COSINE_TOPK = """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+                                    CAST(q.embedding AS DOUBLE[])) * 1e6)
+         / 1e6 AS score
 FROM embeddings e, q
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                 CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
@@ -917,13 +918,14 @@ def q_embed_near_dups(spark, sf_dir):
     ``embed_near_dups_srp``)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dups(emb, threshold=0.25, exact=True)
-    return out.select("a", "b", F.round("score", 6).alias("score"))
+    return out.select("a", "b", _round6("score").alias("score"))
 
 
 SQL_EMBED_NEAR_DUPS = """
 SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                    CAST(y.embedding AS DOUBLE[])), 6) AS score
+                                    CAST(y.embedding AS DOUBLE[])) * 1e6)
+         / 1e6 AS score
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= 0.25
@@ -958,7 +960,7 @@ def q_srp_ann_topk(spark, sf_dir):
     out = srp_topk(
         emb, _query_vec(spark, sf_dir), k=10, planes=6, multiprobe=3
     )
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    return out.select("vec_id", _round6("score").alias("score"))
 
 
 def _sql_srp_ann_topk() -> str:
@@ -976,7 +978,8 @@ probes AS (
 )
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+                                    CAST(q.embedding AS DOUBLE[])) * 1e6)
+         / 1e6 AS score
 FROM b e, q
 WHERE e.bucket IN (SELECT bucket FROM probes)
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -991,7 +994,7 @@ def q_embed_near_dups_srp(spark, sf_dir):
     oracled deterministically."""
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dups(emb, threshold=0.25, planes=6)
-    return out.select("a", "b", F.round("score", 6).alias("score"))
+    return out.select("a", "b", _round6("score").alias("score"))
 
 
 def _sql_embed_near_dups_srp() -> str:
@@ -1001,7 +1004,8 @@ WITH b AS (
 )
 SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                    CAST(y.embedding AS DOUBLE[])), 6) AS score
+                                    CAST(y.embedding AS DOUBLE[])) * 1e6)
+         / 1e6 AS score
 FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= 0.25
@@ -1023,6 +1027,23 @@ FROM documents
 """
 
 
+def _round6(col):
+    """Portable 6-dp rounding: multiply-round-divide in DOUBLE, the same
+    op sequence DuckDB's ``round(x, 6)`` uses.  Spark's ``F.round(x, 6)``
+    goes through an EXACT BigDecimal expansion instead, so the two
+    disagree exactly when the true decimal value sits on a 6-dp tie but
+    its double neighbour lands on the other side after the 1e6 multiply
+    (found by the sf0.1 sweep: score 0.4606875 → 0.460687 vs 0.460688).
+    Doing the identical double dance on both sides is deterministic."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.round(c * F.lit(1e6), 0) / F.lit(1e6)
+
+
+def _round9(col):
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.round(c * F.lit(1e9), 0) / F.lit(1e9)
+
+
 def q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = quality_score(docs)
@@ -1030,10 +1051,10 @@ def q_quality_score(spark, sf_dir):
         "id",
         "n_chars",
         "n_tokens",
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("digit_ratio", 6).alias("digit_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("score", 6).alias("score"),
+        _round6("punct_ratio").alias("punct_ratio"),
+        _round6("digit_ratio").alias("digit_ratio"),
+        _round6("stopword_ratio").alias("stopword_ratio"),
+        _round6("score").alias("score"),
     )
 
 
@@ -1052,14 +1073,14 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id AS id, n_chars, n_tokens,
-       round(punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
-       round(digit / greatest(n_chars, 1.0), 6) AS digit_ratio,
-       round(stop / greatest(n_tokens, 1.0), 6) AS stopword_ratio,
+       round(punct / greatest(n_chars, 1.0) * 1e6) / 1e6 AS punct_ratio,
+       round(digit / greatest(n_chars, 1.0) * 1e6) / 1e6 AS digit_ratio,
+       round(stop / greatest(n_tokens, 1.0) * 1e6) / 1e6 AS stopword_ratio,
        round(least(n_chars / 500.0, 1.0)
              * (1 - punct / greatest(n_chars, 1.0))
              * (1 - digit / greatest(n_chars, 1.0))
-             * (0.5 + 0.5 * least(stop / greatest(n_tokens, 1.0) * 5, 1.0)),
-             6) AS score
+             * (0.5 + 0.5 * least(stop / greatest(n_tokens, 1.0) * 5, 1.0))
+             * 1e6) / 1e6 AS score
 FROM t
 """
 
@@ -1335,8 +1356,8 @@ def q_repetition_stats(spark, sf_dir):
     return out.select(
         "id",
         "n_lines",
-        F.round("dup_line_frac", 9).alias("dup_line_frac"),
-        F.round("top_ngram_frac", 9).alias("top_ngram_frac"),
+        _round9("dup_line_frac").alias("dup_line_frac"),
+        _round9("top_ngram_frac").alias("top_ngram_frac"),
     )
 
 
@@ -1358,10 +1379,11 @@ WITH t AS (
 SELECT t.doc_id AS id,
        CAST(CASE WHEN text IS NULL THEN 0 ELSE len(l) END AS BIGINT)
          AS n_lines,
-       round(CASE WHEN text IS NULL OR len(l) = 0 THEN 0.0
+       round((CASE WHEN text IS NULL OR len(l) = 0 THEN 0.0
                   ELSE 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l)
-             END, 9) AS dup_line_frac,
-       round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0), 9) AS top_ngram_frac
+             END) * 1e9) / 1e9 AS dup_line_frac,
+       round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0) * 1e9) / 1e9
+         AS top_ngram_frac
 FROM t JOIN documents USING (doc_id) LEFT JOIN bstat ON bstat.doc_id = t.doc_id
 """
 

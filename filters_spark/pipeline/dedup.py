@@ -385,6 +385,7 @@ def simhash_pairs(
     bits: int = 60,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -394,6 +395,13 @@ def simhash_pairs(
     block value (union + distinct), then the exact popcount filter runs
     only on candidates.  ``max_hamming`` must be < ``bands`` for the
     blocking to be lossless.
+
+    ``max_bucket`` is the same duplicate-flood guard as in
+    :func:`minhash_lsh_pairs`: identical documents share the whole
+    fingerprint (every block), so a k-copy flood is k² pairs per band
+    without it.  Oversized blocks are dropped — losslessness then holds
+    for everything except flooded content, which is ``exact_dedup``'s
+    job.  ``None`` disables; the default is inert at test SFs.
     """
     if max_hamming >= bands:
         raise ValueError("pigeonhole blocking needs max_hamming < bands")
@@ -415,6 +423,16 @@ def simhash_pairs(
     buckets = fps.select(
         "id", "simhash", F.explode(entries).alias("e")
     ).select("id", "simhash", "e.band", "e.bkey")
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") > max_bucket)
+            .select("band", "bkey")
+        )
+        buckets = buckets.join(
+            F.broadcast(hot), ["band", "bkey"], "left_anti"
+        )
     a = buckets.select(
         F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "bkey"
     )
