@@ -199,6 +199,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 2,
     num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: ``(id, h0..h{k-1})``.
 
@@ -215,7 +216,11 @@ def minhash_signatures(
     every term stays < 2^54 so the arithmetic is exact ``BIGINT`` in any
     engine — the DuckDB oracle replays it bit-for-bit.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, text_col, id_col, n)
+    )
     digest = F.md5(F.col("shingle"))
     a = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
     b = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
@@ -264,8 +269,18 @@ def minhash_lsh_pairs(
     aggregation twice.  At corpus scale the equivalent is writing
     signatures to a table and joining from there.
     """
-    sig = minhash_signatures(df, text_col, id_col, n, bands * rows)
+    # ONE shingle pass feeds BOTH the signature aggregation and (when
+    # verifying) the exact-Jaccard check — at corpus scale that is a
+    # full scan + tokenisation saved; the cache makes the sharing real
+    # (signatures and verify would otherwise recompute lineage).
     persisted: list[DataFrame] = []
+    sh = word_shingles(df, text_col, id_col, n)
+    if cache and verify_threshold is not None:
+        sh = sh.persist()
+        persisted.append(sh)
+    sig = minhash_signatures(
+        df, text_col, id_col, n, bands * rows, shingles=sh
+    )
     if cache:
         sig = sig.persist()
         persisted.append(sig)
@@ -309,12 +324,9 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return _track_persisted(cand, persisted)
     # candidate-restricted exact Jaccard: join the candidate pairs back
-    # to the shingle sets instead of computing all-pairs similarity —
-    # verification cost scales with |candidates|, not |docs|².
-    sh = word_shingles(df, text_col, id_col, n)
-    if cache:
-        sh = sh.persist()
-        persisted.append(sh)
+    # to the (shared, cached) shingle sets instead of computing
+    # all-pairs similarity — verification cost scales with
+    # |candidates|, not |docs|².
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col("id").alias("a"), "shingle")
     b_sh = sh.select(F.col("id").alias("b"), "shingle")
