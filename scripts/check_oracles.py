@@ -51,6 +51,9 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # self-join-heavy queries (jaccard/LSH) at sf0.1 overflow the 1g
+        # default heap; the driver's own harness also runs with headroom
+        .config("spark.driver.memory", "16g")
         .appName("check_oracles")
         .getOrCreate()
     )
