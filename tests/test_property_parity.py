@@ -183,3 +183,80 @@ def test_split_fallback_parity(spark):
     expected = [_ref_apply(ref.Split(pattern), v) for v in values]
     got = _engine_apply_batch(spark, fs.Split(pattern), values)
     assert got == expected
+
+
+# -- composed-chain fuzz ----------------------------------------------------
+#
+# Random CHAINS (lead presence op + string transforms + optional
+# terminal), not just single filters: exercises first-error
+# short-circuit, None-pass, and replacement threading against the live
+# reference on arbitrary text.
+
+LEADS = [
+    ("req", lambda m: m.Required()),
+    ("notempty", lambda m: m.NotEmpty()),
+    ("none", None),
+]
+MIDS = [
+    ("unicode", lambda m: m.Unicode()),
+    ("strip", lambda m: m.Strip()),
+    ("casefold", lambda m: m.CaseFold()),
+    ("maxchars", lambda m: m.MaxChars(7, truncate=True)),
+    ("maxchars_ps", lambda m: m.MaxChars(9, truncate=True, prefix=">", suffix="..")),
+]
+TERMS = [
+    ("none", None),
+    ("len", lambda m: m.Len(min=1, max=30)),
+    ("length", lambda m: m.Length(4)),
+    ("maxbytes", lambda m: m.MaxBytes(12, truncate=True)),
+    ("regex", lambda m: m.Regex(r"[a-z]+")),
+    ("split", lambda m: m.Split(r"\s+")),
+]
+
+
+def _build(module, lead_i, mid_is, term_i):
+    parts = []
+    if LEADS[lead_i][1] is not None:
+        parts.append(LEADS[lead_i][1](module))
+    for i in mid_is:
+        parts.append(MIDS[i][1](module))
+    if TERMS[term_i][1] is not None:
+        parts.append(TERMS[term_i][1](module))
+    if not parts:
+        parts = [module.NoOp()]
+    chain = parts[0]
+    for p in parts[1:]:
+        chain = chain | p
+    return chain
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    lead_i=st.integers(0, len(LEADS) - 1),
+    mid_is=st.lists(st.integers(0, len(MIDS) - 1), min_size=0, max_size=2),
+    term_i=st.integers(0, len(TERMS) - 1),
+    values=st.lists(TEXT, min_size=1, max_size=10),
+)
+def test_fuzzed_chain_parity(spark, lead_i, mid_is, term_i, values):
+    import filters_spark as fs_mod
+
+    ref_chain = _build(ref, lead_i, mid_is, term_i)
+    spec_chain = _build(fs_mod, lead_i, mid_is, term_i)
+    expected = [_ref_apply(ref_chain, v) for v in values]
+    got = _engine_apply_batch(spark, spec_chain, values)
+    label = (
+        LEADS[lead_i][0],
+        tuple(MIDS[i][0] for i in mid_is),
+        TERMS[term_i][0],
+    )
+    for v, (exp_val, exp_codes), (act_val, act_codes) in zip(
+        values, expected, got
+    ):
+        assert act_codes == exp_codes, (
+            f"{label}: codes differ for {v!r}: {act_codes} != {exp_codes}"
+        )
+        if isinstance(exp_val, bytes) and isinstance(act_val, (bytes, bytearray)):
+            act_val = bytes(act_val)
+        assert act_val == exp_val, (
+            f"{label}: cleaned differs for {v!r}: {act_val!r} != {exp_val!r}"
+        )
