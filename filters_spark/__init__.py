@@ -61,16 +61,27 @@ from filters_spark.engine.handlers import (
     log_violations,
 )
 
+from filters_spark.runner import FilterMessage, FilterRunner
+
 #: Ready extension-registry instance, mirroring the reference's exported
 #: ``ext`` namespace object (``src/filters/__init__.py:67``).
 ext = FilterExtensionRegistry()
+
+#: Reference-name aliases for drop-in ports (semantics match exactly:
+#: chains are immutable pipe-composed specs, the metaclass lets classes
+#: start chains).  The handler OBJECT hierarchy has functional
+#: equivalents instead — see DEVIATIONS.md #14.
+FilterChain = Chain
+BaseFilter = BaseSpec
+from filters_spark.core.spec import SpecMeta as FilterMeta  # noqa: E402
 
 __version__ = "0.2.0"
 
 __all__ = [
     "Array", "Base64Decode", "BaseSpec", "ByteArray", "ByteString", "Call",
     "CaseFold", "Chain", "Choice", "CompileError", "Ctx", "Date", "Datetime",
-    "Decimal", "Empty", "FilterError", "FilterExtensionRegistry",
+    "BaseFilter", "Decimal", "Empty", "FilterChain", "FilterError",
+    "FilterExtensionRegistry", "FilterMessage", "FilterMeta", "FilterRunner",
     "FilterMapper", "FilterRepeater", "FilterSwitch", "Int", "IpAddress",
     "Item", "JsonDecode", "Len", "Length", "Max", "MaxBytes", "MaxChars",
     "MaxLength", "Min", "MinLength", "NamedTuple", "NoOp", "NotEmpty",

@@ -94,3 +94,29 @@ def test_log_violations(validated):
     # limit caps the stream
     records.clear()
     assert fs.log_violations(validated, logger, limit=1) == 1
+
+
+def test_filter_runner_facade_matches_reference_api(spark):
+    """FilterRunner(chain, value): the reference's scalar entry point
+    (handlers.py:155-346) on top of the compiled engine."""
+    runner = fs.FilterRunner(fs.Required() | fs.Unicode(), "café")
+    assert runner.is_valid()
+    assert runner.cleaned_data == "café"  # NFC-composed
+    assert runner.errors == {}
+
+    bad = fs.FilterRunner(fs.Required() | fs.Min(0), None, dtype="long")
+    assert not bad.is_valid()
+    assert bad.error_codes == {"": ["empty"]}
+    assert bad.cleaned_data is None
+    assert bad.errors[""][0]["message"] == "This value is required."
+
+    # apply() reruns against a new value (handlers.py:193-202)
+    bad.apply(5)
+    assert bad.is_valid() and bad.cleaned_data == 5
+
+    # aliases for drop-in ports
+    assert fs.FilterChain is fs.Chain and fs.BaseFilter is fs.BaseSpec
+    chain = fs.FilterChain([fs.Required()]) | fs.CaseFold()
+    assert fs.FilterRunner(chain, "ABC").cleaned_data == "abc"
+    m = fs.FilterMessage(code="x", message="y")
+    assert m.as_dict() == {"code": "x", "message": "y"} and str(m) == "y"
