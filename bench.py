@@ -113,9 +113,21 @@ def bench_suite(spark: SparkSession, n_convs: int) -> dict:
     }
 
 
-def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    """Headline per-query timings from the driver contract at sf_dir."""
+def bench_queries(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[dict]]]:
+    """Headline per-query timings from the driver contract at sf_dir.
+
+    Best-of-two per query with per-attempt hypervisor steal recorded
+    (same protocol as the suite): this Firecracker host intermittently
+    loses 25-300 CPU-s to steal in bursts, and a burst landing on one
+    heavy query masquerades as a 3x regression (r2's dedup_simhash
+    read 8.2s in one record and 2.9s isolated — identical code).
+    Operator caches are released after each attempt so a query's
+    persisted intermediates never pollute the next measurement.
+    """
     import __spark_entry__ as e
+    from filters_spark.pipeline.dedup import release
 
     names = [
         "flagship_validate",
@@ -136,11 +148,22 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     ]
     qs = e.queries()
     out: dict[str, float] = {}
+    attempts: dict[str, list[dict]] = {}
     for name in names:
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
-    return out
+        recs = []
+        for _ in range(2):
+            s0 = read_steal_sec()
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            materialize(df)
+            dt = round(time.time() - t0, 3)
+            release(df)
+            recs.append(
+                {"sec": dt, "steal_cpu_sec": round(read_steal_sec() - s0, 1)}
+            )
+        attempts[name] = recs
+        out[name] = min(r["sec"] for r in recs)
+    return out, attempts
 
 
 def main() -> None:
@@ -169,7 +192,7 @@ def main() -> None:
         d["steal_cpu_sec"] = round(read_steal_sec() - s0, 1)
         attempts.append(d)
     suite = min(attempts, key=lambda d: d["suite_sec"])
-    queries = bench_queries(spark, sf_dir)
+    queries, query_attempts = bench_queries(spark, sf_dir)
     steal_sec = round(read_steal_sec() - steal0, 1)
     total = round(suite["suite_sec"] + sum(queries.values()), 3)
 
@@ -192,6 +215,7 @@ def main() -> None:
             {"suite_sec": a["suite_sec"], "steal_cpu_sec": a["steal_cpu_sec"]}
             for a in attempts
         ],
+        "query_attempts": query_attempts,
     }
     spark.stop()
     print(json.dumps(out))

@@ -66,6 +66,41 @@ def portable_hash60(col, salt=None):
     return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 
+def _join_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach per-doc shingle-set sizes to intersection counts and emit
+    ``(a, b, jaccard)``.
+
+    ``sizes`` has one row per document in the corpus, so it must NEVER
+    carry a broadcast hint — at 10^8-10^9 docs a forced broadcast is a
+    multi-GB driver collect (OOM / broadcast-limit failure).  Instead it
+    is candidate-restricted first: a left-semi join keeps only the ids
+    that actually appear in ``inter``, so the join that follows shuffles
+    O(|candidates|) size rows, not O(|corpus|).  AQE is then free to
+    broadcast the restricted side when it turns out tiny (the usual case
+    at any scale), which is the plan you want both at sf0.1 and 100 TB.
+    """
+    ids = (
+        inter.select(F.col("a").alias("id"))
+        .union(inter.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sz = sizes.join(ids, "id", "left_semi")
+    sz_a = sz.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sz.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "a")
+        .join(sz_b, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -150,10 +185,12 @@ def jaccard_pairs(
        docs contributes a 10^12-row self-join otherwise);
     3. self-equi-join on ``shingle`` with ``a.id < b.id`` → intersection
        counts via groupBy (map-side partial agg shrinks the shuffle);
-    4. broadcast-join per-doc set sizes; ``J = inter / (|A|+|B|-inter)``.
+    4. join per-doc set sizes; ``J = inter / (|A|+|B|-inter)``.
 
-    At sf-scale the size table is broadcast; at 100 TB it is a normal
-    shuffle join on id — both expressed by the same code, AQE picks.
+    The size join carries NO broadcast hint: ``sizes`` has one row per
+    document in the corpus, so a forced broadcast is a driver OOM at
+    10^8+ docs.  AQE converts it to a broadcast join at small scale on
+    its own; at 100 TB it stays a shuffle join on id.
     """
     sh = word_shingles(df, text_col, id_col, n).cache()
     persisted = [sh]
@@ -175,21 +212,7 @@ def jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(F.broadcast(sz_a), "a")
-        .join(F.broadcast(sz_b), "b")
-        .select(
-            "a",
-            "b",
-            (
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = _join_sizes(inter, sizes).where(F.col("jaccard") >= threshold)
     return _track_persisted(out, persisted)
 
 
@@ -336,20 +359,8 @@ def minhash_lsh_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(F.broadcast(sz_a), "a")
-        .join(F.broadcast(sz_b), "b")
-        .select(
-            "a",
-            "b",
-            (
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= verify_threshold)
+    out = _join_sizes(inter, sizes).where(
+        F.col("jaccard") >= verify_threshold
     )
     return _track_persisted(out, persisted)
 

@@ -115,6 +115,41 @@ def test_verdicts_single_keyed_shuffle(tdf):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def _docs(spark):
+    rows = [(i, f"doc text number {i % 20} words {i % 5}") for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_verify_never_broadcasts_corpus_sizes(spark):
+    """The per-doc shingle-size relation has one row per document in the
+    corpus; a hinted broadcast of it is a driver OOM at 10^8+ docs.  The
+    verify stage must (a) candidate-restrict it with a semi-join and
+    (b) leave the strategy to AQE — the only *hinted* broadcasts allowed
+    anywhere in the dedup plans are the flood-guard anti-joins, whose
+    build side is bounded by construction.  With the auto-broadcast
+    threshold disabled, any surviving BroadcastHashJoin must therefore
+    be a LeftAnti."""
+    from filters_spark.pipeline.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    prev_t = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_a = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for df in (
+            jaccard_pairs(_docs(spark), threshold=0.1, max_df=50),
+            minhash_lsh_pairs(_docs(spark), verify_threshold=0.1),
+        ):
+            plan = plan_of(df)
+            assert "LeftSemi" in plan  # candidate restriction is present
+            for line in plan.splitlines():
+                if "BroadcastHashJoin" in line:
+                    assert "LeftAnti" in line, line
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_t)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_a)
+
+
 def test_stats_single_aggregation_pass(tdf):
     from filters_spark.engine.stats import column_stats
 
