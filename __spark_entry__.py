@@ -1170,27 +1170,70 @@ FROM documents d JOIN b USING (doc_id)
 """
 
 
+def _be_bytes(col, nbytes):
+    """Big-endian fixed-width binary of a small int column (JVM exprs)."""
+    return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+
+def _le16_bytes(col):
+    """Little-endian u16 binary of a small int column (byte-swapped hex)."""
+    hx = F.lpad(F.hex(col), 4, "0")
+    return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+
 def q_multimodal_decode(spark, sf_dir):
-    """Stubbed media decode over mapInPandas (real Arrow plumbing,
-    deterministic fake codec)."""
+    """Media decode over mapInPandas: REAL stdlib container-header
+    parsing (PNG/GIF/JPEG), digest-derived fallback for unknown bytes.
+
+    Payloads are synthesised as genuine container headers with
+    dimensions derived from doc_id — width/height round-trip through
+    the actual byte-level PNG IHDR / GIF logical-screen / JPEG SOF0
+    parsers, so the oracle checks the parser, not a passthrough."""
     docs = _t(spark, sf_dir, "documents")
-    bin_df = docs.select(
-        F.col("doc_id").alias("id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+    w = (F.col("doc_id") % 64 + 16).cast("long")
+    h = (F.floor(F.col("doc_id") / 3) % 64 + 16).cast("long")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        _be_bytes(w, 4),
+        _be_bytes(h, 4),
+        F.unhex(F.lit("0802000000")),
     )
+    gif = F.concat(
+        F.encode(F.lit("GIF89a"), "utf-8"),
+        _le16_bytes(w),
+        _le16_bytes(h),
+        F.unhex(F.lit("F70000")),
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFC0001108")),
+        _be_bytes(h, 2),
+        _be_bytes(w, 2),
+        F.unhex(F.lit("03011100021101031101")),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, gif)
+        .when(F.col("doc_id") % 4 == 2, jpeg)
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+    )
+    bin_df = docs.select(F.col("doc_id").alias("id"), payload.alias("payload"))
     return decode_media(bin_df, feature_dim=4).select(
         "id", "media_type", "width", "height", "n_frames"
     )
 
 
 SQL_DECODE = """
-SELECT doc_id AS id, 'unknown' AS media_type,
-       CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT)
-         AS width,
-       CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT)
-         AS height,
-       CAST(1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 30 AS INT)
-         AS n_frames
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 4 = 3 THEN 'unknown' ELSE 'image' END AS media_type,
+       CAST(CASE WHEN doc_id % 4 = 3
+                 THEN 16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64
+                 ELSE 16 + doc_id % 64 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 4 = 3
+                 THEN 16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64
+                 ELSE 16 + (doc_id // 3) % 64 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 3
+                 THEN 1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 30
+                 ELSE 1 END AS INT) AS n_frames
 FROM documents
 """
 

@@ -7,17 +7,21 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas`` so bytes cross the JVM↔Python boundary
 once per batch, never per row.
 
-The actual codec step is STUBBED in this container (no PIL/ffmpeg/
-soundfile): :func:`decode_media` dispatches on the container's magic
-bytes and produces a deterministic fake decode (real header parsing,
-fake pixel/sample payload) — the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested, and
-swapping in a real codec is a one-function change.
+Container HEADERS are parsed for real (:func:`parse_media_header` —
+pure-stdlib ``struct`` parsing of PNG / JPEG / GIF / BMP / WAV / MP4
+signatures and dimension fields; no PIL/ffmpeg needed).  Only the
+pixel/sample DECODE beyond the header is stubbed in this container (no
+codec libs): recognised containers report their true dimensions, while
+the feature vector and the dims of *unrecognised* payloads come from a
+deterministic digest-derived fake.  ``strict=True`` raises only for
+genuinely unknown bytes.  Swapping in a full codec replaces only
+:func:`_fake_decode`'s fallback.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,6 +33,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "DECODED_SCHEMA",
     "attach_media_meta",
+    "parse_media_header",
     "decode_media",
     "byte_features",
 ]
@@ -53,14 +58,6 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
-
-_MAGIC = {
-    b"\x89PNG": ("image", 8),
-    b"\xff\xd8\xff": ("image", 2),
-    b"RIFF": ("audio", 12),
-    b"\x00\x00\x00\x18ftyp": ("video", 16),
-}
-
 
 def attach_media_meta(
     df: DataFrame, payload_col: str = "payload"
@@ -90,19 +87,98 @@ def attach_media_meta(
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:
-    """Deterministic stand-in for the codec: classify by magic bytes and
-    derive (width, height, n_frames) from the payload digest.  Real codec
-    integration replaces ONLY this function.
+def parse_media_header(
+    payload: bytes,
+) -> tuple[str, int, int, int] | None:
+    """REAL container-header parse — pure stdlib ``struct``, no codec
+    libraries.  Returns ``(media_type, width, height, n_frames)`` for
+    recognised containers, ``None`` for unknown bytes.
 
-    Raises ``NotImplementedError`` for genuinely unknown containers when
-    ``strict`` decoding is requested by the caller.
+    Formats (dimension fields per the public container specs):
+
+    - **PNG**: 8-byte signature, IHDR chunk → width/height BE u32.
+    - **JPEG**: marker scan to the first SOF frame header (C0-CF minus
+      C4/C8/CC) → height/width BE u16.
+    - **GIF** (87a/89a): logical-screen width/height LE u16 at offset 6.
+    - **BMP**: BITMAPINFOHEADER width/height LE i32 at offsets 18/22
+      (height's sign only encodes row order).
+    - **WAV** (RIFF/WAVE): chunk walk; ``width`` reports channels,
+      ``height`` the sample rate, ``n_frames`` the sample-frame count
+      from the data chunk (documented mapping onto the fixed schema).
+    - **MP4/MOV** (ftyp): recognised as ``video``; dimensions need a
+      moov/tkhd demux, out of header-parse scope → zeros.
     """
+    p = payload
+    if p.startswith(b"\x89PNG\r\n\x1a\n") and len(p) >= 24 and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return "image", w, h, 1
+    if p.startswith(b"\xff\xd8"):
+        i = 2
+        while i + 9 <= len(p):
+            if p[i] != 0xFF:
+                break
+            m = p[i + 1]
+            if m == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= m <= 0xD9 or m == 0x01:  # standalone markers
+                i += 2
+                continue
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                return "image", w, h, 1
+            (seg,) = struct.unpack(">H", p[i + 2 : i + 4])
+            i += 2 + seg
+        return None
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w, h = struct.unpack("<HH", p[6:10])
+        return "image", w, h, 1
+    if p.startswith(b"BM") and len(p) >= 26:
+        w, h = struct.unpack("<ii", p[18:26])
+        return "image", w, abs(h), 1
+    if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+        i, channels, rate, block_align, data_size = 12, 0, 0, 0, 0
+        while i + 8 <= len(p):
+            cid, size = p[i : i + 4], struct.unpack("<I", p[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 22 <= len(p):
+                channels, rate = struct.unpack("<HI", p[i + 10 : i + 16])
+                if i + 22 <= len(p):
+                    (block_align,) = struct.unpack("<H", p[i + 20 : i + 22])
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        frames = data_size // block_align if block_align else 0
+        return "audio", channels, rate, frames
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        return "video", 0, 0, 0
+    return None
+
+
+_SNIFF = (
+    (b"\x89PNG", "image"),
+    (b"\xff\xd8\xff", "image"),
+    (b"GIF8", "image"),
+    (b"BM", "image"),
+    (b"RIFF", "audio"),
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:
+    """Decode stand-in: REAL header parse first; truncated-but-
+    recognisable containers keep their magic-sniffed type with
+    digest-derived deterministic dims; genuinely unknown bytes get type
+    ``unknown`` (the only case ``strict=True`` rejects).  A full codec
+    would replace only this fallback."""
+    parsed = parse_media_header(payload)
+    if parsed is not None:
+        return parsed
     mt = "unknown"
-    for magic, (kind, _hdr) in _MAGIC.items():
+    for magic, kind in _SNIFF:
         if payload.startswith(magic):
             mt = kind
             break
+    if mt == "unknown" and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        mt = "video"
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64

@@ -286,9 +286,105 @@ def test_decode_media_stub(payloads):
     rows = {r["id"]: r for r in decode_media(payloads).collect()}
     assert 4 not in rows  # null payload dropped
     assert rows[0]["media_type"] == "image" and rows[0]["n_frames"] == 1
-    assert rows[2]["media_type"] == "audio" and rows[2]["n_frames"] >= 1
+    # id 2 is a REAL (truncated) RIFF/WAVE: header parse yields audio
+    # with zero frames, not fake dims
+    assert rows[2]["media_type"] == "audio" and rows[2]["n_frames"] == 0
     assert 16 <= rows[0]["width"] < 80
     assert len(rows[0]["feature"]) == 8
+
+
+def _png(w, h):
+    import struct as s
+
+    return (
+        b"\x89PNG\r\n\x1a\n" + s.pack(">I", 13) + b"IHDR"
+        + s.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def _gif(w, h):
+    import struct as s
+
+    return b"GIF89a" + s.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _jpeg(w, h):
+    import struct as s
+
+    return (
+        b"\xff\xd8\xff\xe0" + s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + s.pack(">H", 17) + b"\x08" + s.pack(">HH", h, w)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+
+
+def _bmp(w, h):
+    import struct as s
+
+    return (
+        b"BM" + s.pack("<IHHI", 70, 0, 0, 54) + s.pack("<I", 40)
+        + s.pack("<ii", w, h)
+    )
+
+
+def _wav(channels, rate, n_frames):
+    import struct as s
+
+    block = channels * 2
+    data = b"\x00" * (n_frames * block)
+    fmt = s.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    return (
+        b"RIFF" + s.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + s.pack("<I", 16) + fmt
+        + b"data" + s.pack("<I", len(data)) + data
+    )
+
+
+def test_parse_media_header_real_containers():
+    """Byte-level container parsing (pure stdlib) — true dimensions, not
+    digest fakes."""
+    from filters_spark.pipeline.multimodal import parse_media_header
+
+    assert parse_media_header(_png(640, 480)) == ("image", 640, 480, 1)
+    assert parse_media_header(_gif(33, 97)) == ("image", 33, 97, 1)
+    assert parse_media_header(_jpeg(1920, 1080)) == ("image", 1920, 1080, 1)
+    assert parse_media_header(_bmp(12, -24)) == ("image", 12, 24, 1)
+    assert parse_media_header(_wav(2, 44100, 1000)) == (
+        "audio", 2, 44100, 1000,
+    )
+    ftyp = b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00"
+    assert parse_media_header(ftyp) == ("video", 0, 0, 0)
+    assert parse_media_header(b"plain text") is None
+    assert parse_media_header(b"\x89PNG\r\n\x1a\ntrunc") is None
+
+
+def test_decode_media_real_headers(spark):
+    """decode_media reports true dimensions for real containers and the
+    deterministic fallback only for unknown bytes; strict passes when
+    every payload is a known container."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (0, _png(101, 55)),
+        (1, _gif(7, 9)),
+        (2, _jpeg(300, 200)),
+        (3, _wav(1, 8000, 42)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {r["id"]: r for r in decode_media(df, strict=True).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (101, 55)
+    assert (got[1]["width"], got[1]["height"]) == (7, 9)
+    assert (got[2]["width"], got[2]["height"]) == (300, 200)
+    assert got[3]["media_type"] == "audio"
+    assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (
+        1, 8000, 42,
+    )
 
 
 def test_decode_media_strict_raises(payloads):
