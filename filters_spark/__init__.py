@@ -75,7 +75,53 @@ FilterChain = Chain
 BaseFilter = BaseSpec
 from filters_spark.core.spec import SpecMeta as FilterMeta  # noqa: E402
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+# Error-code CLASS attributes, mirrored from the reference so ported
+# suites can write ``fs.Max.CODE_TOO_BIG`` etc.  Source of truth:
+# src/filters/{base.py:546, complex.py:27,171-172, number.py:18-19,
+# 116,148,207, simple.py:152,260,348,373,391,471-472,558-559,603,645,
+# 702,877, string.py:41,140,199,276,312,521,611,786,817,983-984}.
+# The string values are the codes the compiled chains already emit.
+_REFERENCE_CODES: dict[str, dict[str, str]] = {
+    "Type": {"CODE_WRONG_TYPE": "wrong_type"},
+    "FilterRepeater": {"CODE_EXTRA_KEY": "unexpected"},
+    "FilterMapper": {"CODE_EXTRA_KEY": "unexpected", "CODE_MISSING_KEY": "missing"},
+    "Decimal": {"CODE_INVALID": "not_numeric", "CODE_NON_FINITE": "not_finite"},
+    "Int": {"CODE_DECIMAL": "not_int", "CODE_INVALID": "not_numeric",
+            "CODE_NON_FINITE": "not_finite"},
+    "Max": {"CODE_TOO_BIG": "too_big"},
+    "Min": {"CODE_TOO_SMALL": "too_small"},
+    "ByteArray": {"CODE_BAD_ENCODING": "bad_encoding"},
+    "Datetime": {"CODE_INVALID": "not_datetime"},
+    "Date": {"CODE_INVALID": "not_date"},
+    "Empty": {"CODE_NOT_EMPTY": "not_empty"},
+    "Item": {"CODE_MISSING_KEY": "missing"},
+    "Len": {"CODE_TOO_LONG": "too_long", "CODE_TOO_SHORT": "too_short"},
+    "Length": {"CODE_TOO_LONG": "too_long", "CODE_TOO_SHORT": "too_short"},
+    "MaxLength": {"CODE_TOO_LONG": "too_long"},
+    "MinLength": {"CODE_TOO_SHORT": "too_short"},
+    "NotEmpty": {"CODE_EMPTY": "empty"},
+    "Required": {"CODE_EMPTY": "empty"},
+    "Pick": {"CODE_MISSING_KEY": "missing"},
+    "Base64Decode": {"CODE_INVALID": "not_base64"},
+    "Choice": {"CODE_INVALID": "not_valid_choice"},
+    "IpAddress": {"CODE_INVALID": "not_ip_address"},
+    "JsonDecode": {"CODE_INVALID": "not_json"},
+    "MaxBytes": {"CODE_TOO_LONG": "too_long"},
+    "MaxChars": {"CODE_TOO_LONG": "too_long"},
+    "Regex": {"CODE_INVALID": "malformed"},
+    "TomlDecode": {"CODE_INVALID": "not_toml"},
+    "Unicode": {"CODE_DECODE_ERROR": "wrong_encoding"},
+    "Uuid": {"CODE_INVALID": "not_uuid", "CODE_WRONG_VERSION": "wrong_version"},
+}
+for _cls_name, _codes in _REFERENCE_CODES.items():
+    for _attr, _code in _codes.items():
+        setattr(globals()[_cls_name], _attr, _code)
+del _cls_name, _codes, _attr, _code
+# Inherited by every filter class, as on the reference's BaseFilter
+# (base.py:69).
+BaseSpec.CODE_EXCEPTION = "exception"
 
 __all__ = [
     "Array", "Base64Decode", "BaseSpec", "ByteArray", "ByteString", "Call",

@@ -75,6 +75,27 @@ _TYPE_MAP = {
 }
 
 
+#: Spark type → the Python type a value of it arrives as (for naming the
+#: incoming side of the wrong_type message)
+_SPARK_TO_PY = {
+    T.StringType: str,
+    T.BinaryType: bytes,
+    T.BooleanType: bool,
+    T.ByteType: int,
+    T.ShortType: int,
+    T.IntegerType: int,
+    T.LongType: int,
+    T.FloatType: float,
+    T.DoubleType: float,
+    T.DecimalType: decimal.Decimal,
+    T.TimestampType: datetime.datetime,
+    T.DateType: datetime.date,
+    T.ArrayType: list,
+    T.MapType: dict,
+    T.StructType: dict,
+}
+
+
 class Type(BaseSpec):
     """isinstance check (``base.py:543-633``).
 
@@ -88,21 +109,53 @@ class Type(BaseSpec):
         CODE_WRONG_TYPE: "{incoming} is not valid (allowed types: {allowed})."
     }
 
-    def __init__(self, allowed_types, allow_subclass: bool = True) -> None:
+    def __init__(self, allowed_types, allow_subclass: bool = True,
+                 aliases=None) -> None:
         if not isinstance(allowed_types, tuple):
             allowed_types = (allowed_types,)
         self.allowed_types = allowed_types
         self.allow_subclass = allow_subclass
+        # base.py:564-575: type→name mapping masking Python names in the
+        # wrong_type message (e.g. filters_spark.aliases.JSON_ALIASES)
+        self.aliases = dict(aliases or {})
+
+    def get_type_name(self, type_, aliased: bool = True) -> str:
+        """Display name for a type, alias first (``base.py:633-660``,
+        incl. the typing-generic ``_name`` dance of bpo-34422)."""
+        candidates = [
+            getattr(type_, "_name", None),
+            getattr(type_, "__name__", None),
+            str(type_),
+        ]
+        if aliased:
+            candidates.insert(0, self.aliases.get(type_))
+        return next(n for n in candidates if n)
+
+    def get_allowed_type_names(self, aliased: bool = True) -> str:
+        """Sorted, deduplicated allowed-type names (``base.py:622-631``)."""
+        return ", ".join(
+            sorted({self.get_type_name(t, aliased) for t in self.allowed_types})
+        )
+
+    def render_wrong_type(self, incoming: type) -> str:
+        """The reference's ``wrong_type`` message, byte-identical
+        (``base.py:546-551`` template + aliased names)."""
+        return self.templates[CODE_WRONG_TYPE].format(
+            incoming=self.get_type_name(incoming),
+            allowed=self.get_allowed_type_names(),
+        )
 
     def compile(self, value, dtype, ctx, key) -> Step:
         ok_spark: tuple = ()
         for py_t in self.allowed_types:
             ok_spark += _TYPE_MAP.get(py_t, ())
         if ok_spark and not isinstance(dtype, ok_spark):
-            names = ", ".join(t.__name__ for t in self.allowed_types)
+            incoming = _SPARK_TO_PY.get(type(dtype), object)
             raise CompileError(
                 f"column {key!r} has Spark type {dtype}, which cannot hold "
-                f"{names} (Type filter would reject every row)"
+                f"{self.get_allowed_type_names(aliased=False)} (Type filter "
+                f"would reject every row: "
+                f"{self.render_wrong_type(incoming)})"
             )
         return Step(value=value, dtype=dtype)
 

@@ -87,12 +87,22 @@ class FilterRunner:
     ``dtype`` (Spark DataType or DDL string) overrides the inferred
     column type — needed when ``data`` is ``None`` and the chain is not
     string-typed.
+
+    ``capture_exc_info`` matches the reference's third positional
+    parameter (``handlers.py:166``) so ported call sites don't
+    ``TypeError``; it is a documented no-op (DEVIATIONS #11: the
+    columnar engine rejects mis-typed chains at COMPILE time, so no
+    runtime filter exception stream exists to capture).
+    ``has_exceptions`` is accordingly always ``False`` and ``exc_info``
+    always empty.
     """
 
-    def __init__(self, starting_filter, incoming_data=None, *, dtype=None,
+    def __init__(self, starting_filter, incoming_data=None,
+                 capture_exc_info: bool = False, *, dtype=None,
                  spark: SparkSession | None = None) -> None:
         self.filter_chain = as_chain(starting_filter)
         self.data = incoming_data
+        self.capture_exc_info = capture_exc_info  # accepted for parity; no-op
         self._dtype = dtype
         self._spark = spark
         self._result = None  # (cleaned, messages)
@@ -165,3 +175,13 @@ class FilterRunner:
 
     def is_valid(self) -> bool:
         return not self.filter_messages
+
+    @property
+    def has_exceptions(self) -> bool:
+        """Always ``False`` — see ``capture_exc_info`` above."""
+        return False
+
+    @property
+    def exc_info(self) -> list:
+        """Always empty — see ``capture_exc_info`` above."""
+        return []

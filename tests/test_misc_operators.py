@@ -40,6 +40,48 @@ def test_array_requires_array_column(sdf):
         fs.validate(sdf, {"name": fs.Array()})
 
 
+def test_type_aliases_in_message(sdf):
+    """Type(aliases=...) masks Python type names in the wrong_type
+    message (base.py:543-633 + aliases.py:10-24); the rendered message
+    byte-matches the reference's aliased output."""
+    from filters_spark.aliases import JSON_ALIASES
+
+    t = fs.Type(str, aliases=JSON_ALIASES)
+    assert t.render_wrong_type(int) == (
+        "Number is not valid (allowed types: String)."
+    )
+    assert t.get_allowed_type_names(aliased=False) == "str"
+    # dedup through aliasing: int and float both alias to Number
+    t2 = fs.Type((int, float), aliases=JSON_ALIASES)
+    assert t2.get_allowed_type_names() == "Number"
+    with pytest.raises(CompileError, match="Number"):
+        fs.validate(sdf, {"score": fs.Type(str, aliases=JSON_ALIASES)})
+
+
+def test_type_aliases_match_live_reference(sdf):
+    """Byte-compare the aliased wrong_type message against the live
+    reference implementation."""
+    from tests.test_property_parity import ref
+
+    if ref is None:
+        pytest.skip("reference library unavailable")
+    from filters.aliases import JSON_ALIASES as REF_ALIASES
+
+    from filters_spark.aliases import JSON_ALIASES
+
+    assert {k.__name__ if hasattr(k, "__name__") else str(k): v
+            for k, v in JSON_ALIASES.items()} == {
+        k.__name__ if hasattr(k, "__name__") else str(k): v
+        for k, v in REF_ALIASES.items()
+    }
+    ref_type = ref.Type(str, aliases=REF_ALIASES)
+    runner = ref.FilterRunner(ref_type, 42)
+    assert not runner.is_valid()
+    ref_msg = runner.get_errors()[""][0]["message"]
+    ours = fs.Type(str, aliases=JSON_ALIASES).render_wrong_type(int)
+    assert ours == ref_msg
+
+
 # -- NamedTuple --------------------------------------------------------------
 
 
