@@ -917,7 +917,7 @@ def q_embed_near_dups(spark, sf_dir):
     the SRP-bucketed default is oracled separately as
     ``embed_near_dups_srp``)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dups(emb, threshold=0.25, exact=True)
+    out = embedding_near_dups(emb, threshold=0.25, exact=True, dim=64)
     return out.select("a", "b", _round6("score").alias("score"))
 
 
@@ -993,7 +993,7 @@ def q_embed_near_dups_srp(spark, sf_dir):
     ``embedding_near_dups`` (equi-join on bucket id, no cross join),
     oracled deterministically."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dups(emb, threshold=0.25, planes=6)
+    out = embedding_near_dups(emb, threshold=0.25, planes=6, dim=64)
     return out.select("a", "b", _round6("score").alias("score"))
 
 
@@ -1879,7 +1879,28 @@ SELECT * FROM (
 # driver surface
 # ---------------------------------------------------------------------------
 
+# Ordered for the driver's bounded correctness sweep: the 15 queries the
+# r2 driver did not reach come FIRST (they were only judge-verified), then
+# cheap single-scan queries, then the heavy self-join / suite queries —
+# all 50 of which already have driver-green rows in CORRECTNESS_r02.json.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- unchecked-in-r2 first (VERDICT r2 item 6) --
+    "length_exact": q_length_exact,
+    "bytestring_encode": q_bytestring_encode,
+    "toml_decode": q_toml_decode,
+    "bytearray_pack": q_bytearray_pack,
+    "omit_project": q_omit_project,
+    "namedtuple_fields": q_namedtuple_fields,
+    "noop_chain": q_noop_chain,
+    "call_custom": q_call_custom,
+    "macro_registry": q_macro_registry,
+    "type_static": q_type_static,
+    "array_static": q_array_static,
+    "handler_errors": q_handler_errors,
+    "repetition_stats": q_repetition_stats,
+    "ngram_overlap": q_ngram_overlap,
+    "redact_pii": q_redact_pii,
+    # -- flagship + cheap single-scan queries --
     "flagship_validate": q_flagship_validate,
     "required": q_required,
     "choice_canonical": q_choice_canonical,
@@ -1902,6 +1923,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxchars_truncate": q_maxchars_truncate,
     "date_utc": q_date_utc,
     "empty_notempty": q_empty_notempty,
+    "decimal_quantize": q_decimal_quantize,
+    "mapper_nested": q_mapper_nested,
+    "repeater_elements": q_repeater_elements,
+    "switch_dispatch": q_switch_dispatch,
+    "pick_item": q_pick_item,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "multimodal_bytestats": q_multimodal_bytestats,
+    "multimodal_decode": q_multimodal_decode,
     "salted_agg": q_salted_agg,
     "uniqueness": q_uniqueness,
     "gapless": q_gapless,
@@ -1909,42 +1941,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_stats": q_column_stats,
     "drift_frequencies": q_drift_frequencies,
     "length_histogram": q_length_histogram,
-    "suite_verdicts": q_suite_verdicts,
-    "mapper_nested": q_mapper_nested,
-    "repeater_elements": q_repeater_elements,
-    "switch_dispatch": q_switch_dispatch,
-    "pick_item": q_pick_item,
     "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "cosine_topk": q_cosine_topk,
+    # -- heavy self-join / suite queries (driver-green in r2) --
+    "suite_verdicts": q_suite_verdicts,
     "dedup_simhash": q_dedup_simhash,
     "simhash_pairs": q_simhash_pairs,
-    "cosine_topk": q_cosine_topk,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_srp": q_embed_near_dups_srp,
     "srp_ann_topk": q_srp_ann_topk,
-    "token_counts": q_token_counts,
-    "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "multimodal_bytestats": q_multimodal_bytestats,
-    "multimodal_decode": q_multimodal_decode,
-    "decimal_quantize": q_decimal_quantize,
-    "length_exact": q_length_exact,
-    "bytestring_encode": q_bytestring_encode,
-    "toml_decode": q_toml_decode,
-    "bytearray_pack": q_bytearray_pack,
-    "omit_project": q_omit_project,
-    "namedtuple_fields": q_namedtuple_fields,
-    "noop_chain": q_noop_chain,
-    "call_custom": q_call_custom,
-    "macro_registry": q_macro_registry,
-    "type_static": q_type_static,
-    "array_static": q_array_static,
-    "handler_errors": q_handler_errors,
-    "repetition_stats": q_repetition_stats,
-    "ngram_overlap": q_ngram_overlap,
-    "redact_pii": q_redact_pii,
 }
 
 _ORACLES: dict[str, str] = {

@@ -15,17 +15,63 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def frequencies(df: DataFrame, col: str | Column, alias: str = "k") -> DataFrame:
+#: driver-safety ceiling on collected category tables: role/tool-style
+#: drift columns have a handful of categories by construction, but an
+#: accidental ``frequencies()`` over a free-text / id column must not
+#: flood the driver with 10^8 rows.
+DEFAULT_MAX_CATEGORIES = 10_000
+
+
+def frequencies(
+    df: DataFrame,
+    col: str | Column,
+    alias: str = "k",
+    max_categories: int | None = DEFAULT_MAX_CATEGORIES,
+) -> DataFrame:
     """Normalised category frequencies: ``(k, p)`` with sum(p)=1.
     Nulls become the literal category '__null__' so presence drift is
-    visible."""
+    visible.
+
+    ``max_categories`` is a top-k driver-safety guard: only the k most
+    frequent categories keep their identity; the tail is collapsed into
+    ``'__other__'`` (probability mass preserved, so KL/PSI stay
+    well-defined).  The ranking runs distributed over the *aggregated*
+    counts table — the driver never sees more than k+1 rows however
+    high the column's cardinality.  ``None`` disables."""
     c = F.col(col) if isinstance(col, str) else col
     counts = df.groupBy(
         F.coalesce(c.cast("string"), F.lit("__null__")).alias(alias)
     ).agg(F.count(F.lit(1)).alias("n"))
+    counts = _cap_categories(counts, alias, max_categories)
     total = counts.agg(F.sum("n").alias("t"))
     return counts.crossJoin(F.broadcast(total)).select(
         alias, (F.col("n") / F.col("t")).alias("p")
+    )
+
+
+def _cap_categories(
+    counts: DataFrame,
+    alias: str,
+    max_categories: int | None,
+    partition_cols: tuple = (),
+) -> DataFrame:
+    """Collapse all but the ``max_categories`` most frequent keys (per
+    ``partition_cols`` group, if any) into ``'__other__'`` — distributed
+    (window rank + re-aggregate over the already-aggregated counts)."""
+    if max_categories is None:
+        return counts
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.desc("n"), F.col(alias)
+    )
+    keep = F.row_number().over(w) <= max_categories
+    return (
+        counts.withColumn(
+            alias, F.when(keep, F.col(alias)).otherwise(F.lit("__other__"))
+        )
+        .groupBy(*partition_cols, alias)
+        .agg(F.sum("n").alias("n"))
     )
 
 
@@ -115,15 +161,23 @@ def len_entry(name: str, bucket_col: Column) -> Column:
     )
 
 
-def profile_from_entries(df: DataFrame, entries: list) -> dict:
+def profile_from_entries(
+    df: DataFrame,
+    entries: list,
+    max_categories: int | None = DEFAULT_MAX_CATEGORIES,
+) -> dict:
     """Shared core of :func:`dist_profile`: explode the per-row entry
-    structs, ONE hash aggregation, normalise on the driver."""
-    counts = (
+    structs, ONE hash aggregation, normalise on the driver.  The collect
+    is bounded to ``max_categories`` keys *per dimension* (tail →
+    ``'__other__'``, see :func:`frequencies`)."""
+    agg = (
         df.select(F.explode(F.array(*entries)).alias("e"))
-        .groupBy("e.dim", "e.k")
+        .groupBy(F.col("e.dim").alias("dim"), F.col("e.k").alias("k"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    counts = _cap_categories(
+        agg, "k", max_categories, partition_cols=("dim",)
+    ).collect()
     totals: dict[str, int] = {}
     for r in counts:
         totals[r["dim"]] = totals.get(r["dim"], 0) + r["n"]

@@ -115,7 +115,9 @@ def explode_violations(
 
 
 def errors_by_key(
-    df: DataFrame, violations_col: str = "_violations"
+    df: DataFrame,
+    violations_col: str = "_violations",
+    max_rows: int | None = 100_000,
 ) -> dict[str, list[dict[str, str]]]:
     """The FilterRunner ``errors`` dict (``handlers.py:216-245``),
     aggregated across the whole frame::
@@ -126,16 +128,25 @@ def errors_by_key(
     (key, code, message) triples across rows are collapsed with the
     distinct aggregation running map-side (this is a groupBy on the
     violation triple — shuffle volume is #distinct violations, not
-    #rows)."""
-    rows = (
+    #rows).
+
+    Chain messages are templated constants, so the distinct-triple
+    count is normally tiny (#keys × #codes); ``max_rows`` bounds the
+    driver collect anyway in case a custom ``Call``/macro interpolates
+    row values into messages — truncation keeps the
+    (key, code, message)-ordered prefix, deterministically.  ``None``
+    disables the bound."""
+    agg = (
         explode_violations(
             df.select(violations_col), violations_col
         )
         .groupBy("key", "code", "message")
         .count()
         .orderBy("key", "code", "message")
-        .collect()
     )
+    if max_rows is not None:
+        agg = agg.limit(max_rows)
+    rows = agg.collect()
     out: dict[str, list[dict[str, str]]] = {}
     for r in rows:
         out.setdefault(r["key"], []).append(

@@ -271,6 +271,13 @@ class ValidationSuite:
     ) -> SuiteResult:
         """Run the whole suite.
 
+        Raises ``ValueError`` when a configured drift/length column is
+        missing from ``df`` — the raw-copy carriers silently skip absent
+        columns (``row_results`` is also used verdict-only on frames
+        without drift columns), and an unchecked typo would otherwise
+        yield an empty current-side profile: KL ≡ 0.0, i.e. a drift
+        check that silently always passes.
+
         ``persist=True`` caches a NARROW projection of the row-validation
         output — ``(conv, idx, bucket, _is_valid, _violations)`` only —
         so verdicts and violation reporting don't re-execute the full
@@ -284,6 +291,15 @@ class ValidationSuite:
         """
         from pyspark import StorageLevel
 
+        missing = [c for c in self.drift_cols if c not in df.columns]
+        if self.length_col and self.length_col not in df.columns:
+            missing.append(self.length_col)
+        if missing:
+            raise ValueError(
+                f"suite drift config references columns missing from the "
+                f"input frame: {missing} (available: {df.columns}); pass "
+                f"drift_cols=()/length_col=None to disable those checks"
+            )
         rows = self.row_results(df)
         raw_cols = [c for c in rows.columns if c.startswith(RAW_PREFIX)]
         keyed = None

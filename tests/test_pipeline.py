@@ -406,6 +406,46 @@ def test_byte_features(payloads):
     assert rows[4]["byte_len"] == 0  # null payload -> zero-length row kept
 
 
+def test_embed_near_dups_dim_param_skips_driver_probe(spark, monkeypatch):
+    """With dim= supplied, plan construction must trigger no Spark job
+    (VERDICT r2 item 8: the .first() probe is fallback-only)."""
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline.similarity import (
+        _vector_dim,
+        embedding_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def _boom(self):
+        raise AssertionError("driver probe triggered despite dim=")
+
+    monkeypatch.setattr(_DF, "first", _boom)
+    out = embedding_near_dups(df, threshold=0.9, exact=True, dim=8)
+    monkeypatch.undo()
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
+
+    # schema metadata carries the dim without any probe either
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.DoubleType()), metadata={"dim": 8}
+            ),
+        ]
+    )
+    df2 = spark.createDataFrame([(1, [1.0] * 8)], schema)
+    monkeypatch.setattr(_DF, "first", _boom)
+    assert _vector_dim(df2, "embedding") == 8
+    monkeypatch.undo()
+
+
 def test_pipeline_persist_release(docs, spark):
     """Operators that persist intermediates attach them to the result so
     callers can release executor storage (ADVICE r1)."""
