@@ -246,24 +246,41 @@ def attach_chain(
     return df, out_value, out_violations
 
 
-def _kernel_repeater_inner(df, col_name, chain, ctx):
-    """If ``chain`` is exactly one FilterRepeater over an array column
-    whose element chain needs an Arrow kernel, return that element
-    chain (the explode-path route); else None (normal projection
-    compile, which covers pure-expression repeaters via F.transform)."""
+def _kernel_repeater_route(df, col_name, chain, ctx):
+    """Detect chains that must route through the explode path: exactly
+    one FilterRepeater whose element chain needs an Arrow kernel
+    (kernels cannot run inside ``F.transform`` lambdas).
+
+    The repeater may sit anywhere in the chain (ADVICE r2: composed
+    chains like ``Required() | FilterRepeater(Unicode())`` must compose
+    like the reference's) — returns ``(prefix_chain, repeater,
+    suffix_chain)`` with the surrounding segments (either may be
+    ``None``), or ``None`` when the normal projection compile covers the
+    chain (no repeater, pure-expression repeater, or non-array input)."""
     from filters_spark.operators.structural import FilterRepeater
 
     specs = as_chain(chain).specs
-    if len(specs) != 1 or not isinstance(specs[0], FilterRepeater):
-        return None
-    if col_name not in df.columns:
+    reps = [i for i, s in enumerate(specs) if isinstance(s, FilterRepeater)]
+    if len(reps) != 1 or col_name not in df.columns:
         return None
     if df.isStreaming:
         # the explode path re-assembles via a grouped aggregation, which
         # a streaming plan cannot host in append mode — keep the clear
         # compile error instead of a confusing runtime one
         return None
+    i = reps[0]
+    # thread the dtype through the prefix segment (presence/structural
+    # steps may change it); any prefix compile error surfaces later via
+    # the normal path, so bail quietly here
     dtype = df.schema[col_name].dataType
+    probe = Ctx(prefix="__probe")
+    value = F.col(col_name)
+    try:
+        for s in specs[:i]:
+            st = s.compile(value, dtype, probe, col_name)
+            value, dtype = st.value, st.dtype
+    except CompileError:
+        return None
     if isinstance(dtype, T.ArrayType):
         elem_t = dtype.elementType
     elif isinstance(dtype, T.MapType):
@@ -272,16 +289,19 @@ def _kernel_repeater_inner(df, col_name, chain, ctx):
         return None
     try:
         compile_chain_expr(
-            specs[0].chain,
-            F.col(col_name),
+            specs[i].chain,
+            F.lit(None).cast(elem_t),
             elem_t,
-            Ctx(prefix="__probe"),
+            probe,
             col_name,
             allow_pre=False,
         )
         return None  # pure-expression chain: the F.transform path is fine
     except CompileError:
-        return specs[0].chain
+        pass
+    prefix = Chain(specs[:i]) if i else None
+    suffix = Chain(specs[i + 1 :]) if i + 1 < len(specs) else None
+    return prefix, specs[i], suffix
 
 
 def validate(
@@ -303,23 +323,58 @@ def validate(
 
     Scale notes: no shuffle — pure projection; Column-expression kernels
     stay in whole-stage codegen; pandas kernels ride Arrow batches.
-    Exception: a rule that is exactly ``FilterRepeater(inner)`` over an
+    Exception: a rule containing one ``FilterRepeater(inner)`` over an
     array column where ``inner`` needs an Arrow kernel (kernels cannot
     run inside higher-order-function lambdas) is routed through the
-    explode path automatically — that one rule costs a per-row-id hash
-    aggregation (see ``engine/explode.py``); everything else stays a
-    projection.
+    explode path automatically — specs before/after the repeater compile
+    as ordinary projection segments with the chain's first-error break
+    preserved across the segment joins; that one rule costs a
+    per-row-id hash aggregation (see ``engine/explode.py``); everything
+    else stays a projection.
     """
     ctx = Ctx()
     produced: list[tuple[str, str, str]] = []
     for col_name, chain in rules.items():
-        inner = _kernel_repeater_inner(df, col_name, chain, ctx)
-        if inner is not None:
+        route = _kernel_repeater_route(df, col_name, chain, ctx)
+        if route is not None:
             from filters_spark.engine.explode import explode_validate
 
-            df, v, w = explode_validate(
-                df, col_name, inner, key=col_name, ctx=ctx
+            prefix, rep, suffix = route
+            cur, w1 = col_name, None
+            if prefix is not None:
+                df, cur, w1 = attach_chain(
+                    df, col_name, prefix, key=col_name, ctx=ctx
+                )
+            df, v2, w2 = explode_validate(
+                df, cur, rep.chain, key=col_name, ctx=ctx
             )
+            v, w = v2, w2
+            if w1 is not None or suffix is not None:
+                if suffix is not None:
+                    df, v3, w3 = attach_chain(
+                        df, v2, suffix, key=col_name, ctx=ctx
+                    )
+                else:
+                    v3, w3 = v2, w2
+                # first-error break across the three segments: a failing
+                # segment freezes its own value/violations, later
+                # segments are suppressed (base.py:462-473 semantics)
+                err1 = (
+                    F.size(F.col(w1)) > 0 if w1 is not None else F.lit(False)
+                )
+                err2 = F.size(F.col(w2)) > 0
+                val = (
+                    F.when(err1, F.col(cur))
+                    .when(err2, F.col(v2))
+                    .otherwise(F.col(v3))
+                )
+                viols = (
+                    F.when(err1, F.col(w1) if w1 is not None else _empty_viols())
+                    .when(err2, F.col(w2))
+                    .otherwise(F.col(w3))
+                )
+                v, w = ctx.name("cleaned"), ctx.name("violset")
+                df = df.withColumns({v: val, w: viols})
         else:
             df, v, w = attach_chain(df, col_name, chain, ctx=ctx)
         produced.append((col_name, v, w))

@@ -15,10 +15,17 @@ Single-lineage, single-pass: the row's other columns ride through the
 explode as ONE conditional struct (built only on the first exploded row
 of each input row) and come back via a map-side-combined ``first()`` in
 the same aggregation that rebuilds the array — so there is no self-join
-and no persist.  The synthetic ``monotonically_increasing_id`` is
-produced and consumed inside one plan branch, which keeps it safe under
-task retries (each map attempt regenerates ids consistently for its own
-partition, and reducers consume exactly one complete attempt).
+and no persist.  The synthetic ``monotonically_increasing_id`` row id is
+produced and consumed inside one plan branch, which removes the
+cross-branch id-mismatch hazard a join design would have; what it does
+NOT remove (ADVICE r2) is the retry sensitivity inherited from
+nondeterministic expressions: if the INPUT lineage is itself
+order-nondeterministic (reads an upstream shuffle, ``coalesce`` over a
+race-y union, ...), a shuffle-fetch-failure retry may regenerate
+different ids for recomputed map tasks and split/merge rows
+incorrectly.  Call sites must hand this function deterministic lineage
+(file scans, cached/checkpointed frames — what ``validate`` sees in
+practice); persist or ``localCheckpoint`` the input first otherwise.
 
 Scale shape: explode multiplies rows by mean array length inside the map
 task only; the shuffle carries one pre-merged row per input row (partial

@@ -43,6 +43,7 @@ def salted_agg(
     key: str | list[str],
     aggs: dict[str, tuple[str, str]],
     salt_buckets: int = 32,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Two-level salted aggregation for skewed grouping keys.
 
@@ -54,8 +55,22 @@ def salted_agg(
     ``salt_buckets`` reducers; phase 2 merges the partials.  Both phases
     are standard hash aggregations — the point is that no single reducer
     ever sees more than ~1/salt_buckets of a hot key's rows.
+
+    **Retry caveat (ADVICE r2):** the per-row salt is
+    ``monotonically_increasing_id``, a nondeterministic expression.  The
+    AGGREGATED results are salt-invariant (any salt assignment merges to
+    the same totals), but if the input lineage is itself
+    order-nondeterministic (e.g. reads an upstream shuffle) a
+    shuffle-fetch-failure retry can recompute only some map tasks with
+    different row orders, double-counting or dropping rows mid-flight.
+    Use this on deterministic lineage (file scans, cached frames), or
+    pass ``pin_input=True`` to persist the input first — the escape
+    hatch that makes retries replay identical rows at the cost of a
+    materialisation.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if pin_input:
+        df = df.persist()
     # Per-ROW salt, not a hash of the row's values: a hot key flooded
     # with byte-identical duplicate rows would hash to ONE salt bucket
     # and land on a single reducer again (the exact case salting exists

@@ -79,6 +79,21 @@ class Datetime(BaseSpec):
             )
             if name:
                 self._tz_name = str(name)
+                # pytz normalisation (ADVICE r2): attaching a pytz zone
+                # with datetime.replace() yields its raw LMT offset
+                # (e.g. Asia/Kolkata +5:53) — the reference inherits
+                # that wart (simple.py:331 replace(tzinfo=...)); here
+                # BOTH paths apply the zone's real rules, so convert the
+                # pytz object to zoneinfo by key for the kernel path
+                # (matching what the JVM's to_utc_timestamp does).
+                # Documented divergence: DEVIATIONS.md #2.
+                if not hasattr(timezone, "key"):  # pytz-style object
+                    try:
+                        from zoneinfo import ZoneInfo
+
+                        self._tzinfo = ZoneInfo(self._tz_name)
+                    except KeyError:
+                        pass  # unknown key: keep the object as given
             else:
                 off = timezone.utcoffset(None)
                 if off is None:

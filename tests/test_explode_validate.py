@@ -119,6 +119,41 @@ def test_validate_autoroutes_kernel_repeater(arr_df, spark):
     assert "ArrowEvalPython" not in plan and "HashAggregate" not in plan
 
 
+def test_validate_routes_composed_repeater_chain(arr_df, spark):
+    """ADVICE r2: a COMPOSED chain around a kernel-bearing repeater
+    (Required() | FilterRepeater(Unicode()) | ...) must compose like the
+    reference instead of dying in CompileError, with first-error break
+    preserved across the segments."""
+    rules = {
+        "texts": fs.Required() | fs.FilterRepeater(fs.Required() | fs.Unicode())
+    }
+    out = fs.validate(arr_df, rules)
+    rows = {r["rid"]: r for r in out.collect()}
+    # prefix Required fires on the NULL array; repeater suppressed
+    assert rows[3]["_is_valid"] is False
+    assert [(x["key"], x["code"]) for x in rows[3]["_violations"]] == [
+        ("texts", "empty")
+    ]
+    # clean rows still flow through the kernel repeater
+    assert rows[0]["texts"] == ["café", "café", "plain"]
+    # element violations intact when the prefix passes
+    assert [(x["key"], x["code"]) for x in rows[1]["_violations"]] == [
+        ("texts.1", "empty")
+    ]
+    # ... and a suffix segment runs after the repeater (type-preserving)
+    rules2 = {
+        "texts": fs.FilterRepeater(fs.Unicode()) | fs.MinLength(2)
+    }
+    out2 = fs.validate(arr_df, rules2)
+    rows2 = {r["rid"]: r for r in out2.collect()}
+    assert rows2[0]["_is_valid"] is True
+    assert [(x["key"], x["code"]) for x in rows2[4]["_violations"]] == [
+        ("texts", "too_short")
+    ]
+    # empty array: repeater passes, suffix MinLength(2) fires
+    assert rows2[2]["_is_valid"] is False
+
+
 def test_explode_validate_map_values(spark):
     """Map variant: kernel chain over every map VALUE, violation keys
     carry the map key, NULL/empty maps pass through (reference

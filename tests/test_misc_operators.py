@@ -232,3 +232,21 @@ def test_datetime_tzinfo_objects(spark):
     out2 = fs.validate(df, {"ts": fs.Datetime(timezone=ny, strict=False)})
     got2 = {r["i"]: r["ts"] for r in out2.collect()}
     assert got2 == got
+
+
+def test_datetime_pytz_normalised_to_real_rules(spark):
+    """pytz zones attached with replace() yield LMT offsets (Kolkata
+    +5:53); both our paths must instead apply the real zone rules and
+    agree with each other (ADVICE r2, DEVIATIONS #2)."""
+    import datetime as dt
+
+    pytz = pytest.importorskip("pytz")
+
+    df = spark.createDataFrame([(0, "2020-01-01 00:00:00")], "i int, ts string")
+    kolkata = pytz.timezone("Asia/Kolkata")
+    expect = dt.datetime(2019, 12, 31, 18, 30)  # real +5:30, NOT +5:53 LMT
+    for strict in (True, False):
+        out = fs.validate(
+            df, {"ts": fs.Datetime(timezone=kolkata, strict=strict)}
+        )
+        assert out.collect()[0]["ts"] == expect, f"strict={strict}"
