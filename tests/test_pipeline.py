@@ -446,6 +446,25 @@ def test_embed_near_dups_dim_param_skips_driver_probe(spark, monkeypatch):
     monkeypatch.undo()
 
 
+def test_lang_id_fasttext_wiring(docs):
+    """lang_id(model=...) routes to the fastText mapInPandas path with
+    the documented schema; without the package the executor raises the
+    guidance error (the model lib is not in this environment — the
+    wiring and contract are what's under test)."""
+    from filters_spark.pipeline.textstats import lang_id
+
+    out = lang_id(docs, model="/nonexistent/lid.176.ftz")
+    assert out.columns == ["id", "lang_pred", "lang_conf"]
+    try:
+        import fasttext  # noqa: F401
+
+        pytest.skip("fasttext present; error-path assertion not applicable")
+    except ModuleNotFoundError:
+        pass
+    with pytest.raises(Exception, match="fasttext"):
+        out.collect()
+
+
 def test_pipeline_persist_release(docs, spark):
     """Operators that persist intermediates attach them to the result so
     callers can release executor storage (ADVICE r1)."""

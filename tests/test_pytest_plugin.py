@@ -84,6 +84,59 @@ def test_runner_reference_positional_signature(spark):
     assert r.exc_info == []
 
 
+class TestLegacyUnittestHarness:
+    """filters_spark.test.BaseFilterTestCase — the reference's legacy
+    unittest harness (test.py:41-207), exercised with reference-style
+    cases.  Wrapped in a pytest class so the session fixture exists."""
+
+    @pytest.fixture(autouse=True)
+    def _need_spark(self, spark):
+        pass
+
+    def _case(self):
+        import unittest
+
+        from filters_spark.test import BaseFilterTestCase
+
+        class MinCase(BaseFilterTestCase):
+            filter_type = fs.Min
+            # TestCase needs a runnable method name
+            def runTest(self):
+                pass
+
+        return MinCase()
+
+    def test_passes_and_errors(self):
+        case = self._case()
+        # reference test.py:163-168 example: Min(min_val).apply(value)
+        case.assertFilterPasses(case._filter(42, 40))
+        runner = case.assertFilterErrors(
+            case._filter(3, 40), [fs.Min.CODE_TOO_SMALL]
+        )
+        assert runner.cleaned_data is None
+
+    def test_typo_protection_and_sentinels(self):
+        import unittest
+
+        case = self._case()
+        with pytest.raises(unittest.TestCase.failureException):
+            case.assertFilterPasses(case._filter(3, 40))
+        # skip_value_check sentinel
+        case.assertFilterErrors(
+            case._filter(3, 40),
+            [fs.Min.CODE_TOO_SMALL],
+            case.skip_value_check,
+        )
+
+    def test_sorted_dict_helper(self):
+        from filters_spark.test import sorted_dict
+
+        assert sorted_dict({"b": [{"z": 1, "a": 2}], "a": 0}) == {
+            "a": 0,
+            "b": [{"a": 2, "z": 1}],
+        }
+
+
 def test_sentinels_importable_like_reference():
     # mirror: from filters.pytest import unmodified, skip_value_check
     from filters_spark.pytest_plugin import (  # noqa: F811
