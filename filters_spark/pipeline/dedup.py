@@ -66,7 +66,9 @@ def portable_hash60(col, salt=None):
     return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 
-def _join_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+def _join_sizes(
+    inter: DataFrame, sizes: DataFrame, cand: DataFrame | None = None
+) -> DataFrame:
     """Attach per-doc shingle-set sizes to intersection counts and emit
     ``(a, b, jaccard)``.
 
@@ -74,14 +76,22 @@ def _join_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     carry a broadcast hint — at 10^8-10^9 docs a forced broadcast is a
     multi-GB driver collect (OOM / broadcast-limit failure).  Instead it
     is candidate-restricted first: a left-semi join keeps only the ids
-    that actually appear in ``inter``, so the join that follows shuffles
-    O(|candidates|) size rows, not O(|corpus|).  AQE is then free to
-    broadcast the restricted side when it turns out tiny (the usual case
-    at any scale), which is the plan you want both at sf0.1 and 100 TB.
+    that actually appear in the candidate pairs, so the join that
+    follows shuffles O(|candidates|) size rows, not O(|corpus|).  AQE is
+    then free to broadcast the restricted side when it turns out tiny
+    (the usual case at any scale), which is the plan you want both at
+    sf0.1 and 100 TB.
+
+    ``cand`` supplies the candidate-id relation when the caller has a
+    CHEAPER (ideally cached) source of the same ids than ``inter``
+    itself — the id sets need not match exactly, only cover ``inter``'s
+    — so the expensive intersection aggregation is not recomputed just
+    to restrict the sizes.
     """
+    src = cand if cand is not None else inter
     ids = (
-        inter.select(F.col("a").alias("id"))
-        .union(inter.select(F.col("b").alias("id")))
+        src.select(F.col("a").alias("id"))
+        .union(src.select(F.col("b").alias("id")))
         .distinct()
     )
     sz = sizes.join(ids, "id", "left_semi")
@@ -212,6 +222,11 @@ def jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # inter (the shingle self-join) feeds the size semi-join twice plus
+    # the final join — persist so the self-join runs once (small: two
+    # ids + a count per candidate pair)
+    inter = inter.persist()
+    persisted.append(inter)
     out = _join_sizes(inter, sizes).where(F.col("jaccard") >= threshold)
     return _track_persisted(out, persisted)
 
@@ -349,7 +364,15 @@ def minhash_lsh_pairs(
     # candidate-restricted exact Jaccard: join the candidate pairs back
     # to the (shared, cached) shingle sets instead of computing
     # all-pairs similarity — verification cost scales with
-    # |candidates|, not |docs|².
+    # |candidates|, not |docs|².  cand sits under THREE consumers now
+    # (the intersection join + both sides of the size semi-join in
+    # _join_sizes), and it is the expensive bucket self-join — persist
+    # it so the verify reuses one materialisation (measured: without
+    # this the self-join ran 3x and the verify was ~4x slower).  Small:
+    # two longs per candidate pair.
+    if cache:
+        cand = cand.persist()
+        persisted.append(cand)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col("id").alias("a"), "shingle")
     b_sh = sh.select(F.col("id").alias("b"), "shingle")
@@ -359,7 +382,7 @@ def minhash_lsh_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = _join_sizes(inter, sizes).where(
+    out = _join_sizes(inter, sizes, cand=cand).where(
         F.col("jaccard") >= verify_threshold
     )
     return _track_persisted(out, persisted)

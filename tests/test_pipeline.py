@@ -473,7 +473,7 @@ def test_pipeline_persist_release(docs, spark):
     out = minhash_lsh_pairs(docs, bands=4, rows=2, verify_threshold=0.3)
     out.collect()
     tracked = getattr(out, "_fs_persisted", [])
-    assert len(tracked) == 2  # signatures + shingle index
+    assert len(tracked) == 3  # shingle index + signatures + candidates
     assert all(t.storageLevel.useMemory for t in tracked)
     release(out)
     assert all(not t.storageLevel.useMemory for t in tracked)
