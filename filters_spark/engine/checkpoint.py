@@ -71,6 +71,7 @@ def run_resumable(
     buckets_per_job: int = 8,
     fail_after_buckets: int | None = None,
     output: str | None = None,
+    sketch_cols: list[str] | None = None,
 ) -> dict:
     """Run the suite bucket-group by bucket-group, committing the manifest
     after each group.  Returns aggregate counters across ALL completed
@@ -91,6 +92,14 @@ def run_resumable(
     tables stay consistent with the manifest without a second full
     validation pass over the table.
 
+    ``sketch_cols`` enables ACCUMULATED SKETCH STATE (north rule): each
+    completed bucket's manifest entry carries a base64 Datasketches-HLL
+    sketch per listed column (one extra aggregation per group, keyed by
+    bucket); the final return includes ``distinct_estimates`` — the
+    union of every completed bucket's sketches across ALL runs, so a
+    resumed job reports table-wide distinct counts without rescanning
+    the partitions a previous run already validated.
+
     ``fail_after_buckets`` is a test hook: abort after N newly-completed
     buckets to simulate a killed job.
     """
@@ -108,6 +117,13 @@ def run_resumable(
         # bucket_fn=iceberg_bucket_fn) this predicate prunes to exactly
         # these partitions.
         sub = df.where(conv_bucket.isin(group))
+        sketches: dict[int, dict[str, str]] = {}
+        if sketch_cols:
+            from filters_spark.engine.stats import bucket_distinct_sketches
+
+            sketches = bucket_distinct_sketches(
+                sub, conv_bucket, sketch_cols
+            )
         result = suite.run(sub, baseline=baseline)
         try:
             if output is not None:
@@ -150,7 +166,10 @@ def run_resumable(
                     "bucket_pass": True,
                 }
             row.pop("bucket", None)
-            manifest.mark(b, {"verdict": row, "metrics": result.metrics})
+            payload = {"verdict": row, "metrics": result.metrics}
+            if b in sketches:
+                payload["sketches"] = sketches[b]
+            manifest.mark(b, payload)
             newly += 1
             if fail_after_buckets is not None and newly >= fail_after_buckets:
                 return {"completed": len(done) + newly, "aborted": True}
@@ -158,14 +177,25 @@ def run_resumable(
     # aggregate lineage across all manifest entries
     total = {"n_rows": 0, "n_invalid": 0, "dup_keys": 0, "gappy_convs": 0}
     passed = True
+    states: list[dict[str, str]] = []
     for b in manifest.completed():
-        v = manifest.read(b)["verdict"]
+        entry = manifest.read(b)
+        v = entry["verdict"]
         for k in total:
             total[k] += int(v.get(k) or 0)
         passed = passed and bool(v.get("bucket_pass", True))
-    return {
+        if entry.get("sketches"):
+            states.append(entry["sketches"])
+    out = {
         "completed": len(manifest.completed()),
         "aborted": False,
         "passed": passed,
         **total,
     }
+    if states:
+        from filters_spark.engine.stats import merge_distinct_sketches
+
+        out["distinct_estimates"] = merge_distinct_sketches(
+            df.sparkSession, states
+        )
+    return out

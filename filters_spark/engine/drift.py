@@ -57,7 +57,14 @@ def _cap_categories(
 ) -> DataFrame:
     """Collapse all but the ``max_categories`` most frequent keys (per
     ``partition_cols`` group, if any) into ``'__other__'`` — distributed
-    (window rank + re-aggregate over the already-aggregated counts)."""
+    (window rank + re-aggregate over the already-aggregated counts).
+
+    The rank runs over the counts table (one row per DISTINCT key, i.e.
+    post-aggregation), sorted with Spark's external sort — a
+    pathological 10^8-distinct-key column makes one sorter spill to
+    disk and finish, never a driver transfer.  That bounded worst case
+    is the point of the guard; columns one actually tracks drift on
+    have thousands of categories at most."""
     if max_categories is None:
         return counts
     from pyspark.sql import Window

@@ -34,6 +34,65 @@ def _numeric(dtype) -> bool:
     )
 
 
+def bucket_distinct_sketches(
+    df: DataFrame,
+    bucket_col: Column,
+    columns: list[str],
+    lg_k: int = 12,
+) -> dict[int, dict[str, str]]:
+    """Per-bucket Datasketches-HLL state for ``columns``, base64-encoded:
+    ``{bucket: {column: sketch_b64}}``.
+
+    This is the checkpointable "accumulated sketch state" of the north
+    rule: unlike ``approx_count_distinct`` (whose HLL++ buffer is
+    internal to one aggregation), ``hll_sketch_agg`` EXPORTS the sketch
+    as bytes, so a resumable job can persist each completed bucket's
+    sketch in its manifest entry and later union them
+    (:func:`merge_distinct_sketches`) into table-wide distinct counts
+    WITHOUT rescanning completed partitions.  One hash aggregation
+    keyed by bucket; a sketch is ~2^lg_k bytes, so a manifest entry
+    stays a few KB per column."""
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(c)
+        for c in columns
+    ]
+    rows = df.groupBy(bucket_col.alias("__b")).agg(*aggs).collect()
+    import base64
+
+    return {
+        int(r["__b"]): {
+            c: base64.b64encode(bytes(r[c])).decode("ascii") for c in columns
+        }
+        for r in rows
+    }
+
+
+def merge_distinct_sketches(
+    spark, states: list[dict[str, str]]
+) -> dict[str, float]:
+    """Union per-bucket base64 HLL sketches into table-wide distinct
+    estimates — runs ``hll_union_agg`` over the tiny sketch rows, no
+    data rescan.  Input dicts must share a key set."""
+    import base64
+
+    if not states:
+        return {}
+    cols = sorted(states[0])
+    rows = [
+        tuple(bytearray(base64.b64decode(s[c])) for c in cols)
+        for s in states
+    ]
+    schema = T.StructType([T.StructField(c, T.BinaryType()) for c in cols])
+    sk = spark.createDataFrame(rows, schema)
+    est = sk.agg(
+        *[
+            F.hll_sketch_estimate(F.hll_union_agg(F.col(c))).alias(c)
+            for c in cols
+        ]
+    ).first()
+    return {c: float(est[c]) for c in cols}
+
+
 def column_stats(
     df: DataFrame,
     columns: list[str] | None = None,

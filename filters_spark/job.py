@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--max-invalid-rate", type=float, default=0.05)
     p.add_argument("--buckets-per-job", type=int, default=8)
+    p.add_argument(
+        "--sketch-cols",
+        help="comma-separated columns whose per-bucket HLL sketch state "
+        "is checkpointed in the manifest and unioned on resume "
+        "(accumulated sketch state; needs --manifest)",
+    )
     return p
 
 
@@ -123,6 +129,9 @@ def main(argv: list[str] | None = None) -> int:
             baseline=baseline,
             buckets_per_job=args.buckets_per_job,
             output=out,
+            sketch_cols=(
+                args.sketch_cols.split(",") if args.sketch_cols else None
+            ),
         )
         from filters_spark.engine.stats import column_stats
 

@@ -274,6 +274,37 @@ def test_text_equality_oracle(tdf):
             assert r["text"] == expect or r["text"] == expect.strip()
 
 
+def test_checkpoint_sketch_state_accumulates(tmp_path, tdf, baseline):
+    """Accumulated sketch state (north rule): per-bucket HLL sketches
+    ride the manifest; a killed-then-resumed job unions sketches from
+    BOTH runs into table-wide distinct estimates without rescanning the
+    first run's buckets."""
+    suite = ValidationSuite(RULES, n_buckets=8)
+    manifest = CheckpointManifest(tmp_path / "msk")
+    partial = run_resumable(
+        tdf, suite, manifest, baseline=baseline, buckets_per_job=2,
+        fail_after_buckets=4, sketch_cols=["conv_id", "role"],
+    )
+    assert partial["aborted"]
+    final = run_resumable(
+        tdf, suite, manifest, baseline=baseline, buckets_per_job=4,
+        sketch_cols=["conv_id", "role"],
+    )
+    est = final["distinct_estimates"]
+    exact_conv = (
+        tdf.where(F.col("conv_id").isNotNull())
+        .select("conv_id").distinct().count()
+    )
+    exact_role = (
+        tdf.where(F.col("role").isNotNull())
+        .select("role").distinct().count()
+    )
+    assert abs(est["conv_id"] - exact_conv) / exact_conv < 0.05
+    assert est["role"] == pytest.approx(exact_role, abs=1)
+    # the sketches really are in the manifest (resumability evidence)
+    assert all("sketches" in manifest.read(b) for b in manifest.completed())
+
+
 def test_checkpoint_resume(tmp_path, tdf, baseline):
     suite = ValidationSuite(RULES, n_buckets=8)
     manifest = CheckpointManifest(tmp_path / "manifest")
