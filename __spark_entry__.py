@@ -37,6 +37,7 @@ from filters_spark.pipeline import (
     lang_id,
     minhash_lsh_pairs,
     quality_score,
+    dedup_groups,
     simhash,
     simhash_pairs,
     srp_topk,
@@ -882,6 +883,41 @@ SELECT x.id AS a, y.id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM fp x JOIN fp y ON x.id < y.id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+)
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Connected components over simhash near-dup pairs plus singleton
+    assignment — the survivor-selection step of a dedup pipeline
+    (iterative min-label propagation; oracle replays it with a
+    recursive reachability CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3, bands=4)
+    return dedup_groups(pairs, df=docs)
+
+
+SQL_DEDUP_GROUPS = (
+    "WITH RECURSIVE fp AS ("
+    + SQL_SIMHASH
+    + """
+), e AS (
+  SELECT x.id AS u, y.id AS v FROM fp x JOIN fp y ON x.id < y.id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+), grouped AS (
+  SELECT node AS id, min(r) AS group_id FROM reach GROUP BY node
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(group_id AS BIGINT) AS group_id
+FROM grouped
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
+FROM documents WHERE doc_id NOT IN (SELECT id FROM grouped)
 """
 )
 
@@ -1947,6 +1983,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suite_verdicts": q_suite_verdicts,
     "dedup_simhash": q_dedup_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_groups": q_dedup_groups,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embed_near_dups": q_embed_near_dups,
@@ -1994,6 +2031,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_MINHASH,
     "dedup_simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "dedup_groups": SQL_DEDUP_GROUPS,
     "cosine_topk": SQL_COSINE_TOPK,
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,
     "embed_near_dups_srp": _sql_embed_near_dups_srp(),

@@ -17,6 +17,7 @@ from filters_spark.pipeline.curation import (
 )
 from filters_spark.pipeline.dedup import (
     release,
+    dedup_groups,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -53,6 +54,7 @@ __all__ = [
     "cosine_sim",
     "cosine_topk",
     "decode_media",
+    "dedup_groups",
     "auto_planes",
     "embedding_near_dups",
     "exact_dedup",

@@ -27,6 +27,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "dedup_groups",
     "release",
     "simhash",
     "simhash_pairs",
@@ -386,6 +387,100 @@ def minhash_lsh_pairs(
         F.col("jaccard") >= verify_threshold
     )
     return _track_persisted(out, persisted)
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: ``(id, group_id)`` with
+    ``group_id`` = the smallest id reachable through the pair graph — the
+    survivor-selection step that turns pairwise candidates
+    (:func:`jaccard_pairs` / :func:`minhash_lsh_pairs` /
+    :func:`simhash_pairs` / ``embedding_near_dups``) into dedup groups.
+
+    Min-label propagation: each iteration joins the symmetric adjacency
+    with the current labels and takes the per-node min — one shuffle
+    join + one hash agg per iteration, converging in O(component
+    diameter) rounds.  LSH/simhash near-dup components are bucket-join
+    cliques in practice (diameter ~2-3), so the loop ends after a
+    handful of rounds; for adversarial long-chain graphs raise
+    ``max_iter`` (non-convergence raises rather than returning wrong
+    groups).  Per round the previous label table is unpersisted after
+    the new one materialises, so executor storage holds ~2 label tables
+    (two longs per node) regardless of iteration count.  At web scale
+    this is the standard alternating-contraction regime; the classic
+    large-star/small-star variant drops in here if components with huge
+    diameters ever appear.
+
+    ``df`` (optional) appends singleton groups (``group_id = id``) for
+    documents that appear in no pair, so the output is a total
+    assignment over the corpus.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("u"),
+        F.col(b_col).cast("long").alias("v"),
+    )
+    adj = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        adj.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    converged = False
+    prev = labels
+    for _ in range(max_iter):
+        nb = adj.join(labels, F.col("v") == F.col("node")).groupBy(
+            "u"
+        ).agg(F.min("label").alias("nb_label"))
+        merged = (
+            labels.join(nb, F.col("node") == F.col("u"), "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nb_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .persist()
+        )
+        # ONE action per iteration: the changed-count aggregation fills
+        # merged's cache as a side effect; next round's join reads it
+        changed = merged.agg(
+            F.sum((F.col("label") != F.col("old_label")).cast("int"))
+        ).first()[0]
+        labels = merged.select("node", "label")
+        prev.unpersist()
+        prev = merged
+        if not changed:
+            converged = True
+            break
+    adj.unpersist()
+    labels = prev.select("node", "label")
+    if not converged:
+        prev.unpersist()
+        raise RuntimeError(
+            f"dedup_groups did not converge in {max_iter} iterations - "
+            "a component has a longer diameter; raise max_iter"
+        )
+    out = labels.select(
+        F.col("node").alias("id"), F.col("label").alias("group_id")
+    )
+    if df is not None:
+        singles = (
+            df.select(F.col(id_col).cast("long").alias("id"))
+            .join(out.select("id"), "id", "left_anti")
+            .withColumn("group_id", F.col("id"))
+        )
+        out = out.union(singles)
+    return _track_persisted(out, [prev])
 
 
 def simhash(

@@ -406,6 +406,28 @@ def test_byte_features(payloads):
     assert rows[4]["byte_len"] == 0  # null payload -> zero-length row kept
 
 
+def test_dedup_groups_connected_components(spark):
+    """Min-label propagation assembles pair candidates into dedup
+    groups: path graphs (multi-iteration propagation), disjoint
+    components, singletons from the corpus frame, and the
+    non-convergence guard."""
+    from filters_spark.pipeline.dedup import dedup_groups, release
+
+    # path 1-2-3-4 (diameter 3 → needs >1 iteration) + component {7,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "a long, b long"
+    )
+    corpus = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 9, 42)],
+                                   "doc_id long")
+    out = dedup_groups(pairs, df=corpus)
+    got = {r["id"]: r["group_id"] for r in out.collect()}
+    release(out)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 42: 42}
+
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_groups(pairs, max_iter=1)
+
+
 def test_embed_near_dups_dim_param_skips_driver_probe(spark, monkeypatch):
     """With dim= supplied, plan construction must trigger no Spark job
     (VERDICT r2 item 8: the .first() probe is fallback-only)."""
