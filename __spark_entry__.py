@@ -38,6 +38,7 @@ from filters_spark.pipeline import (
     minhash_lsh_pairs,
     quality_score,
     dedup_groups,
+    ivf_topk,
     simhash,
     simhash_pairs,
     srp_topk,
@@ -1048,6 +1049,57 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """Approximate top-k via IVF cells — the data-ADAPTIVE counterpart
+    of ``srp_ann_topk`` (centroids follow the corpus distribution).
+    Fully deterministic: centroids are the ``portable_hash60``-smallest
+    corpus vectors, so the DuckDB oracle replays centroid selection,
+    cell assignment (arg-max cosine, lowest-index tie-break), and probe
+    choice exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_cells=8, nprobe=2
+    )
+    return out.select("vec_id", _round6("score").alias("score"))
+
+
+SQL_IVF_ANN_TOPK = """
+WITH h AS (
+  SELECT vec_id, embedding,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#42'), 1, 15)
+              AS BIGINT) AS h60
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY h60, vec_id) - 1 AS cidx,
+         embedding AS cvec
+  FROM h ORDER BY h60, vec_id LIMIT 8
+), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qc AS (
+  SELECT cidx FROM c, q
+  ORDER BY list_cosine_similarity(CAST(c.cvec AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC, cidx
+  LIMIT 2
+), a AS (
+  SELECT e.vec_id, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(c.cvec AS DOUBLE[])) DESC,
+                    c.cidx) AS rn
+  FROM embeddings e CROSS JOIN c
+), cells AS (SELECT vec_id, cidx AS cell FROM a WHERE rn = 1)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) * 1e6)
+         / 1e6 AS score
+FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id, q
+WHERE cells.cell IN (SELECT cidx FROM qc)
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+LIMIT 10
+"""
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return token_counts(docs)
@@ -1920,7 +1972,8 @@ SELECT * FROM (
 # cheap single-scan queries, then the heavy self-join / suite queries —
 # all 50 of which already have driver-green rows in CORRECTNESS_r02.json.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- unchecked-in-r2 first (VERDICT r2 item 6) --
+    # -- new-in-r3 and unchecked-in-r2 first (VERDICT r2 item 6) --
+    "ivf_ann_topk": q_ivf_ann_topk,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2036,6 +2089,7 @@ _ORACLES: dict[str, str] = {
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,
     "embed_near_dups_srp": _sql_embed_near_dups_srp(),
     "srp_ann_topk": _sql_srp_ann_topk(),
+    "ivf_ann_topk": SQL_IVF_ANN_TOPK,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

@@ -31,6 +31,9 @@ from filters_spark.pipeline.similarity import (
     cosine_topk,
     auto_planes,
     embedding_near_dups,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
     srp_bucket,
     srp_topk,
 )
@@ -67,6 +70,9 @@ __all__ = [
     "quality_score",
     "redact_pii",
     "release",
+    "ivf_assign",
+    "ivf_centroids",
+    "ivf_topk",
     "repetition_stats",
     "simhash",
     "simhash_pairs",

@@ -26,6 +26,9 @@ __all__ = [
     "cosine_sim",
     "cosine_topk",
     "embedding_near_dups",
+    "ivf_assign",
+    "ivf_centroids",
+    "ivf_topk",
     "srp_bucket",
     "srp_topk",
 ]
@@ -216,6 +219,202 @@ def embedding_near_dups(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic IVF cell centroids: the ``n_cells`` corpus vectors
+    with the smallest ``portable_hash60(id, seed)``, in hash order.
+
+    This is k-means' standard random-init (uniform sample of data
+    points) made replayable: the md5-derived hash is reproducible in
+    any engine, so the DuckDB oracle selects the IDENTICAL centroids
+    with ``ORDER BY hash60 LIMIT n_cells``.  Production refinement
+    (Lloyd iterations over the sample) stays deterministic given this
+    init but is intentionally not the oracle path.
+
+    Collects ``n_cells`` vectors to the driver — centroids are
+    config-sized model state (like a query vector), shipped to
+    executors as literals; this is NOT a corpus-sized collect.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(
+            portable_hash60(F.col("__id").cast("string"), seed),
+            F.col("__id"),
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["__v"]] for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid:
+    ``(id, cell)``; ties break to the lowest cell index.
+
+    With ≤32 centroids the per-cell scores are unrolled literal
+    expressions — one codegen-friendly projection pass over the corpus,
+    no shuffle, no Python (the IVF analogue of ``srp_bucket``).  Above
+    that, the same assignment runs as a broadcast join against a tiny
+    centroid frame + per-id arg-max (one shuffle keyed by id) — the
+    1000-cell production shape where unrolling would blow past codegen
+    method limits.
+
+    At 100 TB the cell id is persisted as a table column (exactly like
+    the SRP bucket), so ``ivf_topk``'s probe restriction becomes a
+    pushable scan predicate / partition filter.
+    """
+    if dim is None:
+        dim = len(centroids[0])
+    v = F.col(vec_col)
+    if len(centroids) <= 32:
+        import math as _math
+
+        # Expression-size discipline (this path is pure codegen, but
+        # naive formulations blow it up — all three found the hard way):
+        #  - centroids are SCALAR literals, not F.array literals —
+        #    indexing a literal array copies the whole dim-element
+        #    constructor into every b[i] term (dim² nodes per centroid,
+        #    130k plan nodes at 8×64 → ~70 s of analysis);
+        #  - each centroid's norm pre-folds to a Python constant
+        #    (Python sum() is the same left-to-right double fold the
+        #    unrolled Spark norm uses, so scores stay bit-identical to
+        #    cosine_sim and to DuckDB's list_cosine_similarity);
+        #  - each score is its OWN projected column, never packed into
+        #    one CreateArray: codegen splits a projection per-column
+        #    into sub-methods, but a single expression is unsplittable —
+        #    array(s0..s7) at 8×64 put every dot product in one method
+        #    and janino died with "Code grows beyond 64 KB" (the
+        #    swallowed-fallback class of bug test_codegen.py pins);
+        #  - vnorm and the score columns are staged behind aliases
+        #    referenced more than once, which CollapseProject keeps in
+        #    their own projection — each subtree generated exactly once;
+        #  - arg-max is a when-chain over the CHEAP column refs (first
+        #    match → lowest-index tie-break, matching the oracle's
+        #    row_number ORDER BY score DESC, cidx).
+        staged = df.select(
+            F.col(id_col),
+            v.alias("__v"),
+            unrolled_norm(v, dim).alias("__vn"),
+        )
+        vc = F.col("__v")
+        score_cols = []
+        for i, c in enumerate(centroids):
+            dot = _unrolled_sum(
+                [
+                    vc[d].cast("double") * F.lit(float(c[d]))
+                    for d in range(dim)
+                ]
+            )
+            cn = _math.sqrt(sum(float(x) * float(x) for x in c))
+            score_cols.append(
+                (dot / (F.col("__vn") * F.lit(cn))).alias(f"__s{i}")
+            )
+        sc = staged.select(F.col(id_col), *score_cols)
+        names = [f"__s{i}" for i in range(len(centroids))]
+        best = (
+            F.greatest(*[F.col(n) for n in names])
+            if len(names) > 1
+            else F.col(names[0])
+        )
+        sc2 = sc.select(F.col(id_col), *names, best.alias("__best"))
+        cell = F.when(F.col(names[0]) == F.col("__best"), F.lit(0))
+        for i in range(1, len(names) - 1):
+            cell = cell.when(F.col(names[i]) == F.col("__best"), F.lit(i))
+        # the final branch is `otherwise`, NOT another `when`: some
+        # branch always matches (best IS one of the scores), and a
+        # non-nullable cell keeps downstream inner joins from inferring
+        # an isnotnull(cell) null-filter — which predicate pushdown
+        # would inline through the projections as a 600 KB boolean CASE
+        # over every score expression, straight past janino's 64 KB
+        # method limit.  (All-NaN scores — a zero-norm vector — land in
+        # the last cell instead of dropping out; documented, harmless.)
+        cell = cell.otherwise(F.lit(len(names) - 1))
+        return sc2.select(F.col(id_col), cell.cast("int").alias("cell"))
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cidx int, cvec array<double>",
+    )
+    from pyspark.sql import Window
+
+    scored = df.select(F.col(id_col), v.alias("__v")).join(
+        F.broadcast(cent)
+    ).select(
+        id_col,
+        "cidx",
+        cosine_sim(F.col("__v"), F.col("cvec")).alias("__s"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("cidx"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("cidx").cast("int").alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via IVF cells: score only vectors whose cell is
+    among the ``nprobe`` centroids nearest the query.
+
+    The data-ADAPTIVE counterpart of :func:`srp_topk` (SRP planes are
+    data-oblivious): cells follow the corpus distribution, so dense
+    regions split across more cells and recall at fixed probe cost is
+    typically higher.  Candidate fraction ≈ nprobe / n_cells.
+
+    Probe selection runs driver-side over config-sized centroid state;
+    the probe restriction is a broadcast equi-join on the precomputed
+    cell column — NOT an ``isin`` filter, which would inline the giant
+    assignment expression into a pushed-down Filter condition that
+    whole-stage codegen cannot split (the swallowed-janino lesson from
+    ``srp_topk``).
+    """
+    import math as _math
+
+    if centroids is None:
+        centroids = ivf_centroids(df, n_cells, vec_col, id_col, seed)
+    q = [float(x) for x in query_vec]
+    nq = _math.sqrt(sum(x * x for x in q))
+
+    def _cos(c):
+        return sum(x * y for x, y in zip(q, c)) / (
+            nq * _math.sqrt(sum(y * y for y in c))
+        )
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-_cos(centroids[i]), i)
+    )
+    probes = ranked[: max(1, nprobe)]
+    assign = ivf_assign(df, centroids, len(q), vec_col, id_col)
+    spark = df.sparkSession
+    probes_df = spark.createDataFrame(
+        [(int(c),) for c in probes], "cell int"
+    )
+    cand_ids = assign.join(F.broadcast(probes_df), "cell").select(id_col)
+    cand = df.join(cand_ids, id_col)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:

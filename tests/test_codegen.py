@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from filters_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_dups,
+    ivf_centroids,
+    ivf_topk,
     srp_topk,
 )
 
@@ -71,6 +73,29 @@ def test_srp_topk_compiles(emb64, no_codegen_fallback):
         emb64, [float(x) for x in q], k=5, planes=6, multiprobe=3
     ).collect()
     assert out and out[0]["vec_id"] == 0
+
+
+def test_ivf_topk_compiles(emb64, no_codegen_fallback):
+    """Pins the three IVF expression-size fixes (scalar-literal
+    centroids, per-column score projection instead of one CreateArray,
+    non-nullable cell so the inner join infers no isnotnull(cell) that
+    pushdown would inline as a 600 KB Filter CASE)."""
+    q = emb64.where(F.col("vec_id") == 0).first()["embedding"]
+    cents = ivf_centroids(emb64, n_cells=8)
+    out = ivf_topk(
+        emb64,
+        [float(x) for x in q],
+        k=5,
+        n_cells=8,
+        nprobe=2,
+        centroids=cents,
+    ).collect()
+    assert out and out[0]["vec_id"] == 0
+    plan = ivf_topk(
+        emb64, [float(x) for x in q], k=5, centroids=cents
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # the giant inlined-filter regression was a ~620 KB plan line
+    assert max(len(ln) for ln in plan.splitlines()) < 100_000
 
 
 def test_cosine_topk_compiles(emb64, no_codegen_fallback):

@@ -204,6 +204,58 @@ def test_srp_bucket_and_topk(emb):
     assert got and got[0] == 0  # the query's own bucket contains vec 0
 
 
+def test_ivf_centroids_deterministic(emb):
+    from filters_spark.pipeline.similarity import ivf_centroids
+
+    c1 = ivf_centroids(emb, n_cells=3)
+    c2 = ivf_centroids(emb, n_cells=3)
+    assert c1 == c2 and len(c1) == 3
+    assert ivf_centroids(emb, n_cells=3, seed=7) != c1  # seed changes pick
+
+
+def test_ivf_assign_and_topk(emb):
+    from filters_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids(emb, n_cells=3)
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    assert set(cells) == {r["vec_id"] for r in emb.collect()}
+    assert all(0 <= c < 3 for c in cells.values())
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(emb, q, k=3, n_cells=3, nprobe=3, centroids=cents)
+    got = out.collect()
+    assert got[0]["vec_id"] == 0 and got[0]["score"] > 0.999
+    # every returned score equals the brute-force score for that id
+    brute = {
+        r["vec_id"]: r["score"]
+        for r in cosine_topk(emb, q, k=100).collect()
+    }
+    for r in got:
+        assert abs(r["score"] - brute[r["vec_id"]]) < 1e-12
+
+
+def test_ivf_assign_join_path_matches_expr_path(emb):
+    """>32 centroids routes through the broadcast-join arg-max; both
+    paths must assign identically (same arg-max, same tie-break)."""
+    from filters_spark.pipeline.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_cells=5)
+    expr = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    # pad the centroid list past the expression-path cutoff with copies
+    # of the same 5 centroids: arg-max lands on the FIRST (lowest-index)
+    # occurrence, so assignments must be unchanged
+    padded = cents + cents * 6  # 35 > 32
+    joined = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, padded).collect()
+    }
+    assert joined == expr
+
+
 # -- textstats -------------------------------------------------------------
 
 
