@@ -51,7 +51,11 @@ from filters_spark.operators.structural import (
     Pick,
     Type,
 )
-from filters_spark.operators.macros import FilterExtensionRegistry, filter_macro
+from filters_spark.operators.macros import (
+    FilterExtensionRegistry,
+    FilterMacroType,
+    filter_macro,
+)
 from filters_spark.engine.handlers import (
     FilterError,
     error_codes,
@@ -61,7 +65,14 @@ from filters_spark.engine.handlers import (
     log_violations,
 )
 
-from filters_spark.runner import FilterMessage, FilterRunner
+from filters_spark.runner import (
+    BaseInvalidValueHandler,
+    ExceptionHandler,
+    FilterMessage,
+    FilterRunner,
+    LogHandler,
+    MemoryHandler,
+)
 
 #: Ready extension-registry instance, mirroring the reference's exported
 #: ``ext`` namespace object (``src/filters/__init__.py:67``).
@@ -69,8 +80,9 @@ ext = FilterExtensionRegistry()
 
 #: Reference-name aliases for drop-in ports (semantics match exactly:
 #: chains are immutable pipe-composed specs, the metaclass lets classes
-#: start chains).  The handler OBJECT hierarchy has functional
-#: equivalents instead — see DEVIATIONS.md #14.
+#: start chains).  The handler OBJECT hierarchy is reproduced for the
+#: scalar ``spec.apply(value)`` facade; table-scale runs keep
+#: violations as data — see DEVIATIONS.md #14.
 FilterChain = Chain
 BaseFilter = BaseSpec
 from filters_spark.core.spec import SpecMeta as FilterMeta  # noqa: E402
@@ -126,8 +138,10 @@ BaseSpec.CODE_EXCEPTION = "exception"
 __all__ = [
     "Array", "Base64Decode", "BaseSpec", "ByteArray", "ByteString", "Call",
     "CaseFold", "Chain", "Choice", "CompileError", "Ctx", "Date", "Datetime",
-    "BaseFilter", "Decimal", "Empty", "FilterChain", "FilterError",
-    "FilterExtensionRegistry", "FilterMessage", "FilterMeta", "FilterRunner",
+    "BaseFilter", "BaseInvalidValueHandler", "Decimal", "Empty",
+    "ExceptionHandler", "FilterChain", "FilterError",
+    "FilterExtensionRegistry", "FilterMacroType", "FilterMessage",
+    "FilterMeta", "FilterRunner", "LogHandler", "MemoryHandler",
     "FilterMapper", "FilterRepeater", "FilterSwitch", "Int", "IpAddress",
     "Item", "JsonDecode", "Len", "Length", "Max", "MaxBytes", "MaxChars",
     "MaxLength", "Min", "MinLength", "NamedTuple", "NoOp", "NotEmpty",

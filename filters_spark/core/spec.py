@@ -153,6 +153,27 @@ class BaseSpec(metaclass=SpecMeta):
     def __ror__(self, other) -> "Chain":
         return resolve(other) | self
 
+    # -- scalar facade (reference base.py:219-249) -------------------------
+
+    def set_handler(self, handler) -> "BaseSpec":
+        """Attach an invalid-value handler consulted by :meth:`apply`
+        (reference ``base.py:219-224``).  Columnar runs
+        (:func:`filters_spark.validate`) keep violations as data and
+        ignore it."""
+        self._scalar_handler = handler
+        return self
+
+    def apply(self, value):
+        """Scalar entry point — reference ``base.py:226-249``: returns
+        the cleaned value, or routes violations through the attached
+        handler (default raises ``FilterError``).  Runs the compiled
+        chain through a 1-row DataFrame on the active SparkSession."""
+        from filters_spark.runner import scalar_apply
+
+        return scalar_apply(
+            self, value, getattr(self, "_scalar_handler", None)
+        )
+
     # -- helpers -----------------------------------------------------------
 
     def render(self, code: str, **vars) -> str:

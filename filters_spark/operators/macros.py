@@ -13,12 +13,21 @@ from __future__ import annotations
 from filters_spark.core.spec import BaseSpec, Chain, as_chain
 
 
+class FilterMacroType(BaseSpec):
+    """Common base of every ``filter_macro`` product — reference
+    ``macros.py:12-33`` (used there for type hints / isinstance
+    checks on macro types)."""
+
+    def expand(self) -> Chain:  # pragma: no cover — overridden per macro
+        raise NotImplementedError
+
+
 def filter_macro(func):
     """Promote ``func() -> chain`` into a chainable factory: the returned
     object can be used like a spec class (``macro | Other()`` or
     ``macro() | Other()``)."""
 
-    class _Macro(BaseSpec):
+    class _Macro(FilterMacroType):
         def __init__(self, *args, **kwargs):
             self._chain = as_chain(func(*args, **kwargs))
 

@@ -29,7 +29,15 @@ from pyspark.sql import types as T
 from filters_spark.core.compiler import attach_chain
 from filters_spark.core.spec import as_chain
 
-__all__ = ["FilterMessage", "FilterRunner"]
+__all__ = [
+    "BaseInvalidValueHandler",
+    "ExceptionHandler",
+    "FilterMessage",
+    "FilterRunner",
+    "LogHandler",
+    "MemoryHandler",
+    "scalar_apply",
+]
 
 
 @dataclass
@@ -49,6 +57,122 @@ class FilterMessage:
 
     def __str__(self) -> str:  # handlers.py:86-88
         return self.message
+
+
+class BaseInvalidValueHandler:
+    """Scalar-facade handler base — reference ``base.py:479-507``.
+
+    The columnar engine models violations as DATA (DEVIATIONS #14);
+    these classes exist so reference code that instantiates/attaches
+    handler objects (``chain.set_handler(MemoryHandler())``,
+    ``Unicode().apply(value)``) ports verbatim through the scalar
+    facade."""
+
+    def handle_invalid_value(self, message, exc_info, context):
+        raise NotImplementedError(
+            f"Not implemented in {type(self).__name__}."
+        )
+
+    def handle_exception(self, message, exc):
+        """Reference ``base.py:501-507``."""
+        return self.handle_invalid_value(
+            message=message,
+            exc_info=True,
+            context=getattr(exc, "context", {}),
+        )
+
+
+class ExceptionHandler(BaseInvalidValueHandler):
+    """Raises ``FilterError`` — reference ``base.py:526-537``; the
+    default handler for ``spec.apply(value)``."""
+
+    def handle_invalid_value(self, message, exc_info, context):
+        from filters_spark.engine.handlers import FilterError
+
+        error = FilterError(message)
+        error.context = context
+        raise error
+
+
+class LogHandler(BaseInvalidValueHandler):
+    """Sends invalid-value details to a logger — reference
+    ``handlers.py:18-45``."""
+
+    def __init__(self, logger, level: int | None = None) -> None:
+        import logging
+
+        self.logger = logger
+        self.level = logging.ERROR if level is None else level
+
+    def handle_invalid_value(self, message, exc_info, context):
+        self.logger.log(
+            level=self.level,
+            msg=message,
+            exc_info=exc_info,
+            extra={"context": context},
+        )
+
+
+class MemoryHandler(BaseInvalidValueHandler):
+    """Stores messages locally — reference ``handlers.py:100-152``.
+
+    ``capture_exc_info`` is accepted for parity; the columnar engine
+    rejects mis-typed chains at compile time, so there is no runtime
+    filter exception stream to capture (DEVIATIONS #11) —
+    ``has_exceptions`` only becomes true via an explicit
+    ``handle_exception`` call."""
+
+    def __init__(self, capture_exc_info: bool = False) -> None:
+        self.messages: dict[str, list[FilterMessage]] = {}
+        self.has_exceptions = False
+        self.capture_exc_info = capture_exc_info
+        self.exc_info: list = []
+
+    def handle_invalid_value(self, message, exc_info, context):
+        key = context.get("key", "")
+        self.messages.setdefault(key, []).append(
+            FilterMessage(
+                code=context.get("code") or message,
+                message=message,
+                context=dict(context),
+            )
+        )
+
+    def handle_exception(self, message, exc):
+        import sys
+
+        self.has_exceptions = True
+        if self.capture_exc_info:
+            self.exc_info.append(sys.exc_info())
+        return super().handle_exception(message, exc)
+
+
+def scalar_apply(spec, value, handler=None):
+    """Reference ``BaseFilter.apply`` semantics (``base.py:226-249``)
+    over the compiled engine: return the cleaned value, or hand each
+    violation to ``handler`` (default :class:`ExceptionHandler`, which
+    raises ``FilterError`` on the first) and return the handler's
+    result.
+
+    Limitation: the input column type is inferred from ``value``
+    (strings for ``None``), so ``Min(0).apply(None)`` on a numeric
+    chain needs ``FilterRunner(chain, None, dtype=...)`` instead — the
+    ``CompileError`` message says so."""
+    runner = FilterRunner(spec, value)
+    messages = runner.filter_messages
+    if not messages:
+        return runner.cleaned_data
+    h = handler if handler is not None else ExceptionHandler()
+    result = None
+    for key, msgs in messages.items():
+        for m in msgs:
+            context = dict(m.context)
+            context.setdefault("code", m.code)
+            context.setdefault("key", key)
+            result = h.handle_invalid_value(
+                message=m.message, exc_info=False, context=context
+            )
+    return result
 
 
 _PY_TO_SPARK = [
