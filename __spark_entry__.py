@@ -767,6 +767,52 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(docs)
 
 
+def q_span_dedup(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2022): corpus-wide duplicated
+    4-token spans, merged per document."""
+    from filters_spark.pipeline import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(docs, k=4, min_count=2)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM tok,
+       LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1))) AS i) l
+), dup AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+), d AS (
+  SELECT doc_id, pos FROM sh JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM d
+), isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+       CAST(max(pos) + 4 - min(pos) AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, g
+"""
+
+
 SQL_DEDUP_EXACT = """
 SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
        CAST(count(*) AS BIGINT) AS group_size
@@ -1974,6 +2020,7 @@ SELECT * FROM (
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new-in-r3 and unchecked-in-r2 first (VERDICT r2 item 6) --
     "ivf_ann_topk": q_ivf_ann_topk,
+    "span_dedup": q_span_dedup,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2090,6 +2137,7 @@ _ORACLES: dict[str, str] = {
     "embed_near_dups_srp": _sql_embed_near_dups_srp(),
     "srp_ann_topk": _sql_srp_ann_topk(),
     "ivf_ann_topk": SQL_IVF_ANN_TOPK,
+    "span_dedup": SQL_SPAN_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

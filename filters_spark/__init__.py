@@ -16,7 +16,14 @@ Public surface mirrors the reference export list
 (stats / uniqueness / referential / drift) that the reference lacks.
 """
 
-from filters_spark.core.spec import BaseSpec, Chain, CompileError, Ctx, Step
+from filters_spark.core.spec import (
+    BaseSpec,
+    Chain,
+    CompileError,
+    Ctx,
+    FilterCompatible,
+    Step,
+)
 from filters_spark.core.compiler import attach_chain, compile_chain_expr, validate
 from filters_spark.operators.presence import Empty, NoOp, NotEmpty, Optional, Required
 from filters_spark.operators.lengths import Len, Length, MaxLength, MinLength
@@ -139,7 +146,7 @@ __all__ = [
     "Array", "Base64Decode", "BaseSpec", "ByteArray", "ByteString", "Call",
     "CaseFold", "Chain", "Choice", "CompileError", "Ctx", "Date", "Datetime",
     "BaseFilter", "BaseInvalidValueHandler", "Decimal", "Empty",
-    "ExceptionHandler", "FilterChain", "FilterError",
+    "ExceptionHandler", "FilterChain", "FilterCompatible", "FilterError",
     "FilterExtensionRegistry", "FilterMacroType", "FilterMessage",
     "FilterMeta", "FilterRunner", "LogHandler", "MemoryHandler",
     "FilterMapper", "FilterRepeater", "FilterSwitch", "Int", "IpAddress",

@@ -24,6 +24,7 @@ Chain semantics compiled in (see core/compiler.py):
 from __future__ import annotations
 
 import itertools
+import typing
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column
@@ -204,6 +205,14 @@ class Chain(BaseSpec):
 
     def __repr__(self) -> str:
         return " | ".join(repr(s) for s in self.specs) or "Chain()"
+
+
+#: PEP-484 alias for "anything :func:`resolve` accepts" — a spec
+#: instance, a spec class, or a zero-arg callable returning one;
+#: mirrors the reference's ``FilterCompatible`` (``base.py:21-23``).
+FilterCompatible = typing.Optional[
+    typing.Union["BaseSpec", "SpecMeta", typing.Callable[[], "BaseSpec"]]
+]
 
 
 def resolve(spec) -> BaseSpec:

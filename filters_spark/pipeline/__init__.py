@@ -22,6 +22,7 @@ from filters_spark.pipeline.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    repeated_spans,
     simhash,
     simhash_pairs,
     word_shingles,
@@ -70,6 +71,7 @@ __all__ = [
     "quality_score",
     "redact_pii",
     "release",
+    "repeated_spans",
     "ivf_assign",
     "ivf_centroids",
     "ivf_topk",

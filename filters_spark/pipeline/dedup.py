@@ -29,6 +29,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "dedup_groups",
     "release",
+    "repeated_spans",
     "simhash",
     "simhash_pairs",
     "portable_hash60",
@@ -481,6 +482,97 @@ def dedup_groups(
         )
         out = out.union(singles)
     return _track_persisted(out, [prev])
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated ``k``-token spans, merged per document —
+    substring-level dedup in the style of Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*
+    (arXiv:2107.06499): a span is "duplicated" when its ``k``-gram
+    occurs at least ``min_count`` times across the whole corpus
+    (within-document repeats count).
+
+    Returns ``(doc_id, span_start, span_end, n_tokens)`` with 0-based
+    token indices, end exclusive; overlapping and adjacent duplicated
+    spans are merged per document.
+
+    Plan shape (100-TB honest):
+
+    1. positional ``k``-gram hashes ``(id, pos, h)`` — pure
+       expressions, one explode; the downstream shuffle payload is
+       ~24 bytes per shingle, never the text;
+    2. duplicate detection = hash-partitioned count (map-side partial)
+       inner-joined back on ``h``.  Both branches shuffle the same
+       relation by the same key, so Catalyst's ``ReuseExchange`` scans
+       the shingles once; hot boilerplate spans ("all rights
+       reserved …") that repeat millions of times skew the join and
+       are split by AQE's skew-join handling — and they are *payload*
+       here, not noise, so there is no ``max_df`` drop;
+    3. per-document overlap merge = gaps-and-islands over a
+       ``(id, pos)`` window — one extra shuffle partitioned by
+       document, bounded by document length.  No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = F.col("__fs_toks")
+    tokenised = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("__fs_toks"),
+    )
+    # sequence(1,0) counts DOWN (see word_shingles) — guard short docs.
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ).alias("sh"),
+        ),
+    )
+    pos_sh = tokenised.select("id", F.explode(grams).alias("g")).select(
+        "id",
+        F.col("g.pos").alias("pos"),
+        portable_hash60(F.col("g.sh")).alias("h"),
+    )
+    dup_h = pos_sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") >= min_count
+    )
+    dup = pos_sh.join(dup_h, "h").select("id", "pos")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "__new",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    island = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("__isl", island)
+        .groupBy("id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
 
 
 def simhash(

@@ -480,6 +480,43 @@ def test_dedup_groups_connected_components(spark):
         dedup_groups(pairs, max_iter=1)
 
 
+def test_repeated_spans_substring_dedup(spark):
+    """Lee-et-al-style span dedup: cross-doc spans merge, within-doc
+    repeats count toward min_count, adjacent islands coalesce, short
+    and unique docs yield nothing."""
+    from filters_spark.pipeline.dedup import repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "w x a b c d e f y z"),    # shares "a b c d e f" with 2
+            (2, "q q q a b c d e f r s"),  # "q q q" also in doc 3
+            (3, "q q q q m n o p"),        # within-doc repeat of "q q q"
+            (4, "u v w"),                  # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_spans(df, k=3, min_count=2).orderBy("doc_id")
+    got = [(r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+           for r in out.collect()]
+    assert got == [(1, 2, 8, 6), (2, 0, 9, 9), (3, 0, 4, 4)]
+
+
+def test_repeated_spans_plan_shape(spark):
+    """No cartesian product, no Python, no forced broadcast hint, and
+    the island merge runs on ONE per-document exchange (both window
+    frames share it)."""
+    from filters_spark.pipeline.dedup import repeated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        repeated_spans(docs, k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("hashpartitioning(id#") == 1
+
+
 def test_embed_near_dups_dim_param_skips_driver_probe(spark, monkeypatch):
     """With dim= supplied, plan construction must trigger no Spark job
     (VERDICT r2 item 8: the .first() probe is fallback-only)."""
