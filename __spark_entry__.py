@@ -776,6 +776,70 @@ def q_span_dedup(spark, sf_dir):
     return repeated_spans(docs, k=4, min_count=2)
 
 
+def q_span_clean(spark, sf_dir):
+    """Apply step of substring dedup: the corpus with duplicated
+    4-token spans removed (Lee et al. 2022)."""
+    from filters_spark.pipeline import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, k=4, min_count=2)
+
+
+SQL_SPAN_CLEAN = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM tok,
+       LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1))) AS i) l
+), dup AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+), d AS (
+  SELECT doc_id, pos FROM sh JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM d
+), isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+  FROM isl GROUP BY doc_id, g
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tk
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) l
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tk
+  FROM toks p
+  LEFT JOIN spans s
+    ON s.doc_id = p.doc_id
+   AND p.pos >= s.span_start AND p.pos < s.span_end
+  WHERE s.doc_id IS NULL
+), cleaned AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN sd.doc_id IS NULL THEN d.text
+            ELSE coalesce(c.text, '') END AS text,
+       d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sd ON sd.doc_id = d.doc_id
+LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+"""
+
+
 SQL_SPAN_DEDUP = r"""
 WITH tok AS (
   SELECT doc_id,
@@ -2021,6 +2085,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new-in-r3 and unchecked-in-r2 first (VERDICT r2 item 6) --
     "ivf_ann_topk": q_ivf_ann_topk,
     "span_dedup": q_span_dedup,
+    "span_clean": q_span_clean,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2138,6 +2203,7 @@ _ORACLES: dict[str, str] = {
     "srp_ann_topk": _sql_srp_ann_topk(),
     "ivf_ann_topk": SQL_IVF_ANN_TOPK,
     "span_dedup": SQL_SPAN_DEDUP,
+    "span_clean": SQL_SPAN_CLEAN,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

@@ -22,6 +22,7 @@ from filters_spark.pipeline.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    remove_repeated_spans,
     repeated_spans,
     simhash,
     simhash_pairs,
@@ -71,6 +72,7 @@ __all__ = [
     "quality_score",
     "redact_pii",
     "release",
+    "remove_repeated_spans",
     "repeated_spans",
     "ivf_assign",
     "ivf_centroids",

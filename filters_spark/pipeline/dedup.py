@@ -29,6 +29,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "dedup_groups",
     "release",
+    "remove_repeated_spans",
     "repeated_spans",
     "simhash",
     "simhash_pairs",
@@ -572,6 +573,69 @@ def repeated_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
         )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The apply step of substring-level dedup: rewrite ``text_col``
+    with every corpus-wide duplicated span (see :func:`repeated_spans`)
+    removed, keeping all other columns.
+
+    The span table collapses to ONE small array row per affected
+    document (documents hold few merged spans), so the join back to the
+    corpus is a plain equi-join on the id — broadcast-able when the
+    affected set is small, AQE-decided otherwise — and the actual token
+    drop is a pure higher-order-function expression: re-tokenise,
+    filter token indices not covered by any span, re-join with single
+    spaces.  No Python, no explode of the corpus.
+
+    Whitespace is canonicalised to single spaces in the rewritten
+    column (token-level surgery can't preserve the original runs);
+    documents without duplicated spans keep their text verbatim.
+
+    Pass ``spans=`` to reuse an already-computed
+    :func:`repeated_spans` result (it is recomputed otherwise).
+    """
+    if spans is None:
+        spans = repeated_spans(
+            df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__fs_spans")
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    # index each token, drop those covered by any [start, end) span,
+    # stitch the survivors back together
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__fs_spans"),
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] < sp["span_end"]),
+        ),
+    )
+    cleaned = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__fs_spans").isNull(), F.col(text_col)).otherwise(
+                cleaned
+            ),
+        )
+        .drop("__fs_spans")
     )
 
 

@@ -501,6 +501,31 @@ def test_repeated_spans_substring_dedup(spark):
     assert got == [(1, 2, 8, 6), (2, 0, 9, 9), (3, 0, 4, 4)]
 
 
+def test_remove_repeated_spans_rewrites_only_affected_docs(spark):
+    """Apply step: duplicated spans drop out, untouched docs keep their
+    text verbatim (original whitespace runs included), fully-duplicated
+    docs become empty strings, other columns survive."""
+    from filters_spark.pipeline.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "w x a b c d e f y z", "en"),
+            (2, "q q q a b c d e f r s", "en"),
+            (4, "u  v   w", "de"),          # untouched
+            (5, "a b c a b c", "fr"),       # fully duplicated
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = remove_repeated_spans(df, k=3, min_count=2).orderBy("doc_id")
+    got = [(r["doc_id"], r["text"], r["lang"]) for r in out.collect()]
+    assert got == [
+        (1, "w x y z", "en"),
+        (2, "q q q r s", "en"),   # only the span shared with doc 1 drops
+        (4, "u  v   w", "de"),
+        (5, "", "fr"),
+    ]
+
+
 def test_repeated_spans_plan_shape(spark):
     """No cartesian product, no Python, no forced broadcast hint, and
     the island merge runs on ONE per-document exchange (both window
