@@ -1210,6 +1210,52 @@ LIMIT 10
 """
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment: salted-hash ranges, a
+    pure projection reproducible at any parallelism."""
+    from filters_spark.pipeline import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "split")
+
+
+def q_det_sample(spark, sf_dir):
+    """Reproducible 20% Bernoulli-by-hash sample (no RNG state, no
+    shuffle; same rows at any cluster size)."""
+    from filters_spark.pipeline import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.2, salt="bench")
+
+
+def _split_sql() -> tuple[str, str]:
+    """Oracle SQL for split_assign / det_sample with thresholds computed
+    by the SAME Python float arithmetic the operators use."""
+    from filters_spark.pipeline.sampling import _HASH_SPACE
+
+    h = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || '{salt}'),"
+        " 1, 15) AS BIGINT)"
+    )
+    b_train = int(0.98 * _HASH_SPACE)
+    b_val = int((0.98 + 0.01) * _HASH_SPACE)
+    split = f"""
+SELECT doc_id,
+       CASE WHEN {h.format(salt='split')} < {b_train} THEN 'train'
+            WHEN {h.format(salt='split')} < {b_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+    sample = f"""
+SELECT * FROM documents
+WHERE {h.format(salt='bench')} < {int(0.2 * _HASH_SPACE)}
+"""
+    return split, sample
+
+
+SQL_SPLIT_ASSIGN, SQL_DET_SAMPLE = _split_sql()
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return token_counts(docs)
@@ -2086,6 +2132,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "span_dedup": q_span_dedup,
     "span_clean": q_span_clean,
+    "split_assign": q_split_assign,
+    "det_sample": q_det_sample,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2204,6 +2252,8 @@ _ORACLES: dict[str, str] = {
     "ivf_ann_topk": SQL_IVF_ANN_TOPK,
     "span_dedup": SQL_SPAN_DEDUP,
     "span_clean": SQL_SPAN_CLEAN,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "det_sample": SQL_DET_SAMPLE,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

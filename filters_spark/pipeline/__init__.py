@@ -28,6 +28,11 @@ from filters_spark.pipeline.dedup import (
     simhash_pairs,
     word_shingles,
 )
+from filters_spark.pipeline.sampling import (
+    deterministic_sample,
+    split_assign,
+    split_column,
+)
 from filters_spark.pipeline.similarity import (
     cosine_sim,
     cosine_topk,
@@ -60,6 +65,7 @@ __all__ = [
     "cosine_topk",
     "decode_media",
     "dedup_groups",
+    "deterministic_sample",
     "auto_planes",
     "embedding_near_dups",
     "exact_dedup",
@@ -80,6 +86,8 @@ __all__ = [
     "repetition_stats",
     "simhash",
     "simhash_pairs",
+    "split_assign",
+    "split_column",
     "srp_bucket",
     "srp_topk",
     "token_counts",

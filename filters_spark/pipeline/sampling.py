@@ -1,0 +1,115 @@
+"""Deterministic, shuffle-free sampling and split assignment.
+
+Training-data pipelines need samples and train/val/test splits that are
+*reproducible*: the same rows selected on every run, at any parallelism,
+on any cluster size, across task retries.  ``df.sample(seed=...)`` does
+NOT give that — Spark seeds its RNG per partition, so the selected set
+changes whenever the partition layout does (repartition, AQE coalesce,
+different input splits).
+
+Everything here keys off the salted portable 60-bit md5 hash of a stable
+id column (:func:`filters_spark.pipeline.dedup.portable_hash60`), so:
+
+- selection is a pure row-local predicate/projection — **no shuffle, no
+  RNG state, scan-speed at 100 TB**, and the predicate pushes into the
+  scan where the source supports it;
+- the same row lands in the same sample/split on every engine that has
+  md5 — the DuckDB oracle replays selections bit-for-bit;
+- disjointness and coverage of splits hold by construction (half-open
+  hash ranges).
+
+Engine additions (the reference has no table-level operators —
+SURVEY.md §2.9/§2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filters_spark.pipeline.dedup import portable_hash60
+
+__all__ = ["deterministic_sample", "split_assign", "split_column"]
+
+_HASH_SPACE = 1 << 60
+
+
+def _unit_hash(id_col: str, salt: str) -> Column:
+    """Salted hash mapped to [0, 1) as a fraction of the 60-bit space."""
+    return portable_hash60(F.col(id_col).cast("string"), salt)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep rows whose salted id-hash falls in ``[0, rate)`` of the hash
+    space — a reproducible Bernoulli(``rate``) sample.
+
+    Different ``salt`` values give independent samples; the same salt
+    always selects the same rows.  Nested samples: a rate-0.01 sample
+    with the same salt is a subset of the rate-0.1 sample (ranges are
+    nested), which makes scale-up experiments comparable.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * _HASH_SPACE)
+    return df.where(_unit_hash(id_col, salt) < F.lit(threshold))
+
+
+def split_column(
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> Column:
+    """The split-label expression behind :func:`split_assign` — usable
+    directly in ``select``/``withColumn``.
+
+    ``weights`` maps label → relative weight (normalised internally);
+    iteration order fixes the hash-range order, so pass the same dict
+    ordering to reproduce an assignment.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    total = float(sum(weights.values()))
+    h = _unit_hash(id_col, salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        acc += weights[label] / total
+        bound = int(acc * _HASH_SPACE)
+        clause = h < F.lit(bound)
+        expr = (
+            F.when(clause, F.lit(label))
+            if expr is None
+            else expr.when(clause, F.lit(label))
+        )
+    last = F.lit(labels[-1])
+    return (last if expr is None else expr.otherwise(last)).alias("split")
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Append a deterministic ``split`` column partitioning the corpus
+    into the given labels (default 98/1/1 train/val/test).
+
+    Every row gets exactly one label (half-open hash ranges: disjoint
+    and covering by construction); expected sizes are proportional to
+    the weights and exact in distribution.  Pure projection — at 100 TB
+    this costs a scan, and the downstream
+    ``df.where(col('split') == 'train')`` predicate is pushable once
+    the column is persisted.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    return df.withColumn(
+        "split", split_column(weights, id_col=id_col, salt=salt)
+    )
