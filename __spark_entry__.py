@@ -1228,8 +1228,32 @@ def q_det_sample(spark, sf_dir):
     return deterministic_sample(docs, 0.2, salt="bench")
 
 
-def _split_sql() -> tuple[str, str]:
-    """Oracle SQL for split_assign / det_sample with thresholds computed
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic rates: down-sample en, keep the
+    low-resource tail in full (corpus-mixing workhorse)."""
+    from filters_spark.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        {"en": 0.3, "zh": 0.8},
+        strata_col="lang",
+        salt="mix",
+        default_rate=1.0,
+    )
+
+
+def q_det_topn(spark, sf_dir):
+    """Exactly-n sample (n smallest salted hashes) — deterministic
+    reservoir analogue; plan is TakeOrderedAndProject."""
+    from filters_spark.pipeline import deterministic_topn
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_topn(docs, 50, salt="evalset")
+
+
+def _split_sql() -> tuple[str, str, str, str]:
+    """Oracle SQL for the sampling operators with thresholds computed
     by the SAME Python float arithmetic the operators use."""
     from filters_spark.pipeline.sampling import _HASH_SPACE
 
@@ -1250,10 +1274,22 @@ FROM documents
 SELECT * FROM documents
 WHERE {h.format(salt='bench')} < {int(0.2 * _HASH_SPACE)}
 """
-    return split, sample
+    stratified = f"""
+SELECT * FROM documents
+WHERE {h.format(salt='mix')} < CASE lang
+    WHEN 'en' THEN {int(0.3 * _HASH_SPACE)}
+    WHEN 'zh' THEN {int(0.8 * _HASH_SPACE)}
+    ELSE {int(1.0 * _HASH_SPACE)} END
+"""
+    topn = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+ORDER BY {h.format(salt='evalset')} ASC, doc_id ASC
+LIMIT 50
+"""
+    return split, sample, stratified, topn
 
 
-SQL_SPLIT_ASSIGN, SQL_DET_SAMPLE = _split_sql()
+SQL_SPLIT_ASSIGN, SQL_DET_SAMPLE, SQL_STRATIFIED, SQL_DET_TOPN = _split_sql()
 
 
 def q_token_counts(spark, sf_dir):
@@ -2134,6 +2170,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_clean": q_span_clean,
     "split_assign": q_split_assign,
     "det_sample": q_det_sample,
+    "stratified_sample": q_stratified_sample,
+    "det_topn": q_det_topn,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2254,6 +2292,8 @@ _ORACLES: dict[str, str] = {
     "span_clean": SQL_SPAN_CLEAN,
     "split_assign": SQL_SPLIT_ASSIGN,
     "det_sample": SQL_DET_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED,
+    "det_topn": SQL_DET_TOPN,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

@@ -30,8 +30,14 @@ from filters_spark.pipeline.dedup import (
 )
 from filters_spark.pipeline.sampling import (
     deterministic_sample,
+    deterministic_topn,
     split_assign,
     split_column,
+    stratified_sample,
+)
+from filters_spark.pipeline.sinks import (
+    shard_column,
+    write_training_shards,
 )
 from filters_spark.pipeline.similarity import (
     cosine_sim,
@@ -66,6 +72,7 @@ __all__ = [
     "decode_media",
     "dedup_groups",
     "deterministic_sample",
+    "deterministic_topn",
     "auto_planes",
     "embedding_near_dups",
     "exact_dedup",
@@ -84,12 +91,15 @@ __all__ = [
     "ivf_centroids",
     "ivf_topk",
     "repetition_stats",
+    "shard_column",
     "simhash",
     "simhash_pairs",
     "split_assign",
     "split_column",
+    "stratified_sample",
     "srp_bucket",
     "srp_topk",
     "token_counts",
+    "write_training_shards",
     "word_shingles",
 ]

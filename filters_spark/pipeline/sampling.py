@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from filters_spark.pipeline.dedup import portable_hash60
 
-__all__ = ["deterministic_sample", "split_assign", "split_column"]
+__all__ = [
+    "deterministic_sample",
+    "deterministic_topn",
+    "split_assign",
+    "split_column",
+    "stratified_sample",
+]
 
 _HASH_SPACE = 1 << 60
 
@@ -57,6 +63,74 @@ def deterministic_sample(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     threshold = int(rate * _HASH_SPACE)
     return df.where(_unit_hash(id_col, salt) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling: each row's keep
+    threshold is looked up from ``rates`` by its ``strata_col`` value
+    (``default_rate`` for unlisted strata).
+
+    The workhorse of corpus mixing — e.g. down-sample ``lang='en'`` to
+    0.3 while keeping low-resource languages at 1.0.  Same shape as
+    :func:`deterministic_sample`: a pure row-local predicate, no
+    shuffle, reproducible at any parallelism, and nested across rates
+    per stratum (raising one stratum's rate only *adds* rows).
+    """
+    bad = {k: v for k, v in rates.items() if not 0.0 <= v <= 1.0}
+    if bad or not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"rates must be in [0, 1]: {bad or default_rate}")
+    # Literal map lookup stays in whole-stage codegen; NULL strata and
+    # unlisted values both fall to the default threshold.
+    pairs: list[Column] = []
+    for k, v in rates.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(v * _HASH_SPACE)))
+    default = F.lit(int(default_rate * _HASH_SPACE))
+    if pairs:
+        threshold = F.coalesce(
+            F.element_at(
+                F.create_map(*pairs), F.col(strata_col).cast("string")
+            ),
+            default,
+        )
+    else:
+        threshold = default
+    return df.where(_unit_hash(id_col, salt) < threshold)
+
+
+def deterministic_topn(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly-``n``-row reproducible sample: the ``n`` rows with the
+    smallest salted id-hashes.
+
+    Where :func:`deterministic_sample` gives Binomial(N, rate) rows,
+    this gives an exact count — the deterministic analogue of reservoir
+    sampling.  Plan: ``TakeOrderedAndProject`` — each partition keeps
+    its local top-``n`` by hash and only those ``n``-row heads merge, so
+    no global sort and no full shuffle; driver/merge memory is O(n).
+    Use for bounded eval sets (n ≤ ~10^6); for proportional sampling at
+    100 TB use the rate-based form.  Nested: the top-``m`` (m < n) under
+    the same salt is a prefix of the top-``n``.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    h = _unit_hash(id_col, salt)
+    return (
+        df.orderBy(h.asc(), F.col(id_col).asc())
+        .limit(n)
+        .select(df.columns)
+    )
 
 
 def split_column(

@@ -663,6 +663,121 @@ def test_split_assign_disjoint_covering(spark):
         split_assign(df, {"a": -1.0, "b": 2.0})
 
 
+def test_stratified_sample_per_stratum_rates(spark):
+    """Per-stratum thresholds: rate-1.0 strata keep everything, rate-0
+    strata drop everything, unlisted strata use default_rate; raising a
+    stratum's rate only adds rows (nested)."""
+    from filters_spark.pipeline import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "zh", "fr"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(
+        df, {"en": 1.0, "zh": 0.0}, strata_col="lang", default_rate=0.5
+    ).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang.get("en", ())) == 1000
+    assert "zh" not in by_lang
+    assert 300 < len(by_lang.get("fr", ())) < 700
+
+    bigger = stratified_sample(
+        df, {"en": 1.0, "zh": 0.4}, strata_col="lang", default_rate=0.5
+    ).collect()
+    zh_big = {r["doc_id"] for r in bigger if r["lang"] == "zh"}
+    assert by_lang.get("fr") == {
+        r["doc_id"] for r in bigger if r["lang"] == "fr"
+    }
+    assert len(zh_big) > 0
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"en": 1.5}, strata_col="lang")
+
+
+def test_deterministic_topn_exact_and_nested(spark):
+    """Exactly n rows, prefix-nested across n, TakeOrderedAndProject in
+    the plan (per-partition top-n merge, no global sort exchange)."""
+    from filters_spark.pipeline import deterministic_topn
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = deterministic_topn(df, 100, salt="e")
+    rows = {r["doc_id"] for r in out.collect()}
+    assert len(rows) == 100
+    smaller = {
+        r["doc_id"] for r in deterministic_topn(df, 25, salt="e").collect()
+    }
+    assert smaller <= rows
+    repart = {
+        r["doc_id"]
+        for r in deterministic_topn(
+            df.repartition(13), 100, salt="e"
+        ).collect()
+    }
+    assert repart == rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    with pytest.raises(ValueError):
+        deterministic_topn(df, -1)
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    """split=/shard= directory levels, exactly one file per leaf dir,
+    and shard contents (membership AND row order) identical regardless
+    of the input's partition layout."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from filters_spark.pipeline import split_assign, write_training_shards
+
+    df = split_assign(
+        spark.range(0, 3000).withColumnRenamed("id", "doc_id"),
+        {"train": 3, "test": 1},
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df, p1, n_shards=4, partition_by=["split"])
+    write_training_shards(
+        df.repartition(17), p2, n_shards=4, partition_by=["split"]
+    )
+
+    leaf_dirs = sorted(glob.glob(os.path.join(p1, "split=*", "shard=*")))
+    assert {os.path.relpath(d, p1) for d in leaf_dirs} == {
+        f"split={s}/shard={i}"
+        for s in ("train", "test")
+        for i in range(4)
+    }
+    for d in leaf_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, d
+
+    def contents(root):
+        out = {}
+        for d in sorted(glob.glob(os.path.join(root, "split=*", "shard=*"))):
+            f = glob.glob(os.path.join(d, "*.parquet"))[0]
+            out[os.path.relpath(d, root)] = pq.read_table(f)[
+                "doc_id"
+            ].to_pylist()
+        return out
+
+    c1, c2 = contents(p1), contents(p2)
+    assert c1 == c2  # ordered equality: row order reproduced too
+    all_ids = [i for rows in c1.values() for i in rows]
+    assert sorted(all_ids) == list(range(3000))
+    for rows in c1.values():
+        assert rows == sorted(rows)
+
+    with pytest.raises(ValueError):
+        write_training_shards(df, str(tmp_path / "c"), n_shards=0)
+    with pytest.raises(ValueError):
+        write_training_shards(
+            df, str(tmp_path / "c"), n_shards=2, partition_by=["nope"]
+        )
+
+
 def test_embed_near_dups_dim_param_skips_driver_probe(spark, monkeypatch):
     """With dim= supplied, plan construction must trigger no Spark job
     (VERDICT r2 item 8: the .first() probe is fallback-only)."""
