@@ -1252,6 +1252,55 @@ def q_det_topn(spark, sf_dir):
     return deterministic_topn(docs, 50, salt="evalset")
 
 
+def q_pack_plan(spark, sf_dir):
+    """Sequence-packing plan: concat-and-chunk into 2048-token packs via
+    a two-phase distributed prefix sum (per-shard running totals +
+    n_shards-row offset broadcast)."""
+    from filters_spark.pipeline import pack_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_plan(docs, 2048)
+
+
+SQL_PACK_PLAN = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 15)
+              AS BIGINT) AS h
+  FROM documents
+), pos AS (
+  SELECT *, h % 32 AS shard FROM toks WHERE n_tokens > 0
+), cum AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, id
+                                ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM pos
+), offs AS (
+  SELECT shard,
+         COALESCE(SUM(tot) OVER (ORDER BY shard
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS shard_offset
+  FROM (SELECT shard, SUM(n_tokens) AS tot FROM pos GROUP BY shard)
+), placed AS (
+  -- SUM() yields HUGEINT in DuckDB; BIGINT casts keep generate_series
+  -- and the compared output columns in 64-bit like Spark
+  SELECT c.id, c.n_tokens,
+         CAST(o.shard_offset + c.cum_end - c.n_tokens AS BIGINT) AS g_start,
+         CAST(o.shard_offset + c.cum_end AS BIGINT) AS g_end
+  FROM cum c JOIN offs o USING (shard)
+)
+SELECT id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(0, pack_id * 2048 - g_start) AS BIGINT) AS tok_start,
+       CAST(LEAST(n_tokens, (pack_id + 1) * 2048 - g_start) AS BIGINT)
+           AS tok_end
+FROM placed
+CROSS JOIN UNNEST(generate_series(g_start // 2048, (g_end - 1) // 2048))
+     AS t(pack_id)
+"""
+
+
 def _split_sql() -> tuple[str, str, str, str]:
     """Oracle SQL for the sampling operators with thresholds computed
     by the SAME Python float arithmetic the operators use."""
@@ -2172,6 +2221,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "det_sample": q_det_sample,
     "stratified_sample": q_stratified_sample,
     "det_topn": q_det_topn,
+    "pack_plan": q_pack_plan,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2294,6 +2344,7 @@ _ORACLES: dict[str, str] = {
     "det_sample": SQL_DET_SAMPLE,
     "stratified_sample": SQL_STRATIFIED,
     "det_topn": SQL_DET_TOPN,
+    "pack_plan": SQL_PACK_PLAN,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

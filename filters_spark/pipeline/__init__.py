@@ -28,6 +28,7 @@ from filters_spark.pipeline.dedup import (
     simhash_pairs,
     word_shingles,
 )
+from filters_spark.pipeline.packing import pack_plan
 from filters_spark.pipeline.sampling import (
     deterministic_sample,
     deterministic_topn,
@@ -90,6 +91,7 @@ __all__ = [
     "ivf_assign",
     "ivf_centroids",
     "ivf_topk",
+    "pack_plan",
     "repetition_stats",
     "shard_column",
     "simhash",

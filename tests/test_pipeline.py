@@ -723,6 +723,84 @@ def test_deterministic_topn_exact_and_nested(spark):
         deterministic_topn(df, -1)
 
 
+def test_pack_plan_python_parity_and_invariants(spark):
+    """pack_plan vs a direct Python concat-and-chunk reference over the
+    same deterministic (hash, id) order; plus the structural invariants:
+    every pack except the last holds exactly `budget` tokens, per-doc
+    slices partition [0, n_tokens), and the plan is identical at any
+    input partitioning."""
+    import hashlib
+    import random
+
+    from filters_spark.pipeline import pack_plan
+
+    budget, n_shards = 7, 4
+    rng = random.Random(1)
+    docs = [
+        (i, " ".join("w%d" % rng.randint(0, 9) for _ in range(rng.randint(0, 11))))
+        for i in range(200)
+    ]
+
+    def h60(i, salt):
+        return int(
+            hashlib.md5(f"{i}#{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    toks = {i: len(t.split()) for i, t in docs}
+    order = sorted(
+        (i for i in toks if toks[i] > 0),
+        key=lambda i: (h60(i, "pack") % n_shards, h60(i, "pack"), i),
+    )
+    expected, g = set(), 0
+    for i in order:
+        start, end = g, g + toks[i]
+        for p in range(start // budget, (end - 1) // budget + 1):
+            expected.add(
+                (
+                    i,
+                    p,
+                    max(0, p * budget - start),
+                    min(toks[i], (p + 1) * budget - start),
+                )
+            )
+        g = end
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["pack_id"], r["tok_start"], r["tok_end"])
+        for r in pack_plan(df, budget, n_shards=n_shards).collect()
+    }
+    assert got == expected
+
+    total = sum(toks.values())
+    per_pack = {}
+    for _, p, s, e in got:
+        per_pack[p] = per_pack.get(p, 0) + (e - s)
+    last = max(per_pack)
+    assert set(per_pack) == set(range(last + 1))
+    for p, n in per_pack.items():
+        assert n == (budget if p < last else total - last * budget)
+    per_doc = {}
+    for i, _, s, e in got:
+        per_doc.setdefault(i, []).append((s, e))
+    for i, slices in per_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0 and slices[-1][1] == toks[i]
+        for (a, b2), (c, d) in zip(slices, slices[1:]):
+            assert b2 == c
+
+    again = {
+        (r["id"], r["pack_id"], r["tok_start"], r["tok_end"])
+        for r in pack_plan(
+            df.repartition(13), budget, n_shards=n_shards
+        ).collect()
+    }
+    assert again == expected
+
+    with pytest.raises(ValueError):
+        pack_plan(df, 0)
+
+
 def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     """split=/shard= directory levels, exactly one file per leaf dir,
     and shard contents (membership AND row order) identical regardless
