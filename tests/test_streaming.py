@@ -138,3 +138,27 @@ def test_stream_dedup_bounded_state(spark, stream_input):
     keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
     assert len(keys) == len(set(keys))  # no duplicate keys survive
     assert set(keys) == {("c1", 0), ("c1", 1), ("c1", 3), ("c2", 0), ("c2", 1)}
+
+
+def test_sampling_ops_work_on_streams(spark, stream_input):
+    """deterministic_sample / split_assign are stateless row-local
+    expressions, so they run unchanged under Structured Streaming and
+    select the SAME rows the batch path does (a seeded df.sample could
+    not even start: nondeterministic expressions are rejected or
+    re-drawn per microbatch)."""
+    from filters_spark.pipeline import deterministic_sample, split_assign
+
+    def shape(df):
+        return split_assign(
+            deterministic_sample(df, 0.6, id_col="conv_id", salt="s"),
+            {"train": 1, "test": 1},
+            id_col="conv_id",
+        ).select("conv_id", "turn_idx", "split")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    sink = f"sampled_{uuid.uuid4().hex[:8]}"
+    got = _run_stream(spark, shape(stream), sink).collect()
+    want = shape(spark.read.schema(SCHEMA).parquet(stream_input)).collect()
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["split"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(want) > 0
