@@ -35,6 +35,7 @@ from filters_spark.pipeline.sampling import (
     split_assign,
     split_column,
     stratified_sample,
+    temperature_weights,
 )
 from filters_spark.pipeline.sinks import (
     shard_column,
@@ -99,6 +100,7 @@ __all__ = [
     "split_assign",
     "split_column",
     "stratified_sample",
+    "temperature_weights",
     "srp_bucket",
     "srp_topk",
     "token_counts",

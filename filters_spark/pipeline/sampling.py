@@ -35,6 +35,7 @@ __all__ = [
     "split_assign",
     "split_column",
     "stratified_sample",
+    "temperature_weights",
 ]
 
 _HASH_SPACE = 1 << 60
@@ -103,6 +104,42 @@ def stratified_sample(
     else:
         threshold = default
     return df.where(_unit_hash(id_col, salt) < threshold)
+
+
+def temperature_weights(
+    counts: dict[str, int | float],
+    alpha: float = 0.3,
+    budget: float | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates from temperature-flattened multinomial
+    weights — the standard low-resource up-weighting rule (sample
+    stratum *i* with probability ∝ ``(n_i/N)^alpha``; ``alpha=1`` keeps
+    natural proportions, ``alpha→0`` flattens toward uniform).
+
+    Returns rates for :func:`stratified_sample` such that the expected
+    kept size is ≈ ``budget`` rows (default: the corpus size ``N``)
+    distributed by the flattened weights.  Rates cap at 1.0 — a stratum
+    too small to fill its flattened share keeps everything and the
+    total lands under budget (capped strata don't steal from others;
+    deterministic, no iteration).
+
+    Driver-side arithmetic over one tiny dict — feed it the output of
+    ``df.groupBy(strata_col).count()``.
+    """
+    if not counts or any(v < 0 for v in counts.values()):
+        raise ValueError(f"counts must be non-empty and >= 0: {counts}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = float(sum(counts.values()))
+    if total <= 0:
+        raise ValueError("counts must sum > 0")
+    q = {k: (v / total) ** alpha if v > 0 else 0.0 for k, v in counts.items()}
+    z = sum(q.values())
+    target = float(budget) if budget is not None else total
+    return {
+        k: min(1.0, (q[k] / z) * target / counts[k]) if counts[k] else 0.0
+        for k in counts
+    }
 
 
 def deterministic_topn(

@@ -723,6 +723,39 @@ def test_deterministic_topn_exact_and_nested(spark):
         deterministic_topn(df, -1)
 
 
+def test_temperature_weights_math():
+    """alpha=1 reproduces natural proportions (all rates equal); alpha=0
+    flattens to uniform shares; expected kept size tracks budget except
+    for capped strata; validation errors."""
+    from filters_spark.pipeline import temperature_weights
+
+    counts = {"en": 8000, "fr": 1500, "sw": 500}
+
+    natural = temperature_weights(counts, alpha=1.0)
+    assert all(abs(r - 1.0) < 1e-12 for r in natural.values())
+
+    flat = temperature_weights(counts, alpha=0.0, budget=3000)
+    # uniform shares: each stratum targets 1000 kept rows
+    assert abs(flat["en"] * 8000 - 1000) < 1e-9
+    assert abs(flat["fr"] * 1500 - 1000) < 1e-9
+    assert abs(flat["sw"] * 500 - 1000) < 1e-9 or flat["sw"] == 1.0
+    assert flat["sw"] == 1.0  # capped: can't supply 1000 from 500
+
+    mid = temperature_weights(counts, alpha=0.3, budget=5000)
+    assert 0 < mid["en"] < mid["fr"] <= 1.0
+    kept = sum(mid[k] * counts[k] for k in counts)
+    assert kept <= 5000 + 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_weights({})
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": -1})
+    with _pytest.raises(ValueError):
+        temperature_weights(counts, alpha=-0.1)
+
+
 def test_pack_plan_python_parity_and_invariants(spark):
     """pack_plan vs a direct Python concat-and-chunk reference over the
     same deterministic (hash, id) order; plus the structural invariants:
