@@ -145,6 +145,8 @@ def bench_queries(
         "embed_near_dups",
         "fingerprint",
         "multimodal_bytestats",
+        "pack_plan",
+        "stratified_sample",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -412,12 +412,21 @@ def dedup_groups(
     cliques in practice (diameter ~2-3), so the loop ends after a
     handful of rounds; for adversarial long-chain graphs raise
     ``max_iter`` (non-convergence raises rather than returning wrong
-    groups).  Per round the previous label table is unpersisted after
-    the new one materialises, so executor storage holds ~2 label tables
-    (two longs per node) regardless of iteration count.  At web scale
-    this is the standard alternating-contraction regime; the classic
-    large-star/small-star variant drops in here if components with huge
-    diameters ever appear.
+    groups).  Each round's label table is ``localCheckpoint``-ed
+    (materialised by the round's single action), which TRUNCATES THE
+    LOGICAL PLAN to a scan of the cached result — without that, the
+    plan tree doubles every round (each round references the previous
+    labels twice) and after ~15 rounds the driver OOMs just
+    *stringifying* the plan, long before any executor limit.  Storage
+    for superseded label tables (two longs per node) is released by
+    Spark's ContextCleaner as their RDDs go out of scope, so the
+    working set stays ~2 label tables regardless of iteration count.
+    ``localCheckpoint`` storage does not survive executor loss; on a
+    lossy cluster set a checkpoint dir and swap in reliable
+    ``checkpoint()`` at a coarser interval (the GraphFrames pattern).
+    At web scale this is the standard alternating-contraction regime;
+    the classic large-star/small-star variant drops in here if
+    components with huge diameters ever appear.
 
     ``df`` (optional) appends singleton groups (``group_id = id``) for
     documents that appear in no pair, so the output is a total
@@ -451,10 +460,12 @@ def dedup_groups(
                     F.coalesce(F.col("nb_label"), F.col("label")),
                 ).alias("label"),
             )
-            .persist()
+            # lazy localCheckpoint: materialised by the action below,
+            # truncating lineage so the plan doesn't double per round
+            .localCheckpoint(eager=False)
         )
         # ONE action per iteration: the changed-count aggregation fills
-        # merged's cache as a side effect; next round's join reads it
+        # the checkpoint as a side effect; next round's join reads it
         changed = merged.agg(
             F.sum((F.col("label") != F.col("old_label")).cast("int"))
         ).first()[0]

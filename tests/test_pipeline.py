@@ -480,6 +480,25 @@ def test_dedup_groups_connected_components(spark):
         dedup_groups(pairs, max_iter=1)
 
 
+def test_dedup_groups_lineage_truncated_on_long_chains(spark):
+    """A 20-hop path graph forces ~20 propagation rounds; without the
+    per-round localCheckpoint the logical plan doubles every round
+    (each round references the previous labels twice) and the driver
+    OOMs stringifying ~2^20 plan nodes — the exact failure hit at
+    sf0.1.  Pin: the result is right AND its plan stays scan-sized."""
+    from filters_spark.pipeline.dedup import dedup_groups, release
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a long, b long"
+    )
+    out = dedup_groups(chain, max_iter=30)
+    got = {r["id"]: r["group_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(21)}
+    plan_chars = len(out._jdf.queryExecution().simpleString())
+    release(out)
+    assert plan_chars < 10_000  # untruncated lineage would be ~2^20 nodes
+
+
 def test_repeated_spans_substring_dedup(spark):
     """Lee-et-al-style span dedup: cross-doc spans merge, within-doc
     repeats count toward min_count, adjacent islands coalesce, short
