@@ -1301,6 +1301,67 @@ CROSS JOIN UNNEST(generate_series(g_start // 2048, (g_end - 1) // 2048))
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence-packing apply step: materialise the 2048-token packs —
+    per-pack text assembled by one equi-join (plan x token arrays) plus
+    one per-pack hash aggregation; no global sort."""
+    from filters_spark.pipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, 2048)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tarr,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 15)
+              AS BIGINT) AS h
+  FROM documents
+), pos AS (
+  SELECT id, tarr, CAST(len(tarr) AS BIGINT) AS n_tokens, h, h % 32 AS shard
+  FROM toks WHERE len(tarr) > 0
+), cum AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, id
+                                ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM pos
+), offs AS (
+  SELECT shard,
+         COALESCE(SUM(tot) OVER (ORDER BY shard
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS shard_offset
+  FROM (SELECT shard, SUM(n_tokens) AS tot FROM pos GROUP BY shard)
+), placed AS (
+  SELECT c.id, c.tarr, c.n_tokens,
+         CAST(o.shard_offset + c.cum_end - c.n_tokens AS BIGINT) AS g_start,
+         CAST(o.shard_offset + c.cum_end AS BIGINT) AS g_end
+  FROM cum c JOIN offs o USING (shard)
+), plan AS (
+  SELECT id, tarr, n_tokens, g_start,
+         CAST(pack_id AS BIGINT) AS pack_id,
+         CAST(GREATEST(0, pack_id * 2048 - g_start) AS BIGINT) AS tok_start,
+         CAST(LEAST(n_tokens, (pack_id + 1) * 2048 - g_start) AS BIGINT)
+             AS tok_end
+  FROM placed
+  CROSS JOIN UNNEST(generate_series(g_start // 2048, (g_end - 1) // 2048))
+       AS t(pack_id)
+), pieces AS (
+  -- list_slice is 1-based and end-inclusive: [tok_start+1, tok_end]
+  SELECT pack_id,
+         g_start + tok_start AS pos,
+         array_to_string(list_slice(tarr, tok_start + 1, tok_end), ' ')
+             AS piece,
+         tok_end - tok_start AS n
+  FROM plan
+)
+SELECT pack_id,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       string_agg(piece, ' ' ORDER BY pos) AS text
+FROM pieces GROUP BY pack_id
+"""
+
+
 def _split_sql() -> tuple[str, str, str, str]:
     """Oracle SQL for the sampling operators with thresholds computed
     by the SAME Python float arithmetic the operators use."""
@@ -2222,6 +2283,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "det_topn": q_det_topn,
     "pack_plan": q_pack_plan,
+    "pack_sequences": q_pack_sequences,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2345,6 +2407,7 @@ _ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED,
     "det_topn": SQL_DET_TOPN,
     "pack_plan": SQL_PACK_PLAN,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

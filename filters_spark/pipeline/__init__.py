@@ -28,7 +28,7 @@ from filters_spark.pipeline.dedup import (
     simhash_pairs,
     word_shingles,
 )
-from filters_spark.pipeline.packing import pack_plan
+from filters_spark.pipeline.packing import pack_plan, pack_sequences
 from filters_spark.pipeline.sampling import (
     deterministic_sample,
     deterministic_topn,
@@ -93,6 +93,7 @@ __all__ = [
     "ivf_centroids",
     "ivf_topk",
     "pack_plan",
+    "pack_sequences",
     "repetition_stats",
     "shard_column",
     "simhash",

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from filters_spark.pipeline.dedup import portable_hash60
 from filters_spark.pipeline.textstats import _tokens
 
-__all__ = ["pack_plan"]
+__all__ = ["pack_plan", "pack_sequences"]
 
 
 def pack_plan(
@@ -50,6 +50,7 @@ def pack_plan(
     tokens_col: str | None = None,
     n_shards: int = 32,
     salt: str = "pack",
+    keep_positions: bool = False,
 ) -> DataFrame:
     """Plan packing of the corpus into ``budget``-token sequences.
 
@@ -57,7 +58,9 @@ def pack_plan(
     whitespace tokens of ``text_col`` are counted (same convention as
     :func:`~filters_spark.pipeline.textstats.token_counts`).  Zero-token
     documents contribute nothing to the stream and are dropped from the
-    plan.
+    plan.  ``keep_positions=True`` appends the document's global stream
+    offset ``g_start`` (the within-pack ordering key
+    :func:`pack_sequences` needs).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
@@ -118,7 +121,7 @@ def pack_plan(
         F.floor((g_end - 1) / b).alias("pack_last"),
     )
     pack = F.col("pack_id")
-    return placed.select(
+    out = placed.select(
         "id",
         "n_tokens",
         "g_start",
@@ -132,4 +135,76 @@ def pack_plan(
         .alias("tok_start"),
         F.least(F.col("n_tokens"), (pack + 1) * b - F.col("g_start"))
         .alias("tok_end"),
+        F.col("g_start"),
+    )
+    return out if keep_positions else out.drop("g_start")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Apply step of :func:`pack_plan`: materialise the packed
+    sequences — ``(pack_id, n_tokens, text)`` with ``text`` the
+    space-joined token stream of the pack, documents concatenated in
+    the deterministic stream order and sliced at pack boundaries.
+
+    Every pack except the last holds exactly ``budget`` tokens.  Plan:
+    the packing plan (with positions) equi-joins the tokenised corpus
+    on id — each document's token array crosses the shuffle once per
+    pack it intersects (almost always once; twice at a boundary) — the
+    per-pack pieces are ``slice``-d, then one hash aggregation per pack
+    sorts pieces by their global offset (``array_sort`` over
+    ``(g_start, piece)`` structs) and flattens.  No global sort, no
+    driver materialisation; a pack's contents (~``budget`` tokens) is
+    the unit of executor memory.
+
+    Tokenisation is whitespace (:func:`pack_plan`'s default convention)
+    — for BPE-exact packing run your tokeniser first and pack the
+    pretokenised column.
+    """
+    plan = pack_plan(
+        df,
+        budget,
+        text_col=text_col,
+        id_col=id_col,
+        n_shards=n_shards,
+        salt=salt,
+        keep_positions=True,
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("__fs_toks"),
+    )
+    piece = F.slice(
+        F.col("__fs_toks"),
+        (F.col("tok_start") + 1).cast("int"),
+        (F.col("tok_end") - F.col("tok_start")).cast("int"),
+    )
+    pieces = plan.join(toks, "id").select(
+        "pack_id",
+        F.struct(
+            (F.col("g_start") + F.col("tok_start")).alias("pos"),
+            F.array_join(piece, " ").alias("piece"),
+            (F.col("tok_end") - F.col("tok_start")).alias("n"),
+        ).alias("p"),
+    )
+    return (
+        pieces.groupBy("pack_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .select(
+            "pack_id",
+            F.aggregate(
+                "ps", F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+            ).alias("n_tokens"),
+            F.array_join(
+                F.transform("ps", lambda x: x["piece"]), " "
+            ).alias("text"),
+        )
     )

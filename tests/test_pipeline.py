@@ -853,6 +853,69 @@ def test_pack_plan_python_parity_and_invariants(spark):
         pack_plan(df, 0)
 
 
+def test_pack_sequences_python_parity(spark):
+    """pack_sequences vs a direct Python concat-and-chunk over the same
+    deterministic stream order: every pack's text is the exact token
+    slice, every pack except the last holds exactly `budget` tokens, and
+    the result is identical at any input partitioning."""
+    import hashlib
+    import random
+
+    from filters_spark.pipeline import pack_sequences
+
+    budget, n_shards = 11, 4
+    rng = random.Random(7)
+    docs = [
+        (
+            i,
+            " ".join(
+                "t%d_%d" % (i, j) for j in range(rng.randint(0, 9))
+            ),
+        )
+        for i in range(120)
+    ]
+
+    def h60(i, salt="pack"):
+        return int(
+            hashlib.md5(f"{i}#{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    toks = {i: t.split() for i, t in docs}
+    order = sorted(
+        (i for i in toks if toks[i]),
+        key=lambda i: (h60(i) % n_shards, h60(i), i),
+    )
+    stream = []
+    for i in order:
+        stream.extend(toks[i])
+    expected = {
+        p: (
+            len(stream[p * budget : (p + 1) * budget]),
+            " ".join(stream[p * budget : (p + 1) * budget]),
+        )
+        for p in range((len(stream) + budget - 1) // budget)
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["pack_id"]: (r["n_tokens"], r["text"])
+        for r in pack_sequences(df, budget, n_shards=n_shards).collect()
+    }
+    assert got == expected
+    last = max(expected)
+    assert all(
+        n == budget for p, (n, _) in expected.items() if p != last
+    )
+
+    again = {
+        r["pack_id"]: (r["n_tokens"], r["text"])
+        for r in pack_sequences(
+            df.repartition(13), budget, n_shards=n_shards
+        ).collect()
+    }
+    assert again == expected
+
+
 def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     """split=/shard= directory levels, exactly one file per leaf dir,
     and shard contents (membership AND row order) identical regardless
