@@ -176,11 +176,11 @@ def pack_sequences(
         salt=salt,
         keep_positions=True,
     )
+    # Same tokenizer pack_plan counts with — counts and slices must
+    # never drift, so both sides call _tokens.
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-        ).alias("__fs_toks"),
+        _tokens(F.col(text_col)).alias("__fs_toks"),
     )
     piece = F.slice(
         F.col("__fs_toks"),
