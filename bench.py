@@ -123,8 +123,13 @@ def bench_queries(
     loses 25-300 CPU-s to steal in bursts, and a burst landing on one
     heavy query masquerades as a 3x regression (r2's dedup_simhash
     read 8.2s in one record and 2.9s isolated — identical code).
-    Operator caches are released after each attempt so a query's
-    persisted intermediates never pollute the next measurement.
+    One bounded extra attempt is taken when both attempts look
+    contaminated — steal on the best attempt, or the two attempts
+    disagreeing by >1.8x (bursts can throttle the guest without moving
+    the steal counter: a burst window measured uuid_canonical at 11.4s
+    with 0.7 CPU-s attempt steal vs its 2.7s clean record).  Operator
+    caches are released after each attempt so a query's persisted
+    intermediates never pollute the next measurement.
     """
     import __spark_entry__ as e
     from filters_spark.pipeline.dedup import release
@@ -153,7 +158,7 @@ def bench_queries(
     attempts: dict[str, list[dict]] = {}
     for name in names:
         recs = []
-        for _ in range(2):
+        while True:
             s0 = read_steal_sec()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -163,9 +168,22 @@ def bench_queries(
             recs.append(
                 {"sec": dt, "steal_cpu_sec": round(read_steal_sec() - s0, 1)}
             )
+            if len(recs) >= 3 or (len(recs) == 2 and not _contaminated(recs)):
+                break
         attempts[name] = recs
         out[name] = min(r["sec"] for r in recs)
     return out, attempts
+
+
+def _contaminated(recs: list[dict], steal_thresh: float = 5.0) -> bool:
+    """Both attempts suspect: the fastest one still saw steal, or the
+    attempts disagree by >1.8x (burst throttling is not always visible
+    in the steal counter)."""
+    best = min(recs, key=lambda r: r["sec"])
+    secs = sorted(r["sec"] for r in recs)
+    return best["steal_cpu_sec"] > steal_thresh or (
+        secs[0] > 0 and secs[-1] / secs[0] > 1.8
+    )
 
 
 def main() -> None:
@@ -183,16 +201,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     steal0 = read_steal_sec()
-    # Suite: best of two attempts (fastest kept, both recorded).  This
-    # host intermittently loses 25-300 CPU-s/run to hypervisor steal;
-    # a single contaminated attempt would otherwise masquerade as a
-    # regression.  Matches the scaling harness's stated protocol.
+    # Suite: best of two attempts (fastest kept, all recorded), with a
+    # bounded third when both look contaminated — see _contaminated().
+    # This host intermittently loses 25-300 CPU-s/run to hypervisor
+    # steal; a single contaminated attempt would otherwise masquerade
+    # as a regression.  Matches the scaling harness's stated protocol.
     attempts = []
-    for _ in range(2):
+    while True:
         s0 = read_steal_sec()
         d = bench_suite(spark, n_convs)
         d["steal_cpu_sec"] = round(read_steal_sec() - s0, 1)
         attempts.append(d)
+        if len(attempts) >= 3 or (
+            len(attempts) == 2
+            and not _contaminated(
+                [
+                    {"sec": a["suite_sec"], "steal_cpu_sec": a["steal_cpu_sec"]}
+                    for a in attempts
+                ],
+                steal_thresh=25.0,
+            )
+        ):
+            break
     suite = min(attempts, key=lambda d: d["suite_sec"])
     queries, query_attempts = bench_queries(spark, sf_dir)
     steal_sec = round(read_steal_sec() - steal0, 1)
