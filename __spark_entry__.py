@@ -1362,6 +1362,127 @@ FROM pieces GROUP BY pack_id
 """
 
 
+def q_curation_e2e(spark, sf_dir):
+    """End-to-end corpus curation as ONE lazy plan: quality scoring and
+    language ID chained off a single scan (keep_cols, no self-joins),
+    heuristic keep filter, exact-dedup survivors (digest groupBy +
+    survivor equi-join — the only corpus shuffle before packing),
+    train-split hash filter, then 512-token sequence packing.  The shape
+    a 100 TB curation run wants: row-local stages fused into the scan,
+    one digest shuffle, one prefix-sum shuffle."""
+    from pyspark.sql import functions as F
+
+    from filters_spark.pipeline import (
+        exact_dedup,
+        lang_id,
+        pack_plan,
+        quality_score,
+    )
+    from filters_spark.pipeline.sampling import split_column
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs, keep_cols=("text",))
+    labelled = lang_id(scored, id_col="id", keep_cols=("text", "score"))
+    # multiply-round-divide on BOTH sides so the float threshold can't
+    # flip on a last-ulp difference vs the oracle
+    kept = labelled.where(
+        (F.round(F.col("score") * 1e6) / 1e6 >= 0.25)
+        & (F.col("lang_pred") == "en")
+    )
+    surv = exact_dedup(kept, id_col="id").select(
+        F.col("keep_id").alias("id")
+    )
+    corpus = kept.join(surv, "id")
+    train = corpus.where(
+        split_column({"train": 0.98, "val": 0.01, "test": 0.01}, id_col="id")
+        == "train"
+    )
+    return pack_plan(train, 512, id_col="id")
+
+
+def _sql_curation_e2e() -> str:
+    """Oracle for the e2e curation chain; the train-split bound is
+    computed with the SAME Python float arithmetic split_column uses."""
+    from filters_spark.pipeline.sampling import _HASH_SPACE
+
+    total = float(sum((0.98, 0.01, 0.01)))
+    b_train = int((0.98 / total) * _HASH_SPACE)
+    return rf"""
+WITH m AS (
+  SELECT doc_id AS id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS n_toks,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           AS punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(['the','a','of','to','and','in','is'], x)))
+              AS DOUBLE) AS stop,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) AS dtoks
+  FROM documents
+), ql AS (
+  SELECT id, text,
+         least(n_chars / 500.0, 1.0)
+           * (1 - punct / greatest(n_chars, 1.0))
+           * (1 - digit / greatest(n_chars, 1.0))
+           * (0.5 + 0.5 * least(stop / greatest(n_toks, 1.0) * 5, 1.0))
+           AS score,
+         len(list_intersect(dtoks, ['the','a','of','to','and','in','is'])) AS h_en,
+         len(list_intersect(dtoks, ['der','die','das','und','ist','ein'])) AS h_de,
+         len(list_intersect(dtoks, ['le','la','et','les','des','est'])) AS h_fr,
+         len(list_intersect(dtoks, ['el','la','de','que','los','es'])) AS h_es
+  FROM m
+), kept AS (
+  -- lang_pred = 'en': ties broken lexicographically, so de beats en
+  SELECT id, text FROM ql
+  WHERE round(score * 1e6) / 1e6 >= 0.25
+    AND greatest(h_de, h_en, h_es, h_fr) > 0
+    AND h_en = greatest(h_de, h_en, h_es, h_fr)
+    AND h_de < greatest(h_de, h_en, h_es, h_fr)
+), surv AS (
+  SELECT CAST(min(id) AS BIGINT) AS id FROM kept GROUP BY md5(text)
+), train AS (
+  SELECT k.id, k.text FROM kept k JOIN surv USING (id)
+  WHERE CAST('0x' || substr(md5(CAST(k.id AS VARCHAR) || '#split'), 1, 15)
+             AS BIGINT) < {b_train}
+), toks AS (
+  SELECT id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(id AS VARCHAR) || '#pack'), 1, 15)
+              AS BIGINT) AS h
+  FROM train
+), pos AS (
+  SELECT *, h % 32 AS shard FROM toks WHERE n_tokens > 0
+), cum AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, id
+                                ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM pos
+), offs AS (
+  SELECT shard,
+         COALESCE(SUM(tot) OVER (ORDER BY shard
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS shard_offset
+  FROM (SELECT shard, SUM(n_tokens) AS tot FROM pos GROUP BY shard)
+), placed AS (
+  SELECT c.id, c.n_tokens,
+         CAST(o.shard_offset + c.cum_end - c.n_tokens AS BIGINT) AS g_start,
+         CAST(o.shard_offset + c.cum_end AS BIGINT) AS g_end
+  FROM cum c JOIN offs o USING (shard)
+)
+SELECT id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(0, pack_id * 512 - g_start) AS BIGINT) AS tok_start,
+       CAST(LEAST(n_tokens, (pack_id + 1) * 512 - g_start) AS BIGINT)
+           AS tok_end
+FROM placed
+CROSS JOIN UNNEST(generate_series(g_start // 512, (g_end - 1) // 512))
+     AS t(pack_id)
+"""
+
+
 def _split_sql() -> tuple[str, str, str, str]:
     """Oracle SQL for the sampling operators with thresholds computed
     by the SAME Python float arithmetic the operators use."""
@@ -2284,6 +2405,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "det_topn": q_det_topn,
     "pack_plan": q_pack_plan,
     "pack_sequences": q_pack_sequences,
+    "curation_e2e": q_curation_e2e,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
@@ -2408,6 +2530,7 @@ _ORACLES: dict[str, str] = {
     "det_topn": SQL_DET_TOPN,
     "pack_plan": SQL_PACK_PLAN,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "curation_e2e": _sql_curation_e2e(),
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

@@ -73,12 +73,16 @@ def pack_plan(
         else F.size(_tokens(F.col(text_col)))
     ).cast("long")
     h = portable_hash60(F.col(id_col).cast("string"), salt)
+    # The explicit shard-notnull filter matters: the offsets join would
+    # otherwise push isnotnull(shard) into only ONE consumer branch,
+    # making the two hashpartitioning(shard) Exchanges canonically
+    # different and defeating ReuseExchange (upstream would run twice).
     base = df.select(
         F.col(id_col).alias("id"),
         n_tok.alias("n_tokens"),
         h.alias("h"),
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
-    ).where(F.col("n_tokens") > 0)
+    ).where((F.col("n_tokens") > 0) & F.col("shard").isNotNull())
 
     w_shard = (
         Window.partitionBy("shard")
@@ -91,13 +95,18 @@ def pack_plan(
 
     # Phase 2: n_shards-row prefix sum — tiny by construction, so the
     # single-partition window and the broadcast back are both O(shards).
+    # Shard totals come from the SAME window output (max of the running
+    # sum), not from a second aggregation over `base`: both consumers
+    # then sit on one hashpartitioning(shard) Exchange, which
+    # ReuseExchange executes once — otherwise the entire upstream (scan,
+    # filters, any dedup shuffle feeding the pack) runs twice.
     w_off = (
         Window.orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        base.groupBy("shard")
-        .agg(F.sum("n_tokens").alias("shard_total"))
+        in_shard.groupBy("shard")
+        .agg(F.max("cum_end_in_shard").alias("shard_total"))
         .select(
             "shard",
             F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)).alias(

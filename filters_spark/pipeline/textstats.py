@@ -58,9 +58,16 @@ def token_counts(
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Heuristic quality components + composite score per document.
+
+    ``keep_cols`` carries extra input columns through (e.g. the text
+    itself), so downstream steps chain off one scan instead of
+    re-joining the corpus on id.
 
     Components (all ratios in [0,1], double):
     - ``len_score``: min(n_chars / 500, 1) — favour substantial docs;
@@ -105,6 +112,7 @@ def quality_score(
         digit_ratio.alias("digit_ratio"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("score"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -114,8 +122,13 @@ def lang_id(
     id_col: str = "doc_id",
     profiles: dict[str, tuple[str, ...]] | None = None,
     model: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stopword-profile language ID: ``(id, lang_pred, lang_hits)``.
+
+    ``keep_cols`` carries extra input columns through (single-scan
+    chaining, as in :func:`quality_score`; not supported on the
+    fastText route).
 
     Counts distinct-token hits against each language's stopword profile;
     prediction = language with the most hits (ties broken
@@ -128,6 +141,10 @@ def lang_id(
     ``(id, lang_pred, lang_conf)``.
     """
     if model is not None:
+        if keep_cols:
+            raise ValueError(
+                "keep_cols is not supported with the fastText model route"
+            )
         return lang_id_fasttext(df, model, text_col, id_col)
     profiles = profiles or STOPWORDS
     toks = F.array_distinct(_tokens(F.col(text_col)))
@@ -150,6 +167,7 @@ def lang_id(
         F.col(id_col).alias("id"),
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_hits"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -150,6 +150,30 @@ def test_dedup_verify_never_broadcasts_corpus_sizes(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev_a)
 
 
+def test_pack_plan_prefix_sum_reuses_window_exchange(spark):
+    """pack_plan's shard-offset branch must reuse the per-shard window's
+    hashpartitioning(shard) Exchange — otherwise the entire upstream
+    (scan, filters, and any dedup/curation chain feeding the pack, e.g.
+    curation_e2e) executes twice.  Requires the shard-notnull filter in
+    `base`: without it the offsets join pushes isnotnull(shard) into
+    only one branch and the two Exchanges stop being canonically equal.
+    Pinned with AQE off so the static ReuseExchange rule is visible in
+    the plan string; with AQE on the same reuse happens at stage level
+    (verified: ReusedExchange in the final adaptive plan)."""
+    from filters_spark.pipeline import pack_plan
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(50)], "doc_id long, text string"
+        )
+        plan = plan_of(pack_plan(df, 4))
+        assert "ReusedExchange" in plan, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_stats_single_aggregation_pass(tdf):
     from filters_spark.engine.stats import column_stats
 
