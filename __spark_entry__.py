@@ -1362,6 +1362,91 @@ FROM pieces GROUP BY pack_id
 """
 
 
+def q_pack_token_ids(spark, sf_dir):
+    """Pretokenised packing: documents are tokenised to deterministic
+    60-bit ids (portable md5 hash per token — a stand-in for BPE ids so
+    DuckDB can replay it), then packed verbatim into exact 2048-token
+    training sequences (``tokens`` array column, element type
+    preserved)."""
+    from pyspark.sql import functions as F
+
+    from filters_spark.pipeline import pack_sequences
+    from filters_spark.pipeline.dedup import portable_hash60
+    from filters_spark.pipeline.textstats import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            _tokens(F.col("text")), lambda t: portable_hash60(t, "tok")
+        ).alias("input_ids"),
+    )
+    packed = pack_sequences(
+        hashed, 2048, id_col="doc_id", tokens_col="input_ids"
+    )
+    # serialise the id array for the oracle comparator (which canons
+    # values via str(); pandas renders long numeric arrays elided)
+    return packed.select(
+        "pack_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("tokens", lambda x: x.cast("string")), "-"
+        ).alias("token_str"),
+    )
+
+
+SQL_PACK_TOKEN_IDS = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_transform(
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> ''),
+           x -> CAST('0x' || substr(md5(x || '#tok'), 1, 15) AS BIGINT)
+         ) AS tarr,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 15)
+              AS BIGINT) AS h
+  FROM documents
+), pos AS (
+  SELECT id, tarr, CAST(len(tarr) AS BIGINT) AS n_tokens, h, h % 32 AS shard
+  FROM toks WHERE len(tarr) > 0
+), cum AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, id
+                                ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM pos
+), offs AS (
+  SELECT shard,
+         COALESCE(SUM(tot) OVER (ORDER BY shard
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS shard_offset
+  FROM (SELECT shard, SUM(n_tokens) AS tot FROM pos GROUP BY shard)
+), placed AS (
+  SELECT c.id, c.tarr, c.n_tokens,
+         CAST(o.shard_offset + c.cum_end - c.n_tokens AS BIGINT) AS g_start,
+         CAST(o.shard_offset + c.cum_end AS BIGINT) AS g_end
+  FROM cum c JOIN offs o USING (shard)
+), plan AS (
+  SELECT id, tarr, n_tokens, g_start,
+         CAST(pack_id AS BIGINT) AS pack_id,
+         CAST(GREATEST(0, pack_id * 2048 - g_start) AS BIGINT) AS tok_start,
+         CAST(LEAST(n_tokens, (pack_id + 1) * 2048 - g_start) AS BIGINT)
+             AS tok_end
+  FROM placed
+  CROSS JOIN UNNEST(generate_series(g_start // 2048, (g_end - 1) // 2048))
+       AS t(pack_id)
+), pieces AS (
+  SELECT pack_id,
+         g_start + tok_start AS pos,
+         list_slice(tarr, tok_start + 1, tok_end) AS piece,
+         tok_end - tok_start AS n
+  FROM plan
+)
+SELECT pack_id,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(piece ORDER BY pos)), '-') AS token_str
+FROM pieces GROUP BY pack_id
+"""
+
+
 def q_curation_e2e(spark, sf_dir):
     """End-to-end corpus curation as ONE lazy plan: quality scoring and
     language ID chained off a single scan (keep_cols, no self-joins),
@@ -2405,6 +2490,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "det_topn": q_det_topn,
     "pack_plan": q_pack_plan,
     "pack_sequences": q_pack_sequences,
+    "pack_token_ids": q_pack_token_ids,
     "curation_e2e": q_curation_e2e,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
@@ -2530,6 +2616,7 @@ _ORACLES: dict[str, str] = {
     "det_topn": SQL_DET_TOPN,
     "pack_plan": SQL_PACK_PLAN,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_token_ids": SQL_PACK_TOKEN_IDS,
     "curation_e2e": _sql_curation_e2e(),
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,

@@ -154,13 +154,23 @@ def pack_sequences(
     budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
     n_shards: int = 32,
     salt: str = "pack",
 ) -> DataFrame:
     """Apply step of :func:`pack_plan`: materialise the packed
-    sequences — ``(pack_id, n_tokens, text)`` with ``text`` the
-    space-joined token stream of the pack, documents concatenated in
-    the deterministic stream order and sliced at pack boundaries.
+    sequences, documents concatenated in the deterministic stream order
+    and sliced at pack boundaries.
+
+    Two modes:
+
+    - default: whitespace-tokenise ``text_col`` (:func:`pack_plan`'s
+      counting convention) and emit ``(pack_id, n_tokens, text)`` with
+      ``text`` the space-joined token stream of the pack;
+    - ``tokens_col=``: pack a pretokenised ARRAY column (e.g. BPE ids
+      from your tokeniser) verbatim and emit
+      ``(pack_id, n_tokens, tokens)`` — the exact fixed-length training
+      sequences, element type preserved.
 
     Every pack except the last holds exactly ``budget`` tokens.  Plan:
     the packing plan (with positions) equi-joins the tokenised corpus
@@ -168,29 +178,44 @@ def pack_sequences(
     pack it intersects (almost always once; twice at a boundary) — the
     per-pack pieces are ``slice``-d, then one hash aggregation per pack
     sorts pieces by their global offset (``array_sort`` over
-    ``(g_start, piece)`` structs) and flattens.  No global sort, no
-    driver materialisation; a pack's contents (~``budget`` tokens) is
-    the unit of executor memory.
-
-    Tokenisation is whitespace (:func:`pack_plan`'s default convention)
-    — for BPE-exact packing run your tokeniser first and pack the
-    pretokenised column.
+    ``(pos, piece)`` structs; ``pos`` is unique so the array payload is
+    never compared) and flattens.  No global sort, no driver
+    materialisation; a pack's contents (~``budget`` tokens) is the unit
+    of executor memory.
     """
-    plan = pack_plan(
-        df,
-        budget,
-        text_col=text_col,
-        id_col=id_col,
-        n_shards=n_shards,
-        salt=salt,
-        keep_positions=True,
-    )
-    # Same tokenizer pack_plan counts with — counts and slices must
-    # never drift, so both sides call _tokens.
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        _tokens(F.col(text_col)).alias("__fs_toks"),
-    )
+    if tokens_col is not None:
+        src = df.withColumn(
+            "__fs_n_tok", F.size(F.col(tokens_col)).cast("long")
+        )
+        plan = pack_plan(
+            src,
+            budget,
+            id_col=id_col,
+            tokens_col="__fs_n_tok",
+            n_shards=n_shards,
+            salt=salt,
+            keep_positions=True,
+        )
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.col(tokens_col).alias("__fs_toks"),
+        )
+    else:
+        plan = pack_plan(
+            df,
+            budget,
+            text_col=text_col,
+            id_col=id_col,
+            n_shards=n_shards,
+            salt=salt,
+            keep_positions=True,
+        )
+        # Same tokenizer pack_plan counts with — counts and slices must
+        # never drift, so both sides call _tokens.
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            _tokens(F.col(text_col)).alias("__fs_toks"),
+        )
     piece = F.slice(
         F.col("__fs_toks"),
         (F.col("tok_start") + 1).cast("int"),
@@ -200,20 +225,26 @@ def pack_sequences(
         "pack_id",
         F.struct(
             (F.col("g_start") + F.col("tok_start")).alias("pos"),
-            F.array_join(piece, " ").alias("piece"),
+            (
+                piece
+                if tokens_col is not None
+                else F.array_join(piece, " ")
+            ).alias("piece"),
             (F.col("tok_end") - F.col("tok_start")).alias("n"),
         ).alias("p"),
     )
-    return (
-        pieces.groupBy("pack_id")
-        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
-        .select(
-            "pack_id",
-            F.aggregate(
-                "ps", F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
-            ).alias("n_tokens"),
-            F.array_join(
-                F.transform("ps", lambda x: x["piece"]), " "
-            ).alias("text"),
-        )
+    packed = pieces.groupBy("pack_id").agg(
+        F.array_sort(F.collect_list("p")).alias("ps")
     )
+    n_tokens = F.aggregate(
+        "ps", F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+    ).alias("n_tokens")
+    if tokens_col is not None:
+        payload = F.flatten(
+            F.transform("ps", lambda x: x["piece"])
+        ).alias("tokens")
+    else:
+        payload = F.array_join(
+            F.transform("ps", lambda x: x["piece"]), " "
+        ).alias("text")
+    return packed.select("pack_id", n_tokens, payload)

@@ -916,6 +916,54 @@ def test_pack_sequences_python_parity(spark):
     assert again == expected
 
 
+def test_pack_sequences_pretokenised_ids(spark):
+    """tokens_col mode packs a pretokenised array column verbatim:
+    per-pack `tokens` is the exact id-stream slice (BPE-style packing),
+    element values untouched."""
+    import hashlib
+    import random
+
+    from filters_spark.pipeline import pack_sequences
+
+    budget, n_shards = 13, 4
+    rng = random.Random(11)
+    docs = [
+        (i, [rng.randint(0, 50_000) for _ in range(rng.randint(0, 8))])
+        for i in range(90)
+    ]
+
+    def h60(i, salt="pack"):
+        return int(
+            hashlib.md5(f"{i}#{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    order = sorted(
+        (i for i, ids in docs if ids),
+        key=lambda i: (h60(i) % n_shards, h60(i), i),
+    )
+    by_id = dict(docs)
+    stream = []
+    for i in order:
+        stream.extend(by_id[i])
+    expected = {
+        p: stream[p * budget : (p + 1) * budget]
+        for p in range((len(stream) + budget - 1) // budget)
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, input_ids array<long>")
+    got = {
+        r["pack_id"]: list(r["tokens"])
+        for r in pack_sequences(
+            df, budget, tokens_col="input_ids", n_shards=n_shards
+        ).collect()
+    }
+    assert got == expected
+    rows = pack_sequences(
+        df, budget, tokens_col="input_ids", n_shards=n_shards
+    ).collect()
+    assert all(r["n_tokens"] == len(r["tokens"]) for r in rows)
+
+
 def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     """split=/shard= directory levels, exactly one file per leaf dir,
     and shard contents (membership AND row order) identical regardless
