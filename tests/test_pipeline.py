@@ -410,6 +410,124 @@ def test_parse_media_header_real_containers():
     assert parse_media_header(b"\x89PNG\r\n\x1a\ntrunc") is None
 
 
+def _full_png(w, h, color, scanlines, plte=None):
+    """Assemble a complete PNG from EXPLICIT (filter_byte, filtered_row)
+    scanlines — expected pixels in the tests below are hand-computed
+    from the spec, never produced by an encoder sharing the decoder's
+    math."""
+    import struct as s
+    import zlib as z
+
+    def chunk(cid, body):
+        return (
+            s.pack(">I", len(body)) + cid + body
+            + s.pack(">I", z.crc32(cid + body))
+        )
+
+    ihdr = s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(d) for f, d in scanlines)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    return out + chunk(b"IDAT", z.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_pixels_defilter_hand_computed():
+    """Each PNG filter type against spec-hand-computed reconstructions
+    (PNG spec §9): Sub adds the left sample, Up the prior scanline,
+    Average their floor-mean, Paeth the a/b/c predictor."""
+    from filters_spark.pipeline.multimodal import decode_png_pixels
+
+    # filter 1 (Sub), grayscale 4x1: filtered [10,10,10,10] -> 10,20,30,40
+    px = decode_png_pixels(_full_png(4, 1, 0, [(1, [10, 10, 10, 10])]))
+    assert px.shape == (1, 4, 1) and px[0, :, 0].tolist() == [10, 20, 30, 40]
+
+    # filter 2 (Up), grayscale 2x2: row0 [5,6], row1 filtered [1,2] -> [6,8]
+    px = decode_png_pixels(_full_png(2, 2, 0, [(0, [5, 6]), (2, [1, 2])]))
+    assert px[1, :, 0].tolist() == [6, 8]
+
+    # filter 3 (Average), grayscale 2x2: row0 [10,20]; row1 recon [7,9]
+    # needs filtered [7-(0+10)//2, 9-(7+20)//2] = [2, 252 (mod 256)]
+    px = decode_png_pixels(_full_png(2, 2, 0, [(0, [10, 20]), (3, [2, 252])]))
+    assert px[1, :, 0].tolist() == [7, 9]
+
+    # filter 4 (Paeth), grayscale 2x2: row0 [3,5]; row1 recon [4,7]:
+    # x=0: a=0,b=3,c=0 -> pb smallest -> pred=3, f=1
+    # x=1: a=4,b=5,c=3 -> pa=2,pb=1,pc=3 -> pred=b=5, f=2
+    px = decode_png_pixels(_full_png(2, 2, 0, [(0, [3, 5]), (4, [1, 2])]))
+    assert px[1, :, 0].tolist() == [4, 7]
+
+    # Sub with RGB (channel offset = 3): recon (10,20,30),(15,25,35)
+    px = decode_png_pixels(
+        _full_png(2, 1, 2, [(1, [10, 20, 30, 5, 5, 5])])
+    )
+    assert px[0, 0].tolist() == [10, 20, 30]
+    assert px[0, 1].tolist() == [15, 25, 35]
+
+    # palette expansion: PLTE red/green, indices [0,1]
+    px = decode_png_pixels(
+        _full_png(2, 1, 3, [(0, [0, 1])], plte=[255, 0, 0, 0, 255, 0])
+    )
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+
+    # RGBA passthrough (filter 0)
+    px = decode_png_pixels(
+        _full_png(1, 1, 6, [(0, [9, 8, 7, 255])])
+    )
+    assert px.shape == (1, 1, 4) and px[0, 0].tolist() == [9, 8, 7, 255]
+
+
+def test_decode_png_pixels_rejects_unsupported():
+    """Header-only / 16-bit / interlaced / corrupt payloads return None
+    (callers fall back to header metadata)."""
+    import struct as s
+
+    from filters_spark.pipeline.multimodal import decode_png_pixels
+
+    assert decode_png_pixels(_png(8, 8)) is None  # header only, no IDAT
+    assert decode_png_pixels(b"not a png") is None
+    full = _full_png(2, 1, 0, [(0, [1, 2])])
+    assert decode_png_pixels(full) is not None
+    # flip bit depth to 16 in IHDR -> unsupported
+    sixteen = full[:24] + s.pack("B", 16) + full[25:]
+    assert decode_png_pixels(sixteen) is None
+    # truncate into the IDAT body (not just IEND/crc) -> None
+    assert decode_png_pixels(full[:-24]) is None
+    # wrong scanline payload size -> None
+    assert decode_png_pixels(_full_png(3, 1, 0, [(0, [1, 2])])) is None
+
+
+def test_decode_media_full_png_real_pixel_features(spark):
+    """decode_media on a FULL PNG reports decoded dims and a real
+    pixel-statistics feature (luminance mean/std + histogram), not the
+    digest fake; header-only payloads keep the fallback."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    # 2x1 grayscale, pixels 0 and 255 -> lum mean 127.5, std 127.5
+    full = _full_png(2, 1, 0, [(0, [0, 255])])
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(0, full), (1, _png(9, 9))], schema)
+    rows = {r["id"]: r for r in decode_media(df).collect()}
+    r0 = rows[0]
+    assert (r0["width"], r0["height"]) == (2, 1)
+    assert abs(r0["feature"][0] - 0.5) < 1e-9  # lum mean / 255
+    assert abs(r0["feature"][1] - 0.5) < 1e-9  # lum std / 255
+    assert abs(sum(r0["feature"][2:]) - 1.0) < 1e-9  # L1 histogram
+    # header-only PNG: header dims, digest-derived feature fallback
+    r1 = rows[1]
+    assert (r1["width"], r1["height"]) == (9, 9)
+    dig = hashlib.md5(_png(9, 9)).digest()
+    assert r1["feature"] == [dig[i % 16] / 255.0 for i in range(8)]
+
+
 def test_decode_media_real_headers(spark):
     """decode_media reports true dimensions for real containers and the
     deterministic fallback only for unknown bytes; strict passes when
