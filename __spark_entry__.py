@@ -1362,6 +1362,134 @@ FROM pieces GROUP BY pack_id
 """
 
 
+def q_multimodal_pixels(spark, sf_dir):
+    """End-to-end check of the REAL PNG pixel decoder: pixels are a
+    deterministic formula of doc_id ((id*31 + row*7 + col*13) % 256,
+    grayscale w=4+id%5, h=5+id%4), PNG-encoded inside the query with
+    FORWARD filtering cycling through all five PNG filter types
+    (row % 5), then decoded back through the library's
+    ``decode_png_pixels`` (zlib inflate + per-scanline DEFILTER).  The
+    oracle recomputes width/height/pixel-sum straight from the formula
+    with no PNG anywhere — the match holds only if the decoder inverts
+    every filter exactly."""
+    import struct as _s
+    import zlib as _z
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline.multimodal import decode_png_pixels
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+        ]
+    )
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body)) + cid + body
+            + _s.pack(">I", _z.crc32(cid + body))
+        )
+
+    def _encode(i: int) -> tuple[int, int, bytes]:
+        w, h = 4 + i % 5, 5 + i % 4
+        rows = [
+            [(i * 31 + r * 7 + x * 13) % 256 for x in range(w)]
+            for r in range(h)
+        ]
+        raw = bytearray()
+        for r, cur in enumerate(rows):
+            f = r % 5
+            prev = rows[r - 1] if r else [0] * w
+            if f == 0:
+                filt = cur
+            elif f == 1:  # Sub
+                filt = [
+                    (cur[x] - (cur[x - 1] if x else 0)) % 256
+                    for x in range(w)
+                ]
+            elif f == 2:  # Up
+                filt = [(cur[x] - prev[x]) % 256 for x in range(w)]
+            elif f == 3:  # Average
+                filt = [
+                    (cur[x] - (((cur[x - 1] if x else 0) + prev[x]) >> 1))
+                    % 256
+                    for x in range(w)
+                ]
+            else:  # Paeth
+                filt = []
+                for x in range(w):
+                    a = cur[x - 1] if x else 0
+                    b = prev[x]
+                    c = prev[x - 1] if x else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    filt.append((cur[x] - pred) % 256)
+            raw.append(f)
+            raw.extend(filt)
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        return w, h, png
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, png = _encode(i)
+                px = decode_png_pixels(png)
+                if px is None:  # decoder failure -> visible as 0 rows
+                    continue
+                out.append(
+                    (
+                        i,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px.astype("int64").sum()),
+                    )
+                )
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pix_sum"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(run, schema)
+
+
+SQL_MULTIMODAL_PIXELS = r"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS BIGINT) AS w,
+         CAST(5 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+), cells AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + r.r * 7 + x.x * 13) % 256 AS v
+  FROM dims,
+       UNNEST(generate_series(0, h - 1)) AS r(r),
+       UNNEST(generate_series(0, w - 1)) AS x(x)
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(SUM(v) AS BIGINT) AS pix_sum
+FROM cells GROUP BY doc_id, w, h
+"""
+
+
 def q_pack_token_ids(spark, sf_dir):
     """Pretokenised packing: documents are tokenised to deterministic
     60-bit ids (portable md5 hash per token — a stand-in for BPE ids so
@@ -2491,6 +2619,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_plan": q_pack_plan,
     "pack_sequences": q_pack_sequences,
     "pack_token_ids": q_pack_token_ids,
+    "multimodal_pixels": q_multimodal_pixels,
     "curation_e2e": q_curation_e2e,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
@@ -2617,6 +2746,7 @@ _ORACLES: dict[str, str] = {
     "pack_plan": SQL_PACK_PLAN,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pack_token_ids": SQL_PACK_TOKEN_IDS,
+    "multimodal_pixels": SQL_MULTIMODAL_PIXELS,
     "curation_e2e": _sql_curation_e2e(),
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,
