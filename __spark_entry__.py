@@ -1490,6 +1490,89 @@ FROM cells GROUP BY doc_id, w, h
 """
 
 
+def q_multimodal_samples(spark, sf_dir):
+    """End-to-end check of the REAL WAV PCM16 decoder: mono samples are
+    a deterministic formula of doc_id (s(t) = ((id*17 + t*5) % 4096) -
+    2048, n = 64 + id % 32 frames @ 8 kHz), WAV-encoded inside the
+    query, decoded back through the library's ``decode_wav_samples``,
+    and reduced to integer (channels, rate, n_frames, sample-sum).  The
+    oracle recomputes the sums straight from the formula with no WAV
+    container anywhere."""
+    import struct as _s
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline.multimodal import decode_wav_samples
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("rate", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("samp_sum", T.LongType()),
+        ]
+    )
+
+    def _encode(i: int) -> bytes:
+        n = 64 + i % 32
+        data = b"".join(
+            _s.pack("<h", ((i * 17 + t * 5) % 4096) - 2048)
+            for t in range(n)
+        )
+        fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (
+            b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + _s.pack("<I", 16) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data
+        )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                dec = decode_wav_samples(_encode(i))
+                if dec is None:  # decoder failure -> visible as 0 rows
+                    continue
+                samples, rate = dec
+                out.append(
+                    (
+                        i,
+                        int(samples.shape[1]),
+                        int(rate),
+                        int(samples.shape[0]),
+                        int(samples.astype("int64").sum()),
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=["doc_id", "channels", "rate", "n_frames", "samp_sum"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(run, schema)
+
+
+SQL_MULTIMODAL_SAMPLES = r"""
+WITH dims AS (
+  SELECT doc_id, CAST(64 + doc_id % 32 AS BIGINT) AS n FROM documents
+), cells AS (
+  SELECT doc_id, n, (doc_id * 17 + t.t * 5) % 4096 - 2048 AS v
+  FROM dims, UNNEST(generate_series(0, n - 1)) AS t(t)
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(8000 AS BIGINT) AS rate,
+       n AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS samp_sum
+FROM cells GROUP BY doc_id, n
+"""
+
+
 def q_pack_token_ids(spark, sf_dir):
     """Pretokenised packing: documents are tokenised to deterministic
     60-bit ids (portable md5 hash per token — a stand-in for BPE ids so
@@ -2620,6 +2703,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pack_token_ids": q_pack_token_ids,
     "multimodal_pixels": q_multimodal_pixels,
+    "multimodal_samples": q_multimodal_samples,
     "curation_e2e": q_curation_e2e,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
@@ -2747,6 +2831,7 @@ _ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pack_token_ids": SQL_PACK_TOKEN_IDS,
     "multimodal_pixels": SQL_MULTIMODAL_PIXELS,
+    "multimodal_samples": SQL_MULTIMODAL_SAMPLES,
     "curation_e2e": _sql_curation_e2e(),
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY,

@@ -9,16 +9,19 @@ once per batch, never per row.
 
 Container HEADERS are parsed for real (:func:`parse_media_header` —
 pure-stdlib ``struct`` parsing of PNG / JPEG / GIF / BMP / WAV / MP4
-signatures and dimension fields; no PIL/ffmpeg needed), and PNG is
-DECODED for real down to pixels (:func:`decode_png_pixels` — stdlib
-``zlib`` inflate + per-scanline defilter, color types 0/2/3/4/6), so
-``decode_media``'s feature vector holds actual luminance statistics
-for full PNGs.  Only non-PNG pixel/sample decode remains stubbed in
-this container (no codec libs): recognised containers report their
-true header dimensions while the feature falls back to a deterministic
-digest-derived fake.  ``strict=True`` raises only for genuinely
-unknown bytes.  Swapping in a full codec replaces only
-:func:`_fake_decode`'s fallback.
+signatures and dimension fields; no PIL/ffmpeg needed), and the two
+uncompressed-payload containers are DECODED for real: PNG down to
+pixels (:func:`decode_png_pixels` — stdlib ``zlib`` inflate +
+per-scanline defilter, color types 0/2/3/4/6) and WAV PCM16 down to
+samples (:func:`decode_wav_samples` — plain numpy over the data
+chunk), so ``decode_media``'s feature vector holds actual luminance
+statistics for full PNGs and actual RMS/zero-crossing statistics for
+PCM WAVs.  Only compressed-codec decode (JPEG entropy coding, GIF LZW,
+MP4) remains stubbed in this container (no codec libs): those
+containers report their true header dimensions while the feature falls
+back to a deterministic digest-derived fake.  ``strict=True`` raises
+only for genuinely unknown bytes.  Swapping in a full codec replaces
+only :func:`_fake_decode`'s fallback.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ __all__ = [
     "attach_media_meta",
     "parse_media_header",
     "decode_png_pixels",
+    "decode_wav_samples",
     "decode_media",
     "byte_features",
 ]
@@ -256,6 +260,44 @@ def decode_png_pixels(payload: bytes):
         return None
 
 
+def decode_wav_samples(payload: bytes):
+    """REAL WAV sample decode for PCM16 (format tag 1, 16-bit) — the
+    data chunk is raw little-endian samples, so plain ``numpy`` suffices
+    (no codec library).  Returns ``(samples: (frames, channels) int16
+    array, sample_rate)``, or ``None`` for non-WAV / non-PCM16 /
+    truncated payloads (callers fall back to header-only metadata)."""
+    import numpy as np
+
+    p = payload
+    if not (p.startswith(b"RIFF") and p[8:12] == b"WAVE"):
+        return None
+    try:
+        i, channels, rate, bits, fmt_tag, data = 12, 0, 0, 0, 0, None
+        while i + 8 <= len(p):
+            cid = p[i : i + 4]
+            (size,) = struct.unpack("<I", p[i + 4 : i + 8])
+            body = p[i + 8 : i + 8 + size]
+            if len(body) < size:
+                return None
+            if cid == b"fmt " and size >= 16:
+                fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+                (bits,) = struct.unpack("<H", body[14:16])
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if fmt_tag != 1 or bits != 16 or not channels or data is None:
+            return None
+        n = len(data) // (2 * channels) * channels
+        if n == 0:
+            return None
+        samples = np.frombuffer(data, dtype="<i2", count=n).reshape(
+            -1, channels
+        )
+        return samples, rate
+    except (struct.error, ValueError):
+        return None
+
+
 _SNIFF = (
     (b"\x89PNG", "image"),
     (b"\xff\xd8\xff", "image"),
@@ -334,6 +376,30 @@ def decode_media(
                         "unknown container (stubbed decode)"
                     )
                 feature = None
+                if mt == "audio":
+                    dec = decode_wav_samples(payload)
+                    if dec is not None:
+                        samples, _rate = dec
+                        mono = samples.astype(np.float64).mean(axis=1)
+                        rms = float(np.sqrt((mono**2).mean())) / 32768.0
+                        zcr = (
+                            float((np.diff(np.signbit(mono)) != 0).sum())
+                            / max(len(mono) - 1, 1)
+                            if len(mono) > 1
+                            else 0.0
+                        )
+                        feature = [rms, zcr]
+                        nbins = feature_dim - len(feature)
+                        if nbins > 0:
+                            hist, _ = np.histogram(
+                                np.abs(mono),
+                                bins=nbins,
+                                range=(0.0, 32768.0),
+                            )
+                            feature += (
+                                hist / max(int(hist.sum()), 1)
+                            ).tolist()
+                        feature = feature[:feature_dim]
                 px = decode_png_pixels(payload) if mt == "image" else None
                 if px is not None:
                     hgt, w = int(px.shape[0]), int(px.shape[1])

@@ -528,6 +528,57 @@ def test_decode_media_full_png_real_pixel_features(spark):
     assert r1["feature"] == [dig[i % 16] / 255.0 for i in range(8)]
 
 
+def _wav_pcm16(channels, rate, samples):
+    """Complete PCM16 WAV with explicit interleaved int16 samples."""
+    import struct as s
+
+    data = b"".join(s.pack("<h", v) for v in samples)
+    block = channels * 2
+    fmt = s.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    return (
+        b"RIFF" + s.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + s.pack("<I", 16) + fmt
+        + b"data" + s.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_wav_samples_and_audio_features(spark):
+    """PCM16 WAV decode returns the exact int16 samples (mono and
+    stereo interleave), and decode_media's audio feature holds the real
+    RMS / zero-crossing-rate, hand-computed."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline.multimodal import decode_wav_samples
+
+    mono = _wav_pcm16(1, 8000, [1000, -1000, 2000])
+    samples, rate = decode_wav_samples(mono)
+    assert rate == 8000
+    assert samples[:, 0].tolist() == [1000, -1000, 2000]
+
+    stereo = _wav_pcm16(2, 44100, [10, -10, 20, -20])
+    s2, _ = decode_wav_samples(stereo)
+    assert s2.tolist() == [[10, -10], [20, -20]]
+
+    assert decode_wav_samples(b"RIFFxxxxWAVEdata") is None
+    assert decode_wav_samples(b"not audio") is None
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(0, mono)], schema)
+    r = decode_media(df).collect()[0]
+    # rms = sqrt((1000^2 + 1000^2 + 2000^2)/3) / 32768
+    assert abs(r["feature"][0] - math.sqrt(2e6) / 32768.0) < 1e-12
+    # signs +,-,+ -> both adjacent pairs cross: zcr = 2/2 = 1.0
+    assert abs(r["feature"][1] - 1.0) < 1e-12
+    assert abs(sum(r["feature"][2:]) - 1.0) < 1e-9  # L1 histogram
+
+
 def test_decode_media_real_headers(spark):
     """decode_media reports true dimensions for real containers and the
     deterministic fallback only for unknown bytes; strict passes when
