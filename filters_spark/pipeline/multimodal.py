@@ -42,6 +42,7 @@ __all__ = [
     "attach_media_meta",
     "parse_media_header",
     "decode_png_pixels",
+    "decode_gif_pixels",
     "decode_wav_samples",
     "decode_media",
     "byte_features",
@@ -260,6 +261,126 @@ def decode_png_pixels(payload: bytes):
         return None
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-flavour LZW decode (GIF89a spec appendix F): LSB-first
+    variable-width codes, clear/end codes, dictionary grows to 12 bits.
+    Returns the index stream as a list, or ``None`` on a corrupt
+    stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    acc = bits = pos = 0
+    n = len(data)
+    while True:
+        while bits < width:
+            if pos >= n:
+                return None  # ran out before the end code
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode — pure-stdlib LZW (variable-width codes,
+    clear/end handling, dictionary growth) + color-table expansion for
+    the FIRST image frame.  Returns an ``(height, width, 3)`` uint8 RGB
+    array, or ``None`` for non-GIF / interlaced / truncated / corrupt
+    payloads (callers fall back to header-only metadata)."""
+    import numpy as np
+
+    p = payload
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    try:
+        packed = p[10]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            size = 3 * (2 << (packed & 0x07))
+            gct = p[i : i + size]
+            if len(gct) < size:
+                return None
+            i += size
+        while i < len(p):
+            b0 = p[i]
+            if b0 == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(p) and p[i] != 0:
+                    i += 1 + p[i]
+                i += 1
+            elif b0 == 0x2C:  # image descriptor
+                _l, _t, w, h = struct.unpack("<HHHH", p[i + 1 : i + 9])
+                ipacked = p[i + 9]
+                i += 10
+                ct = gct
+                if ipacked & 0x80:  # local color table
+                    size = 3 * (2 << (ipacked & 0x07))
+                    ct = p[i : i + size]
+                    if len(ct) < size:
+                        return None
+                    i += size
+                if ipacked & 0x40 or ct is None:  # interlaced: out of scope
+                    return None
+                if w == 0 or h == 0 or w * h > 64_000_000:
+                    return None
+                min_code = p[i]
+                i += 1
+                data = bytearray()
+                while i < len(p) and p[i] != 0:
+                    ln = p[i]
+                    block = p[i + 1 : i + 1 + ln]
+                    if len(block) < ln:
+                        return None
+                    data += block
+                    i += 1 + ln
+                if not (2 <= min_code <= 8):
+                    return None
+                idx = _lzw_decode(bytes(data), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                arr = np.frombuffer(idx[: w * h], dtype=np.uint8)
+                pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+                if int(arr.max(initial=0)) >= pal.shape[0]:
+                    return None
+                return pal[arr].reshape(h, w, 3)
+            elif b0 == 0x3B:  # trailer
+                return None
+            else:
+                return None
+        return None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
 def decode_wav_samples(payload: bytes):
     """REAL WAV sample decode for PCM16 (format tag 1, 16-bit) — the
     data chunk is raw little-endian samples, so plain ``numpy`` suffices
@@ -400,7 +521,11 @@ def decode_media(
                                 hist / max(int(hist.sum()), 1)
                             ).tolist()
                         feature = feature[:feature_dim]
-                px = decode_png_pixels(payload) if mt == "image" else None
+                px = None
+                if mt == "image":
+                    px = decode_png_pixels(payload)
+                    if px is None:
+                        px = decode_gif_pixels(payload)
                 if px is not None:
                     hgt, w = int(px.shape[0]), int(px.shape[1])
                     if px.shape[2] >= 3:

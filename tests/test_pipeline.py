@@ -528,6 +528,85 @@ def test_decode_media_full_png_real_pixel_features(spark):
     assert r1["feature"] == [dig[i % 16] / 255.0 for i in range(8)]
 
 
+def _gif(w_, h_, gct, lzw_min, lzw_data):
+    """Assemble a GIF89a with a global color table and EXPLICIT LZW
+    bytes — the test streams below are hand-packed from hand-traced
+    code sequences, independent of any encoder."""
+    import struct as s
+
+    n = 1
+    while (2 << n) * 1 < len(gct) // 3:
+        n += 1
+    packed = 0x80 | n  # GCT present, 2^(n+1) entries
+    out = b"GIF89a" + s.pack("<HH", w_, h_) + bytes([packed, 0, 0])
+    out += bytes(gct) + b"\x00" * ((2 << n) * 3 - len(gct))
+    out += b"\x2c" + s.pack("<HHHH", 0, 0, w_, h_) + b"\x00"
+    out += bytes([lzw_min])
+    for i in range(0, len(lzw_data), 255):
+        block = lzw_data[i : i + 255]
+        out += bytes([len(block)]) + bytes(block)
+    return out + b"\x00\x3b"
+
+
+def test_decode_gif_pixels_hand_traced_lzw():
+    """LZW decode against hand-traced code sequences (GIF89a appendix
+    F): literals, the code==next-slot special case, dictionary reuse,
+    and the width bump at table size 2^width."""
+    from filters_spark.pipeline.multimodal import decode_gif_pixels
+
+    pal = [0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+    # codes (width 3, min=2): CLEAR(4), 1, 6, END(5)
+    # code 6 == next slot with prev=[1] -> entry [1,1]; output [1,1,1]
+    # packed LSB-first: 4 | 1<<3 | 6<<6 | 5<<9 = 2956 -> bytes 140, 11
+    px = decode_gif_pixels(_gif(3, 1, pal, 2, [140, 11]))
+    assert px.shape == (1, 3, 3)
+    assert px[0].tolist() == [[10, 20, 30]] * 3
+
+    # codes: CLEAR(4), 0, 1, 6, 2, END(5) -> indices [0,1,0,1,2];
+    # table hits 8 entries after code 6, so 2 and END read at width 4:
+    # 4 | 0<<3 | 1<<6 | 6<<9 | 2<<12 | 5<<16 = 339012 -> 68, 44, 5
+    px = decode_gif_pixels(_gif(5, 1, pal, 2, [68, 44, 5]))
+    assert px[0].tolist() == [
+        [0, 0, 0],
+        [10, 20, 30],
+        [0, 0, 0],
+        [10, 20, 30],
+        [40, 50, 60],
+    ]
+
+    # corrupt / out-of-scope payloads fall back to None
+    assert decode_gif_pixels(b"GIF89a\x00") is None
+    assert decode_gif_pixels(_gif(3, 1, pal, 2, [140])) is None  # truncated
+    interlaced = bytearray(_gif(3, 1, pal, 2, [140, 11]))
+    interlaced[
+        6 + 7 + 12 + 9
+    ] |= 0x40  # set interlace flag in the image descriptor
+    assert decode_gif_pixels(bytes(interlaced)) is None
+
+
+def test_decode_media_full_gif_real_pixels(spark):
+    """decode_media routes full GIFs through the real LZW decoder: the
+    luminance feature reflects the decoded palette colors."""
+    from pyspark.sql import types as T
+
+    # 3 identical pixels of palette color (10,20,30):
+    # luminance = .299*10 + .587*20 + .114*30 = 18.15, std = 0
+    pal = [0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    gif = _gif(3, 1, pal, 2, [140, 11])
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    rows = decode_media(spark.createDataFrame([(0, gif)], schema)).collect()
+    r = rows[0]
+    assert (r["width"], r["height"]) == (3, 1)
+    assert abs(r["feature"][0] - 18.15 / 255.0) < 1e-9
+    assert abs(r["feature"][1] - 0.0) < 1e-12
+
+
 def _wav_pcm16(channels, rate, samples):
     """Complete PCM16 WAV with explicit interleaved int16 samples."""
     import struct as s
