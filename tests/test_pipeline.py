@@ -528,7 +528,7 @@ def test_decode_media_full_png_real_pixel_features(spark):
     assert r1["feature"] == [dig[i % 16] / 255.0 for i in range(8)]
 
 
-def _gif(w_, h_, gct, lzw_min, lzw_data):
+def _gif_full(w_, h_, gct, lzw_min, lzw_data):
     """Assemble a GIF89a with a global color table and EXPLICIT LZW
     bytes — the test streams below are hand-packed from hand-traced
     code sequences, independent of any encoder."""
@@ -559,14 +559,14 @@ def test_decode_gif_pixels_hand_traced_lzw():
     # codes (width 3, min=2): CLEAR(4), 1, 6, END(5)
     # code 6 == next slot with prev=[1] -> entry [1,1]; output [1,1,1]
     # packed LSB-first: 4 | 1<<3 | 6<<6 | 5<<9 = 2956 -> bytes 140, 11
-    px = decode_gif_pixels(_gif(3, 1, pal, 2, [140, 11]))
+    px = decode_gif_pixels(_gif_full(3, 1, pal, 2, [140, 11]))
     assert px.shape == (1, 3, 3)
     assert px[0].tolist() == [[10, 20, 30]] * 3
 
     # codes: CLEAR(4), 0, 1, 6, 2, END(5) -> indices [0,1,0,1,2];
     # table hits 8 entries after code 6, so 2 and END read at width 4:
     # 4 | 0<<3 | 1<<6 | 6<<9 | 2<<12 | 5<<16 = 339012 -> 68, 44, 5
-    px = decode_gif_pixels(_gif(5, 1, pal, 2, [68, 44, 5]))
+    px = decode_gif_pixels(_gif_full(5, 1, pal, 2, [68, 44, 5]))
     assert px[0].tolist() == [
         [0, 0, 0],
         [10, 20, 30],
@@ -577,8 +577,8 @@ def test_decode_gif_pixels_hand_traced_lzw():
 
     # corrupt / out-of-scope payloads fall back to None
     assert decode_gif_pixels(b"GIF89a\x00") is None
-    assert decode_gif_pixels(_gif(3, 1, pal, 2, [140])) is None  # truncated
-    interlaced = bytearray(_gif(3, 1, pal, 2, [140, 11]))
+    assert decode_gif_pixels(_gif_full(3, 1, pal, 2, [140])) is None  # truncated
+    interlaced = bytearray(_gif_full(3, 1, pal, 2, [140, 11]))
     interlaced[
         6 + 7 + 12 + 9
     ] |= 0x40  # set interlace flag in the image descriptor
@@ -593,7 +593,7 @@ def test_decode_media_full_gif_real_pixels(spark):
     # 3 identical pixels of palette color (10,20,30):
     # luminance = .299*10 + .587*20 + .114*30 = 18.15, std = 0
     pal = [0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
-    gif = _gif(3, 1, pal, 2, [140, 11])
+    gif = _gif_full(3, 1, pal, 2, [140, 11])
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -604,6 +604,229 @@ def test_decode_media_full_gif_real_pixels(spark):
     r = rows[0]
     assert (r["width"], r["height"]) == (3, 1)
     assert abs(r["feature"][0] - 18.15 / 255.0) < 1e-9
+    assert abs(r["feature"][1] - 0.0) < 1e-12
+
+
+def _jpeg_canonical_codes(counts):
+    """Independent canonical Huffman code assignment (ITU T.81 annex C)
+    used by the tests to EMIT bitstreams — spec-derived, not shared with
+    the decoder."""
+    codes, code, k = [], 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes.append((length, code))
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, val, n):
+        self.bits += [(val >> i) & 1 for i in range(n - 1, -1, -1)]
+
+    def tobytes(self):
+        bs = self.bits + [1] * ((-len(self.bits)) % 8)
+        out = bytearray()
+        for i in range(0, len(bs), 8):
+            b = 0
+            for bit in bs[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        stuffed = bytearray()
+        for b in out:
+            stuffed.append(b)
+            if b == 0xFF:
+                stuffed.append(0)  # byte stuffing
+        return bytes(stuffed)
+
+
+# one shared complete table shape: four 2-bit codes
+_J_COUNTS = [0, 4] + [0] * 14
+_J_DC_SYMS = [0, 1, 2, 3]  # DC size categories 0..3
+_J_AC_SYMS = [0x00, 0x01, 0x02, 0x11]  # EOB, (0,1), (0,2), (1,1)
+_J_CODES = _jpeg_canonical_codes(_J_COUNTS)
+
+
+def _j_put_sym(bw, syms, sym):
+    length, code = _J_CODES[syms.index(sym)]
+    bw.put(code, length)
+
+
+def _j_put_mag(bw, v):
+    """Emit (category, magnitude bits) for a DC diff / AC value per
+    T.81 F.1.2.1: negatives encode as v + 2^s - 1."""
+    s = 0 if v == 0 else max(v, -v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_full(w, h, comps, scan_payload, dri=0, sof_marker=0xC0):
+    """Assemble a complete baseline JPEG: quant table 0 = all 16s,
+    shared DC/AC Huffman tables 0, explicit entropy bytes."""
+    import struct as s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + s.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_J_COUNTS) + bytes(_J_DC_SYMS)
+    )
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_J_COUNTS) + bytes(_J_AC_SYMS)
+    )
+    sof = bytes([8]) + s.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += seg(sof_marker, sof)
+    if dri:
+        out += seg(0xDD, s.pack(">H", dri))
+    sos = bytes([len(comps)])
+    for cid, _ch, _cv in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan_payload
+    return out + b"\xff\xd9"
+
+
+def _j_block(bw, dc_diff, ac=()):
+    """Emit one 8x8 block: DC diff + optional [(run,size,value)] ACs +
+    EOB."""
+    s, bits = _j_put_mag(bw, dc_diff)
+    _j_put_sym(bw, _J_DC_SYMS, s)
+    if s:
+        bw.put(bits, s)
+    for run, size, val in ac:
+        _j_put_sym(bw, _J_AC_SYMS, (run << 4) | size)
+        _s, b = _j_put_mag(bw, val)
+        bw.put(b, size)
+    _j_put_sym(bw, _J_AC_SYMS, 0x00)
+
+
+def test_decode_jpeg_pixels_dc_only_grayscale():
+    """DC-only grayscale block: coefficient (0,0) = diff*q, IDCT of a
+    lone DC is the constant dc*q/8 + 128."""
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    bw = _JpegBitWriter()
+    _j_block(bw, 3)  # DC diff 3, q=16 -> 48; pixels = 48/8 + 128 = 134
+    jp = _jpeg_full(8, 8, [(1, 1, 1)], bw.tobytes())
+    px = decode_jpeg_pixels(jp)
+    assert px.shape == (8, 8, 3)
+    assert px.min() == px.max() == 134
+
+    # progressive (SOF2) is out of scope -> None
+    bw2 = _JpegBitWriter()
+    _j_block(bw2, 3)
+    assert (
+        decode_jpeg_pixels(
+            _jpeg_full(8, 8, [(1, 1, 1)], bw2.tobytes(), sof_marker=0xC2)
+        )
+        is None
+    )
+    # truncated entropy stream -> None
+    assert decode_jpeg_pixels(_jpeg_full(8, 8, [(1, 1, 1)], b"")) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+def test_decode_jpeg_pixels_ac_coefficient_matches_idct_formula():
+    """One AC coefficient (u=1, v=0): decoder output must match the
+    T.81 IDCT formula computed here with an explicit double loop."""
+    import math
+
+    import numpy as np
+
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    bw = _JpegBitWriter()
+    # DC diff 3 -> F[0][0] = 48; AC (run 0, size 1, value -1) at zigzag
+    # index 1 -> horizontal frequency u=1 -> F[0][1] = -16
+    _j_block(bw, 3, ac=[(0, 1, -1)])
+    px = decode_jpeg_pixels(_jpeg_full(8, 8, [(1, 1, 1)], bw.tobytes()))
+
+    F = np.zeros((8, 8))
+    F[0][0], F[0][1] = 48.0, -16.0
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    for y in range(8):
+        for x in range(8):
+            v = sum(
+                c(u) * c(vf) * F[vf][u]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * vf * math.pi / 16)
+                for u in range(8)
+                for vf in range(8)
+            ) / 4.0
+            expected = min(max(round(v + 128), 0), 255)
+            assert px[y, x, 0] == expected
+
+
+def test_decode_jpeg_pixels_color_420_and_restart():
+    """4:2:0 color: MCU = 4 Y blocks + Cb + Cr, constant DCs give one
+    flat YCbCr color -> hand-computed RGB. Restart markers reset the DC
+    predictor between MCUs."""
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    bw = _JpegBitWriter()
+    _j_block(bw, 3)  # Y block 1: pred 3 -> Y = 3*16/8+128 = 134
+    _j_block(bw, 0)  # Y blocks 2-4 ride the predictor
+    _j_block(bw, 0)
+    _j_block(bw, 0)
+    _j_block(bw, -2)  # Cb = -2*16/8+128 = 124
+    _j_block(bw, 2)  # Cr = 2*16/8+128 = 132
+    jp = _jpeg_full(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], bw.tobytes())
+    px = decode_jpeg_pixels(jp)
+    assert px.shape == (16, 16, 3)
+    # R = 134 + 1.402*4, G = 134 - .344136*-4 - .714136*4, B = 134 + 1.772*-4
+    assert px[:, :, 0].min() == px[:, :, 0].max() == round(134 + 1.402 * 4)
+    assert px[:, :, 1].min() == px[:, :, 1].max() == round(
+        134 + 0.344136 * 4 - 0.714136 * 4
+    )
+    assert px[:, :, 2].min() == px[:, :, 2].max() == round(134 - 1.772 * 4)
+
+    # two-MCU grayscale with DRI=1: predictor resets after RST0, so the
+    # second block's diff 3 lands at the same value, not accumulated
+    bw1, bw2 = _JpegBitWriter(), _JpegBitWriter()
+    _j_block(bw1, 3)
+    _j_block(bw2, 3)
+    scan = bw1.tobytes() + b"\xff\xd0" + bw2.tobytes()
+    px = decode_jpeg_pixels(_jpeg_full(16, 8, [(1, 1, 1)], scan, dri=1))
+    assert px.shape == (8, 16, 3)
+    assert px.min() == px.max() == 134
+
+
+def test_decode_media_full_jpeg_real_pixels(spark):
+    """decode_media routes baseline JPEGs through the real entropy
+    decoder: the feature holds actual luminance stats of the flat
+    color, and dims come from the pixel array."""
+    from pyspark.sql import types as T
+
+    bw = _JpegBitWriter()
+    for diff in (3, 0, 0, 0, -2, 2):
+        _j_block(bw, diff)
+    jp = _jpeg_full(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], bw.tobytes())
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    r = decode_media(spark.createDataFrame([(0, jp)], schema)).collect()[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    rr, gg, bb = (
+        round(134 + 1.402 * 4),
+        round(134 + 0.344136 * 4 - 0.714136 * 4),
+        round(134 - 1.772 * 4),
+    )
+    lum = 0.299 * rr + 0.587 * gg + 0.114 * bb
+    assert abs(r["feature"][0] - lum / 255.0) < 1e-9
     assert abs(r["feature"][1] - 0.0) < 1e-12
 
 
