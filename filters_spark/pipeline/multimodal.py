@@ -163,8 +163,84 @@ def parse_media_header(
         frames = data_size // block_align if block_align else 0
         return "audio", channels, rate, frames
     if len(p) >= 12 and p[4:8] == b"ftyp":
-        return "video", 0, 0, 0
+        w, h, frames = _mp4_video_meta(p)
+        return "video", w, h, frames
     return None
+
+
+_MP4_CONTAINERS = frozenset(
+    (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+)
+
+
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for the ISO-BMFF boxes in
+    ``p[start:end]`` (ISO 14496-12 §4.2: 32-bit size, ``size==1`` →
+    64-bit largesize, ``size==0`` → to end)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", p[i : i + 4])
+        btype = p[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", p[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            return  # corrupt/truncated: stop the walk
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_video_meta(p: bytes) -> tuple[int, int, int]:
+    """REAL MP4/MOV metadata via a recursive ISO-BMFF box walk — pure
+    ``struct``, no demuxer: per-trak ``tkhd`` presentation size (16.16
+    fixed point, version 0/1 layouts), ``hdlr`` handler type, ``stbl/
+    stsz`` sample count.  Returns ``(width, height, n_frames)`` of the
+    first video (``vide``) track — falling back to the first track with
+    a nonzero tkhd size — or zeros when there is no ``moov`` (e.g. a
+    bare ``ftyp`` probe or a streaming fragment)."""
+    tracks = []
+
+    def walk_trak(b0: int, b1: int):
+        w = h = frames = 0
+        handler = b""
+        stack = [(b0, b1)]
+        while stack:
+            s0, s1 = stack.pop()
+            for btype, c0, c1 in _mp4_boxes(p, s0, s1):
+                if btype in _MP4_CONTAINERS:
+                    stack.append((c0, c1))
+                elif btype == b"tkhd" and c1 - c0 >= 84:
+                    ver = p[c0]
+                    # fullbox(4) + times/id/duration (20 v0 / 32 v1)
+                    # + reserved/layer/group/volume (16) + matrix (36)
+                    off = c0 + (76 if ver == 0 else 88)
+                    if off + 8 <= c1:
+                        wf, hf = struct.unpack(">II", p[off : off + 8])
+                        w, h = wf >> 16, hf >> 16
+                elif btype == b"hdlr" and c1 - c0 >= 12:
+                    handler = p[c0 + 8 : c0 + 12]
+                elif btype == b"stsz" and c1 - c0 >= 12:
+                    fixed, count = struct.unpack(">II", p[c0 + 4 : c0 + 12])
+                    frames = count
+        tracks.append((handler, w, h, frames))
+
+    for btype, b0, b1 in _mp4_boxes(p, 0, len(p)):
+        if btype == b"moov":
+            for ctype, c0, c1 in _mp4_boxes(p, b0, b1):
+                if ctype == b"trak":
+                    walk_trak(c0, c1)
+    for handler, w, h, frames in tracks:
+        if handler == b"vide":
+            return w, h, frames
+    for handler, w, h, frames in tracks:
+        if w and h:
+            return w, h, frames
+    return 0, 0, 0
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px

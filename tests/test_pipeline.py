@@ -607,6 +607,59 @@ def test_decode_media_full_gif_real_pixels(spark):
     assert abs(r["feature"][1] - 0.0) < 1e-12
 
 
+def _box(btype, body):
+    import struct as s
+
+    return s.pack(">I", len(body) + 8) + btype + body
+
+
+def _mp4(w, h, n_frames, handler=b"vide", tkhd_ver=0):
+    """Minimal ISO-BMFF: ftyp + moov(trak(tkhd + mdia(hdlr +
+    minf(stbl(stsz))))) with 16.16 fixed-point tkhd dimensions."""
+    import struct as s
+
+    if tkhd_ver == 0:
+        tk = bytes([0, 0, 0, 0]) + b"\x00" * 20
+    else:
+        tk = bytes([1, 0, 0, 0]) + b"\x00" * 32
+    tk += b"\x00" * 16 + b"\x00" * 36  # reserved/layer/volume + matrix
+    tk += s.pack(">II", w << 16, h << 16)
+    hd = bytes(4) + bytes(4) + handler + bytes(12)
+    stsz = bytes(4) + s.pack(">II", 0, n_frames)
+    stbl = _box(b"stbl", _box(b"stsz", stsz))
+    mdia = _box(b"mdia", _box(b"hdlr", hd) + _box(b"minf", stbl))
+    trak = _box(b"trak", _box(b"tkhd", tk) + mdia)
+    return (
+        b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00mp41mp42"
+        + _box(b"moov", trak)
+    )
+
+
+def test_parse_media_header_mp4_box_walk():
+    """Real MP4 metadata: tkhd 16.16 dims (both version layouts) and
+    the stsz sample count of the video track; audio-only or moov-less
+    files degrade to zeros."""
+    from filters_spark.pipeline.multimodal import parse_media_header
+
+    assert parse_media_header(_mp4(640, 360, 240)) == (
+        "video", 640, 360, 240,
+    )
+    assert parse_media_header(_mp4(1920, 1080, 9000, tkhd_ver=1)) == (
+        "video", 1920, 1080, 9000,
+    )
+    # soun handler with zero tkhd dims -> no video track -> zeros
+    assert parse_media_header(_mp4(0, 0, 500, handler=b"soun")) == (
+        "video", 0, 0, 0,
+    )
+    # bare ftyp probe (no moov) keeps the legacy zeros contract
+    ftyp = b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00"
+    assert parse_media_header(ftyp) == ("video", 0, 0, 0)
+    # truncated moov: the box walk stops instead of raising
+    trunc = _mp4(640, 360, 240)[:60]
+    mt = parse_media_header(trunc)
+    assert mt is None or mt[0] == "video"
+
+
 def _jpeg_canonical_codes(counts):
     """Independent canonical Huffman code assignment (ITU T.81 annex C)
     used by the tests to EMIT bitstreams — spec-derived, not shared with
