@@ -2682,6 +2682,177 @@ SELECT * FROM (
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (pipeline/timeseries.py): each click event
+    picks up the user's most recent prior-or-simultaneous error event.
+    Union + one window carry-forward — one shuffle, no range join.
+    Right side pre-deduped per (user_id, ts) by max event_id so the tie
+    winner is deterministic on both engines."""
+    from filters_spark.pipeline import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_id"),
+            F.max_by("value", "event_id").alias("err_value"),
+        )
+    )
+    joined = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["err_id", "err_value"],
+        tiebreak="err_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("err_ts_us"),
+        F.col("err_value_right").alias("err_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH errors AS (
+  SELECT user_id, ts,
+         arg_max(value, event_id) AS err_value
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS ts_us,
+       epoch_us(e.ts) AS err_ts_us,
+       e.err_value AS err_value
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup (pipeline/timeseries.py):
+    hour buckets aggregate the raw events once; day and week buckets
+    re-aggregate the hour partials (sum-of-sums), so multi-grain costs
+    one raw shuffle.  Doubles are grid-rounded on both sides."""
+    from filters_spark.pipeline import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(
+        ev,
+        ts_col="ts",
+        keys=["event_type"],
+        value_col="value",
+        grains=("hour", "day", "week"),
+    )
+    return out.select(
+        "grain",
+        F.unix_micros(F.col("bucket_ts").cast("timestamp")).alias("bucket_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.round(F.col("sum_value") * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "sum_value"
+        ),
+        "min_value",
+        "max_value",
+        (
+            F.round(
+                (F.round(F.col("sum_value") * F.lit(1e6), 0) / F.lit(1e6))
+                / F.col("n_events")
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("avg_value"),
+    )
+
+
+SQL_TIME_ROLLUP = """
+WITH hour AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value,
+         min(value) AS min_value, max(value) AS max_value
+  FROM events GROUP BY 1, 2
+), day AS (
+  SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         sum(sum_value) AS sum_value,
+         min(min_value) AS min_value, max(max_value) AS max_value
+  FROM hour GROUP BY 1, 2
+), week AS (
+  SELECT date_trunc('week', bucket_ts) AS bucket_ts, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         sum(sum_value) AS sum_value,
+         min(min_value) AS min_value, max(max_value) AS max_value
+  FROM day GROUP BY 1, 2
+), unioned AS (
+  SELECT 'hour' AS grain, * FROM hour
+  UNION ALL SELECT 'day', * FROM day
+  UNION ALL SELECT 'week', * FROM week
+)
+SELECT grain, epoch_us(bucket_ts) AS bucket_us, event_type, n_events,
+       round(sum_value * 1e6) / 1e6 AS sum_value,
+       min_value, max_value,
+       round(round(sum_value * 1e6) / 1e6 / n_events * 1e6) / 1e6
+         AS avg_value
+FROM unioned
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (pipeline/timeseries.py): 30-minute
+    inactivity gap per user, gaps-and-islands numbering — one shuffle
+    on user_id, no self-join."""
+    from filters_spark.pipeline import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800.0,
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_id",
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > CAST(1800 * 1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT event_id, user_id,
+         CAST(SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT event_id, user_id, session_seq,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR)
+         AS session_id
+FROM numbered
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -2692,6 +2863,9 @@ SELECT * FROM (
 # all 50 of which already have driver-green rows in CORRECTNESS_r02.json.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new-in-r3 and unchecked-in-r2 first (VERDICT r2 item 6) --
+    "asof_join": q_asof_join,
+    "time_rollup": q_time_rollup,
+    "sessionize": q_sessionize,
     "ivf_ann_topk": q_ivf_ann_topk,
     "span_dedup": q_span_dedup,
     "span_clean": q_span_clean,
@@ -2855,6 +3029,9 @@ _ORACLES: dict[str, str] = {
     "repetition_stats": SQL_REPETITION,
     "ngram_overlap": SQL_NGRAM_OVERLAP,
     "redact_pii": SQL_REDACT_PII,
+    "asof_join": SQL_ASOF_JOIN,
+    "time_rollup": SQL_TIME_ROLLUP,
+    "sessionize": SQL_SESSIONIZE,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

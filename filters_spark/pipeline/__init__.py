@@ -64,9 +64,15 @@ from filters_spark.pipeline.multimodal import (
     byte_features,
     decode_media,
 )
+from filters_spark.pipeline.timeseries import (
+    asof_join,
+    sessionize,
+    time_rollup,
+)
 
 __all__ = [
     "MEDIA_META_SCHEMA",
+    "asof_join",
     "attach_media_meta",
     "byte_features",
     "cosine_sim",
@@ -95,6 +101,7 @@ __all__ = [
     "pack_plan",
     "pack_sequences",
     "repetition_stats",
+    "sessionize",
     "shard_column",
     "simhash",
     "simhash_pairs",
@@ -102,6 +109,7 @@ __all__ = [
     "split_column",
     "stratified_sample",
     "temperature_weights",
+    "time_rollup",
     "srp_bucket",
     "srp_topk",
     "token_counts",

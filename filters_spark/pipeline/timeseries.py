@@ -1,0 +1,256 @@
+"""Time-series operators over event streams: as-of join, hierarchical
+time-bucket rollup, sessionization.
+
+These are the "operators Spark lacks" tier (as-of/range joins, hyper-
+table-style continuous aggregates) re-expressed as compositions of
+built-in DataFrame ops — no Python in any path, so every plan stays
+inside whole-stage codegen.
+
+Scale designs (the part that must survive 100 TB):
+
+- :func:`asof_join` — the naive formulation is a range join (per left
+  row, max right ts <= left ts), which Catalyst executes as a
+  broadcast-nested-loop or a sort-merge with an inequality post-filter:
+  O(|L|·|R|) per key on hot keys.  Instead both sides are UNIONED with
+  a side tag and shuffled ONCE on the join key; a single running
+  ``last(right_payload, ignorenulls=True)`` window ordered by
+  ``(ts, side)`` carries the latest right row forward onto each left
+  row.  Cost: one hash shuffle of L+R + one per-key sort — the same
+  shape Pandas' ``merge_asof`` and kdb's ``aj`` use, and it stays
+  skew-safe under AQE because a hot key is still a single sorted run.
+- :func:`time_rollup` — hypertable-style multi-granularity rollup.
+  Only the FINEST grain aggregates the raw table; every coarser grain
+  re-aggregates the previous grain's (already tiny) partials, so the
+  raw-data shuffle happens exactly once no matter how many grains are
+  requested.  Requires re-aggregable stats (count/sum/min/max; mean is
+  derived at the end) — the same restriction continuous aggregates
+  have.
+- :func:`sessionize` — gaps-and-islands: one shuffle on the entity
+  key, ``lag`` + running sum inside the window, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["asof_join", "time_rollup", "sessionize"]
+
+
+def _epoch_seconds(df: DataFrame, col_name: str) -> Column:
+    """Fractional epoch seconds for gap/tolerance arithmetic.
+    TIMESTAMP_NTZ (the parquet default under a UTC session) does not
+    cast to double directly — route it through TIMESTAMP first; numeric
+    time columns pass through."""
+    dt = df.schema[col_name].dataType
+    c = F.col(col_name)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance_seconds: float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward (latest-prior, inclusive) as-of join: every ``left``
+    row gains the most recent ``right`` row with the same key(s) and
+    ``right_ts <= left_ts``, as nullable ``<col><suffix>`` columns.
+
+    ``tolerance_seconds`` drops matches older than the window (like
+    ``pandas.merge_asof(tolerance=...)``).  When two right rows share
+    ``(key, right_ts)``, ``tiebreak`` names a column whose LARGEST
+    value wins deterministically (default: last projected right col).
+
+    Plan shape: union with a side tag → one shuffle on ``on`` → one
+    window sort ``(ts, side, tiebreak)`` → filter back to left rows.
+    No range join, no per-key explosion; hot keys are one sorted run.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    if tiebreak is None:
+        tiebreak = right_cols[-1] if right_cols else right_ts
+
+    payload = F.struct(
+        F.col(right_ts).alias("__asof_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        F.col(tiebreak).cast("double").alias("__tie"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.lit(None).cast("double").alias("__tie"),
+    )
+    # right rows order before left rows at equal ts (inclusive match);
+    # among equal-ts right rows the largest tiebreak lands last, so the
+    # running last() picks it deterministically
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
+                 F.col("__tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(F.col("__payload"), ignorenulls=True).over(w)
+    out = (
+        l.select(*left.columns, "__ts", "__side", "__payload", "__tie")
+        .unionByName(
+            r.select(
+                *[
+                    F.lit(None).cast(left.schema[c].dataType).alias(c)
+                    if c not in keys
+                    else F.col(c)
+                    for c in left.columns
+                ],
+                "__ts",
+                "__side",
+                "__payload",
+                "__tie",
+            )
+        )
+        .withColumn("__match", carried)
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        ts_type = out.schema["__ts"].dataType
+        as_s = (
+            (lambda c: c.cast("timestamp").cast("double"))
+            if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType))
+            else (lambda c: c.cast("double"))
+        )
+        out = out.withColumn(
+            "__match",
+            F.when(
+                as_s(F.col("__match.__asof_ts"))
+                >= as_s(F.col("__ts")) - F.lit(tolerance_seconds),
+                F.col("__match"),
+            ),
+        )
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.col("__match.__asof_ts").alias(right_ts + suffix))
+    proj += [F.col(f"__match.{c}").alias(c + suffix) for c in right_cols]
+    return out.select(*proj)
+
+
+_GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    grains: tuple = ("hour", "day", "week"),
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: for each grain in
+    ``grains``, per-``keys`` buckets of ``count / sum / min / max /
+    mean`` over ``value_col``.
+
+    Output: ``grain, bucket_ts, *keys, n_events, sum_value, min_value,
+    max_value, avg_value``.  Only the finest grain touches the raw
+    table; each coarser grain re-aggregates the previous grain's
+    partials (sum-of-sums, min-of-mins...), so the raw shuffle happens
+    once and the coarse aggregations are near-free — the continuous-
+    aggregate design, not one full groupBy per grain.
+    """
+    keys = list(keys or [])
+    ordered = sorted(grains, key=_GRAIN_ORDER.index)
+    finest = ordered[0]
+    cur = (
+        df.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket_ts"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("sum_value"),
+            F.min(F.col(value_col)).alias("min_value"),
+            F.max(F.col(value_col)).alias("max_value"),
+        )
+    )
+    levels = [cur.withColumn("grain", F.lit(finest))]
+    for grain in ordered[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(grain, F.col("bucket_ts")).alias("bucket_ts"),
+                *[F.col(k) for k in keys],
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        levels.append(cur.withColumn("grain", F.lit(grain)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "grain",
+        "bucket_ts",
+        *keys,
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts whenever the
+    entity's inter-event gap exceeds ``gap_seconds`` (gaps-and-islands
+    — ``lag`` marks session starts, a running sum numbers them).
+
+    Adds ``session_seq`` (0-based per entity) and ``session_id``
+    (``entity || '#' || seq``).  One shuffle on the entity key; ties on
+    ``ts_col`` break by ``order_tiebreak`` (default: the first other
+    column) so numbering is deterministic.
+    """
+    tiebreak = order_tiebreak or next(
+        c for c in df.columns if c not in (entity_col, ts_col)
+    )
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    cur_s = _epoch_seconds(df, ts_col)
+    prev_s = F.lag(cur_s).over(w)
+    is_start = (
+        prev_s.isNull() | (cur_s - prev_s > F.lit(gap_seconds))
+    ).cast("long")
+    seq = (
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    )
+    return df.withColumn("session_seq", seq).withColumn(
+        "session_id",
+        F.concat_ws("#", F.col(entity_col).cast("string"),
+                    F.col("session_seq").cast("string")),
+    )

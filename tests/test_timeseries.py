@@ -1,0 +1,156 @@
+"""Time-series operators: as-of join, hierarchical rollup,
+sessionization (pipeline/timeseries.py).
+
+Semantics are pinned against hand-computed expectations, and the as-of
+join's plan shape is pinned: ONE hash exchange, no range join, no
+broadcast-nested-loop / cartesian product — the property that makes it
+survive 100 TB."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filters_spark.pipeline import asof_join, sessionize, time_rollup
+
+
+def _ts(s):
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),
+            (2, "u1", _ts("2024-01-01 12:00:00")),
+            (3, "u2", _ts("2024-01-01 09:00:00")),
+            (4, "u3", _ts("2024-01-01 09:00:00")),
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:30:00"), 10.0),
+            ("u1", _ts("2024-01-01 11:00:00"), 20.0),
+            ("u2", _ts("2024-01-01 09:00:00"), 30.0),  # same instant
+            ("u2", _ts("2024-01-01 09:30:00"), 40.0),  # after left
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive(frames):
+    left, right = frames
+    out = asof_join(left, right, on="user_id").orderBy("event_id").collect()
+    by_id = {r["event_id"]: r for r in out}
+    assert len(out) == 4
+    # u1@10:00 -> 09:30 row; u1@12:00 -> 11:00 row
+    assert by_id[1]["price_right"] == 10.0
+    assert by_id[2]["price_right"] == 20.0
+    # equal timestamps match (inclusive backward)
+    assert by_id[3]["price_right"] == 30.0
+    assert by_id[3]["ts_right"] == _ts("2024-01-01 09:00:00")
+    # no right rows for u3 -> nulls, left row preserved
+    assert by_id[4]["price_right"] is None
+    assert by_id[4]["ts_right"] is None
+
+
+def test_asof_join_tolerance_and_tiebreak(spark, frames):
+    left, right = frames
+    # 10:00 left vs 09:30 right = 1800s gap; tolerance 900s drops it
+    out = asof_join(
+        left, right, on="user_id", tolerance_seconds=900.0
+    ).collect()
+    by_id = {r["event_id"]: r for r in out}
+    assert by_id[1]["price_right"] is None  # too old
+    assert by_id[3]["price_right"] == 30.0  # 0s gap survives
+
+    # two right rows at the SAME (key, ts): largest tiebreak wins
+    dup = spark.createDataFrame(
+        [
+            ("u9", _ts("2024-01-01 08:00:00"), 1.0),
+            ("u9", _ts("2024-01-01 08:00:00"), 5.0),
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    l9 = spark.createDataFrame(
+        [(1, "u9", _ts("2024-01-01 09:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    r = asof_join(l9, dup, on="user_id", tiebreak="price").collect()[0]
+    assert r["price_right"] == 5.0
+
+
+def test_asof_join_plan_single_exchange_no_range_join(frames):
+    left, right = frames
+    plan = asof_join(left, right, on="user_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
+        assert bad not in plan
+
+
+def test_time_rollup_hierarchy(spark):
+    ev = spark.createDataFrame(
+        [
+            # two hours of one day (a Wednesday), one event next Monday
+            (_ts("2024-01-03 10:15:00"), "click", 2.0),
+            (_ts("2024-01-03 10:45:00"), "click", 4.0),
+            (_ts("2024-01-03 11:05:00"), "click", 6.0),
+            (_ts("2024-01-08 00:00:01"), "click", 8.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    out = time_rollup(
+        ev, keys=["event_type"], grains=("hour", "day", "week")
+    ).collect()
+    rows = {
+        (r["grain"], str(r["bucket_ts"])): r for r in out
+    }
+    h10 = rows[("hour", "2024-01-03 10:00:00")]
+    assert (h10["n_events"], h10["sum_value"]) == (2, 6.0)
+    assert (h10["min_value"], h10["max_value"]) == (2.0, 4.0)
+    d3 = rows[("day", "2024-01-03 00:00:00")]
+    assert (d3["n_events"], d3["sum_value"], d3["avg_value"]) == (3, 12.0, 4.0)
+    # ISO weeks start Monday: Jan 3 rolls to Jan 1, Jan 8 starts its own
+    w1 = rows[("week", "2024-01-01 00:00:00")]
+    assert (w1["n_events"], w1["sum_value"]) == (3, 12.0)
+    w2 = rows[("week", "2024-01-08 00:00:00")]
+    assert (w2["n_events"], w2["sum_value"]) == (1, 8.0)
+    # 3 grains but only the finest touches the raw table: the executed
+    # plan re-aggregates partials instead of rescanning
+    plan = time_rollup(
+        ev, keys=["event_type"], grains=("hour", "day", "week")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1 or plan.count("Relation") <= 1
+
+
+def test_sessionize_gap_islands(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:00:00")),
+            (2, 7, _ts("2024-01-01 10:20:00")),  # 1200s -> same session
+            (3, 7, _ts("2024-01-01 11:00:00")),  # 2400s -> new session
+            (4, 8, _ts("2024-01-01 10:00:00")),  # other user independent
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = sessionize(ev, gap_seconds=1800.0, order_tiebreak="event_id")
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["session_seq"] == 0 and rows[2]["session_seq"] == 0
+    assert rows[3]["session_seq"] == 1
+    assert rows[4]["session_seq"] == 0
+    assert rows[3]["session_id"] == "7#1"
+    # exactly-at-gap boundary stays in the SAME session (strict >)
+    ev2 = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:00:00")),
+            (2, 7, _ts("2024-01-01 10:30:00")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    r2 = sessionize(ev2, gap_seconds=1800.0, order_tiebreak="event_id")
+    assert {r["session_seq"] for r in r2.collect()} == {0}
