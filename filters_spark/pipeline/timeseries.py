@@ -60,12 +60,25 @@ def asof_join(
     suffix: str = "_right",
     tolerance_seconds: float | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (latest-prior, inclusive) as-of join: every ``left``
-    row gains the most recent ``right`` row with the same key(s) and
-    ``right_ts <= left_ts``, as nullable ``<col><suffix>`` columns.
+    """As-of join with ``pandas.merge_asof`` direction semantics: every
+    ``left`` row gains the matching ``right`` row with the same key(s),
+    as nullable ``<col><suffix>`` columns.
 
-    ``tolerance_seconds`` drops matches older than the window (like
+    - ``backward`` (default): most recent right row with
+      ``right_ts <= left_ts`` (inclusive).
+    - ``forward``: earliest right row with ``right_ts >= left_ts``
+      (inclusive; same algorithm on the reversed time order).
+    - ``nearest``: whichever of the two is closer in time; the backward
+      candidate wins exact-distance ties.  Still ONE shuffle and ONE
+      sort — backward comes from a running ``last`` over the preceding
+      frame, forward from a ``first`` over the following frame of the
+      same sorted run (an equal-ts right row sorts before the left row,
+      so the forward frame misses it — harmless, since backward matches
+      it at distance zero and wins the tie).
+
+    ``tolerance_seconds`` drops matches farther than the window (like
     ``pandas.merge_asof(tolerance=...)``).  When two right rows share
     ``(key, right_ts)``, ``tiebreak`` names a column whose LARGEST
     value wins deterministically (default: last projected right col).
@@ -74,6 +87,11 @@ def asof_join(
     window sort ``(ts, side, tiebreak)`` → filter back to left rows.
     No range join, no per-key explosion; hot keys are one sorted run.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest', got "
+            f"{direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [
@@ -102,45 +120,75 @@ def asof_join(
     )
     # right rows order before left rows at equal ts (inclusive match);
     # among equal-ts right rows the largest tiebreak lands last, so the
-    # running last() picks it deterministically
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
-                 F.col("__tie").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # running last() picks it deterministically.  forward = the same
+    # algorithm on reversed time order.
+    ts_dir = (
+        F.col("__ts").desc() if direction == "forward"
+        else F.col("__ts").asc()
     )
+    base = Window.partitionBy(*keys).orderBy(
+        ts_dir, F.col("__side").asc(), F.col("__tie").asc_nulls_last()
+    )
+    w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = F.last(F.col("__payload"), ignorenulls=True).over(w)
-    out = (
-        l.select(*left.columns, "__ts", "__side", "__payload", "__tie")
-        .unionByName(
-            r.select(
-                *[
-                    F.lit(None).cast(left.schema[c].dataType).alias(c)
-                    if c not in keys
-                    else F.col(c)
-                    for c in left.columns
-                ],
-                "__ts",
-                "__side",
-                "__payload",
-                "__tie",
+    unioned = l.select(
+        *left.columns, "__ts", "__side", "__payload", "__tie"
+    ).unionByName(
+        r.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c not in keys
+                else F.col(c)
+                for c in left.columns
+            ],
+            "__ts",
+            "__side",
+            "__payload",
+            "__tie",
+        )
+    )
+    ts_type = unioned.schema["__ts"].dataType
+    as_s = (
+        (lambda c: c.cast("timestamp").cast("double"))
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType))
+        else (lambda c: c.cast("double"))
+    )
+    if direction == "nearest":
+        # same sorted run, second frame: earliest right row after the
+        # current left row (equal-ts rights sort earlier and are
+        # covered by the backward frame at distance zero)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fwd = F.first(F.col("__payload"), ignorenulls=True).over(wf)
+        gap_b = F.abs(
+            as_s(F.col("__back.__asof_ts")) - as_s(F.col("__ts"))
+        )
+        gap_f = F.abs(
+            as_s(F.col("__fwd.__asof_ts")) - as_s(F.col("__ts"))
+        )
+        out = (
+            unioned.withColumn("__back", carried)
+            .withColumn("__fwd", fwd)
+            .filter(F.col("__side") == 1)
+            .withColumn(
+                "__match",
+                F.when(F.col("__fwd").isNull(), F.col("__back")).when(
+                    F.col("__back").isNull(), F.col("__fwd")
+                ).when(gap_b <= gap_f, F.col("__back"))
+                .otherwise(F.col("__fwd")),
             )
         )
-        .withColumn("__match", carried)
-        .filter(F.col("__side") == 1)
-    )
-    if tolerance_seconds is not None:
-        ts_type = out.schema["__ts"].dataType
-        as_s = (
-            (lambda c: c.cast("timestamp").cast("double"))
-            if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType))
-            else (lambda c: c.cast("double"))
+    else:
+        out = unioned.withColumn("__match", carried).filter(
+            F.col("__side") == 1
         )
+    if tolerance_seconds is not None:
         out = out.withColumn(
             "__match",
             F.when(
-                as_s(F.col("__match.__asof_ts"))
-                >= as_s(F.col("__ts")) - F.lit(tolerance_seconds),
+                F.abs(
+                    as_s(F.col("__match.__asof_ts")) - as_s(F.col("__ts"))
+                )
+                <= F.lit(tolerance_seconds),
                 F.col("__match"),
             ),
         )

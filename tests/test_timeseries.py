@@ -84,6 +84,57 @@ def test_asof_join_tolerance_and_tiebreak(spark, frames):
     assert r["price_right"] == 5.0
 
 
+def test_asof_join_forward_and_nearest(spark, frames):
+    left, right = frames
+    fwd = asof_join(left, right, on="user_id", direction="forward")
+    by_id = {r["event_id"]: r for r in fwd.collect()}
+    # u1@10:00 -> next right at 11:00; u1@12:00 -> nothing after
+    assert by_id[1]["price_right"] == 20.0
+    assert by_id[2]["price_right"] is None
+    # equal ts matches inclusively in forward mode too
+    assert by_id[3]["price_right"] == 30.0
+
+    near = asof_join(left, right, on="user_id", direction="nearest")
+    by_id = {r["event_id"]: r for r in near.collect()}
+    # u1@10:00: backward 09:30 (1800s) vs forward 11:00 (3600s)
+    assert by_id[1]["price_right"] == 10.0
+    # u1@12:00: only backward exists
+    assert by_id[2]["price_right"] == 20.0
+    # u2@09:00: exact-tie distance zero -> backward candidate
+    assert by_id[3]["price_right"] == 30.0
+    assert by_id[4]["price_right"] is None
+
+    # nearest at a genuine tie: 10:00 left, rights at 09:00 and 11:00
+    lt = spark.createDataFrame(
+        [(1, "u5", _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    rt = spark.createDataFrame(
+        [
+            ("u5", _ts("2024-01-01 09:00:00"), 1.0),
+            ("u5", _ts("2024-01-01 11:00:00"), 2.0),
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    r = asof_join(lt, rt, on="user_id", direction="nearest").collect()[0]
+    assert r["price_right"] == 1.0  # backward wins exact ties
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", direction="sideways")
+
+
+def test_asof_join_nearest_plan_still_single_exchange(frames):
+    left, right = frames
+    plan = asof_join(
+        left, right, on="user_id", direction="nearest"
+    )._jdf.queryExecution().executedPlan().toString()
+    # both frames ride the same partition/order spec: one shuffle+sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1 or plan.count("hashpartitioning") == 1
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
+        assert bad not in plan
+
+
 def test_asof_join_plan_single_exchange_no_range_join(frames):
     left, right = frames
     plan = asof_join(left, right, on="user_id")._jdf.queryExecution(
