@@ -9,6 +9,9 @@ engine additions for validating transcript *streams*:
   violation-code counts for monitoring sinks.
 - :func:`stream_dedup` — bounded-state streaming exact dedup
   (``dropDuplicatesWithinWatermark``).
+- :func:`stream_sessionize` — session-window aggregation with state
+  eviction at the watermark (the streaming analogue of the batch
+  ``pipeline.sessionize``).
 - :func:`conversation_monitor` — custom stateful operator
   (``applyInPandasWithState``) tracking per-conversation turn progress
   across micro-batches: duplicate / out-of-order / gap detection with
@@ -18,6 +21,7 @@ engine additions for validating transcript *streams*:
 from filters_spark.streaming.validation import (
     conversation_monitor,
     stream_dedup,
+    stream_sessionize,
     validate_stream,
     windowed_violation_counts,
 )
@@ -25,6 +29,7 @@ from filters_spark.streaming.validation import (
 __all__ = [
     "conversation_monitor",
     "stream_dedup",
+    "stream_sessionize",
     "validate_stream",
     "windowed_violation_counts",
 ]

@@ -100,6 +100,44 @@ def stream_dedup(
     )
 
 
+def stream_sessionize(
+    stream_df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming session aggregation — the unbounded-stream analogue of
+    the batch ``pipeline.sessionize`` gaps-and-islands pass.
+
+    Uses the built-in ``session_window`` (dynamic-gap merging inside
+    the streaming state store): a session closes once event time passes
+    its last event + ``gap``, the watermark finalises and EVICTS the
+    window state, so memory is O(active sessions), not O(history).
+    Output (append mode, one row per closed session):
+    ``(entity, session_start, session_end, n_events[, sum_value])``.
+    """
+    agg = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        agg.append(F.sum(F.col(value_col)).alias("sum_value"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(entity_col),
+        )
+        .agg(*agg)
+        .select(
+            F.col(entity_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
 #: output schema of conversation_monitor
 MONITOR_SCHEMA = T.StructType(
     [

@@ -140,6 +140,34 @@ def test_stream_dedup_bounded_state(spark, stream_input):
     assert set(keys) == {("c1", 0), ("c1", 1), ("c1", 3), ("c2", 0), ("c2", 1)}
 
 
+def test_stream_sessionize_session_windows(spark, stream_input):
+    """session_window aggregation: a wide gap merges each entity's
+    burst into one session; a tight gap splits every event out."""
+    from filters_spark.streaming import stream_sessionize
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    wide = stream_sessionize(
+        stream, entity_col="conv_id", ts_col="ts", gap="1 minute"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    got = _run_stream(spark, wide, name, mode="complete").collect()
+    by = {r["conv_id"]: r for r in got}
+    assert len(got) == 2  # one merged session per conversation
+    assert by["c1"]["n_events"] == 4
+    assert by["c2"]["n_events"] == 3
+    # session extends gap past the last event
+    assert (by["c1"]["session_end"] - by["c1"]["session_start"]).seconds == 90
+
+    stream2 = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    tight = stream_sessionize(
+        stream2, entity_col="conv_id", ts_col="ts", gap="5 seconds"
+    )
+    name2 = "t_" + uuid.uuid4().hex[:8]
+    got2 = _run_stream(spark, tight, name2, mode="complete").collect()
+    assert len(got2) == len(ROWS)  # every event its own session
+    assert all(r["n_events"] == 1 for r in got2)
+
+
 def test_sampling_ops_work_on_streams(spark, stream_input):
     """deterministic_sample / split_assign are stateless row-local
     expressions, so they run unchanged under Structured Streaming and
