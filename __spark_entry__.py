@@ -2739,6 +2739,51 @@ ASOF LEFT JOIN errors e
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketed range join (pipeline/timeseries.py): every click inside
+    the 10-minute window after an error by the same user.  Time-bucket
+    explode + hash equi-join + containment filter — never a
+    broadcast-nested-loop.  Micros (BIGINT) keep both engines exact."""
+    from filters_spark.pipeline import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    win = F.lit(600 * 1_000_000)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        us.alias("start_us"),
+        (us + win).alias("end_us"),
+    )
+    out = interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        point_ts="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        interval_cols=["err_id"],
+        bucket_width=600 * 1e6,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("err_id_i").alias("err_id")
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       e.event_id AS err_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) >= epoch_us(e.ts)
+ AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style hierarchical rollup (pipeline/timeseries.py):
     hour buckets aggregate the raw events once; day and week buckets
@@ -2864,6 +2909,7 @@ FROM numbered
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new-in-r3 and unchecked-in-r2 first (VERDICT r2 item 6) --
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "time_rollup": q_time_rollup,
     "sessionize": q_sessionize,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -3030,6 +3076,7 @@ _ORACLES: dict[str, str] = {
     "ngram_overlap": SQL_NGRAM_OVERLAP,
     "redact_pii": SQL_REDACT_PII,
     "asof_join": SQL_ASOF_JOIN,
+    "interval_join": SQL_INTERVAL_JOIN,
     "time_rollup": SQL_TIME_ROLLUP,
     "sessionize": SQL_SESSIONIZE,
 }

@@ -66,6 +66,7 @@ from filters_spark.pipeline.multimodal import (
 )
 from filters_spark.pipeline.timeseries import (
     asof_join,
+    interval_join,
     sessionize,
     time_rollup,
 )
@@ -85,6 +86,7 @@ __all__ = [
     "embedding_near_dups",
     "exact_dedup",
     "fingerprint",
+    "interval_join",
     "jaccard_pairs",
     "lang_id",
     "minhash_lsh_pairs",

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join", "time_rollup", "sessionize"]
+__all__ = ["asof_join", "interval_join", "time_rollup", "sessionize"]
 
 
 def _epoch_seconds(df: DataFrame, col_name: str) -> Column:
@@ -196,6 +196,100 @@ def asof_join(
     proj.append(F.col("__match.__asof_ts").alias(right_ts + suffix))
     proj += [F.col(f"__match.{c}").alias(c + suffix) for c in right_cols]
     return out.select(*proj)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    interval_cols: list[str] | None = None,
+    suffix: str = "_i",
+    bucket_width: float = 3600.0,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Range join without the range-join plan: every ``points`` row is
+    paired with every ``intervals`` row of the same key(s) whose
+    half-open window ``[start, end)`` contains ``point_ts``.
+
+    Catalyst executes a raw inequality join as a broadcast-nested-loop
+    (O(|P|·|I|) per key) — the classic 100 TB killer.  Instead both
+    sides are BUCKETED on time: each interval explodes to the fixed-
+    width buckets it covers (``sequence`` — ~length/width rows), each
+    point maps to exactly ONE bucket, and the pairing becomes a hash
+    equi-join on ``(keys..., bucket)`` plus a cheap containment
+    post-filter.  A (point, interval) pair can only meet in the point's
+    single bucket, so no dedup pass is needed.  ``bucket_width`` (in
+    the time unit: seconds for timestamps, column units for numerics)
+    trades interval fan-out against bucket population;
+    ``max_buckets_per_interval`` fails LOUDLY (``assert_true``) on an
+    interval that would fan out pathologically instead of silently
+    materialising it.
+
+    Output: all ``points`` columns + ``interval_cols`` (default: the
+    interval frame's non-key extra columns) suffixed with ``suffix``.
+    Non-matching points are dropped (inner-join semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if interval_cols is None:
+        interval_cols = [
+            c
+            for c in intervals.columns
+            if c not in keys and c not in (start_col, end_col)
+        ]
+    w = float(bucket_width)
+    p_s = _epoch_seconds(points, point_ts)
+    i_start = _epoch_seconds(intervals, start_col)
+    i_end = _epoch_seconds(intervals, end_col)
+
+    span_buckets = (
+        F.floor(i_end / F.lit(w)) - F.floor(i_start / F.lit(w)) + 1
+    )
+    # the guard lives INSIDE the bucket expression so column pruning
+    # can never drop it: a pathological interval fails the job loudly
+    # instead of silently materialising millions of bucket rows
+    guarded_seq = F.when(
+        span_buckets <= F.lit(max_buckets_per_interval),
+        F.sequence(
+            F.floor(i_start / F.lit(w)).cast("long"),
+            F.floor(i_end / F.lit(w)).cast("long"),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "interval_join: an interval spans more than "
+                f"{max_buckets_per_interval} buckets; raise "
+                "bucket_width or max_buckets_per_interval"
+            )
+        )
+    )
+    iv = (
+        intervals.filter(i_end > i_start)
+        .withColumn("__bucket", F.explode(guarded_seq))
+        .select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            "__bucket",
+            i_start.alias("__start_s"),
+            i_end.alias("__end_s"),
+            *[F.col(c).alias(c + suffix) for c in interval_cols],
+        )
+    )
+    pt = points.withColumn(
+        "__bucket", F.floor(p_s / F.lit(w)).cast("long")
+    ).withColumn("__p_s", p_s)
+    cond = [pt["__bucket"] == iv["__bucket"]] + [
+        pt[k] == iv[f"__k_{k}"] for k in keys
+    ]
+    joined = pt.join(iv, cond, "inner").filter(
+        (F.col("__p_s") >= F.col("__start_s"))
+        & (F.col("__p_s") < F.col("__end_s"))
+    )
+    return joined.select(
+        *[pt[c] for c in points.columns],
+        *[F.col(c + suffix) for c in interval_cols],
+    )
 
 
 _GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")

@@ -12,7 +12,12 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from filters_spark.pipeline import asof_join, sessionize, time_rollup
+from filters_spark.pipeline import (
+    asof_join,
+    interval_join,
+    sessionize,
+    time_rollup,
+)
 
 
 def _ts(s):
@@ -142,6 +147,68 @@ def test_asof_join_plan_single_exchange_no_range_join(frames):
     assert plan.count("Exchange hashpartitioning") == 1
     for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_interval_join_bucketed_containment(spark):
+    """Half-open [start, end) containment via the bucketed equi-join:
+    boundary inclusion/exclusion, intervals crossing bucket boundaries,
+    multiple overlapping intervals, and no pair duplication."""
+    points = spark.createDataFrame(
+        [
+            (1, "u1", 100.0),
+            (2, "u1", 150.0),  # == start of iv B: included
+            (3, "u1", 200.0),  # == end of iv A: excluded from A
+            (4, "u1", 5000.0),  # bucket far away
+            (5, "u2", 100.0),  # other key
+        ],
+        "event_id long, user_id string, ts double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", 50.0, 200.0, "A"),  # crosses bucket boundary at 128
+            ("u1", 150.0, 260.0, "B"),  # overlaps A
+            ("u2", 90.0, 110.0, "C"),
+        ],
+        "user_id string, start double, end double, tag string",
+    )
+    got = interval_join(
+        points,
+        intervals,
+        on="user_id",
+        point_ts="ts",
+        bucket_width=128.0,
+    )
+    pairs = sorted(
+        (r["event_id"], r["tag_i"]) for r in got.collect()
+    )
+    assert pairs == [
+        (1, "A"),
+        (2, "A"),
+        (2, "B"),
+        (3, "B"),
+        (5, "C"),
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan
+
+    # pathological interval fan-out fails loudly, not silently
+    wide = spark.createDataFrame(
+        [("u1", 0.0, 1e9, "W")],
+        "user_id string, start double, end double, tag string",
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        interval_join(
+            points,
+            wide,
+            on="user_id",
+            bucket_width=1.0,
+            max_buckets_per_interval=1000,
+        ).collect()
+    assert "interval_join" in str(ei.value)
 
 
 def test_time_rollup_hierarchy(spark):
