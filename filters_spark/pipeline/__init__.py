@@ -63,6 +63,7 @@ from filters_spark.pipeline.multimodal import (
     attach_media_meta,
     byte_features,
     decode_media,
+    resize_media,
 )
 from filters_spark.pipeline.timeseries import (
     asof_join,
@@ -103,6 +104,7 @@ __all__ = [
     "pack_plan",
     "pack_sequences",
     "repetition_stats",
+    "resize_media",
     "sessionize",
     "shard_column",
     "simhash",

@@ -883,6 +883,56 @@ def test_decode_media_full_jpeg_real_pixels(spark):
     assert abs(r["feature"][1] - 0.0) < 1e-12
 
 
+def test_resize_media_nearest_neighbour(spark):
+    """resize_media: real decode + hand-checked nearest-neighbour
+    sampling.  A 2x2 RGB PNG upsampled to 4x4 replicates each source
+    pixel into a 2x2 block; downsampling a 4x1 gradient picks the
+    center-mapped columns; undecodable payloads drop out."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline import resize_media
+
+    # 2x2 RGB: distinct corner colors, filter 0 rows
+    px = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (9, 9, 9)],
+    ]
+    rows = [(0, [c for p in row for c in p]) for row in px]
+    png = _full_png(2, 2, 2, rows)
+    # 4x1 grayscale gradient
+    grad = _full_png(4, 1, 0, [(0, [10, 20, 30, 40])])
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, png), (2, grad), (3, b"not an image")], schema
+    )
+    got = {r["id"]: r for r in resize_media(df, 4, 4).collect()}
+    assert set(got) == {1, 2}  # undecodable id=3 dropped
+
+    r1 = got[1]
+    assert (r1["src_width"], r1["src_height"]) == (2, 2)
+    a = np.frombuffer(bytes(r1["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    # each source pixel becomes a 2x2 block
+    for y in range(4):
+        for x in range(4):
+            assert tuple(a[y, x]) == px[y // 2][x // 2]
+
+    r2 = got[2]
+    a2 = np.frombuffer(bytes(r2["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    # source is 4x1: rows all map to y=0; columns map 1:1; grey -> RGB
+    for y in range(4):
+        assert [a2[y, x, 0] for x in range(4)] == [10, 20, 30, 40]
+        assert (a2[y, :, 0] == a2[y, :, 1]).all()
+
+    with pytest.raises(ValueError):
+        resize_media(df, 0, 4)
+
+
 def _wav_pcm16(channels, rate, samples):
     """Complete PCM16 WAV with explicit interleaved int16 samples."""
     import struct as s
