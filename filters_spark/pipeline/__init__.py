@@ -64,6 +64,7 @@ from filters_spark.pipeline.multimodal import (
     byte_features,
     decode_media,
     resize_media,
+    sample_frames,
 )
 from filters_spark.pipeline.timeseries import (
     asof_join,
@@ -97,6 +98,7 @@ __all__ = [
     "redact_pii",
     "release",
     "remove_repeated_spans",
+    "sample_frames",
     "repeated_spans",
     "ivf_assign",
     "ivf_centroids",

@@ -49,6 +49,7 @@ __all__ = [
     "decode_wav_samples",
     "decode_media",
     "resize_media",
+    "sample_frames",
     "byte_features",
 ]
 
@@ -194,6 +195,102 @@ def _mp4_boxes(p: bytes, start: int, end: int):
             return  # corrupt/truncated: stop the walk
         yield btype, body, i + size
         i += size
+
+
+def _mp4_sample_table(p: bytes):
+    """REAL ISO-BMFF sample-table walk for the first video track: parse
+    ``stsz`` (per-sample sizes), ``stsc`` (sample→chunk runs) and
+    ``stco``/``co64`` (chunk offsets) and resolve every sample to its
+    absolute ``(offset, size)`` byte range in the file (ISO 14496-12
+    §8.7).  Returns a list of ``(offset, size)`` per sample, or ``None``
+    when any table is missing/corrupt.  This is the demuxer's addressing
+    half — frame BYTES come out for real; only codec decode is out of
+    scope here."""
+    best = None
+
+    def walk_trak(b0: int, b1: int):
+        nonlocal best
+        handler = b""
+        sizes = None
+        stsc = None
+        offsets = None
+        stack = [(b0, b1)]
+        while stack:
+            s0, s1 = stack.pop()
+            for btype, c0, c1 in _mp4_boxes(p, s0, s1):
+                if btype in _MP4_CONTAINERS:
+                    stack.append((c0, c1))
+                elif btype == b"hdlr" and c1 - c0 >= 12:
+                    handler = p[c0 + 8 : c0 + 12]
+                elif btype == b"stsz" and c1 - c0 >= 12:
+                    fixed, count = struct.unpack(
+                        ">II", p[c0 + 4 : c0 + 12]
+                    )
+                    if fixed:
+                        sizes = [fixed] * count
+                    else:
+                        if c1 - c0 < 12 + 4 * count:
+                            return
+                        sizes = list(
+                            struct.unpack(
+                                f">{count}I", p[c0 + 12 : c0 + 12 + 4 * count]
+                            )
+                        )
+                elif btype == b"stsc" and c1 - c0 >= 8:
+                    (n,) = struct.unpack(">I", p[c0 + 4 : c0 + 8])
+                    if c1 - c0 < 8 + 12 * n:
+                        return
+                    stsc = [
+                        struct.unpack(
+                            ">III", p[c0 + 8 + 12 * i : c0 + 20 + 12 * i]
+                        )
+                        for i in range(n)
+                    ]
+                elif btype in (b"stco", b"co64") and c1 - c0 >= 8:
+                    (n,) = struct.unpack(">I", p[c0 + 4 : c0 + 8])
+                    width = 4 if btype == b"stco" else 8
+                    if c1 - c0 < 8 + width * n:
+                        return
+                    fmt = ">" + ("I" if width == 4 else "Q") * n
+                    offsets = list(
+                        struct.unpack(
+                            fmt, p[c0 + 8 : c0 + 8 + width * n]
+                        )
+                    )
+        if sizes is None or stsc is None or offsets is None or not stsc:
+            return
+        # expand stsc runs: entry (first_chunk, samples_per_chunk, _)
+        # applies through the next entry's first_chunk - 1
+        table = []
+        sample = 0
+        n_chunks = len(offsets)
+        for i, (first, per, _desc) in enumerate(stsc):
+            last = (
+                stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+            )
+            for chunk in range(first, last + 1):
+                if chunk > n_chunks:
+                    break
+                off = offsets[chunk - 1]
+                for _ in range(per):
+                    if sample >= len(sizes):
+                        break
+                    table.append((off, sizes[sample]))
+                    off += sizes[sample]
+                    sample += 1
+        if sample < len(sizes):
+            return  # tables disagree: refuse rather than mis-slice
+        if handler == b"vide" or best is None:
+            best = (handler, table)
+
+    for btype, b0, b1 in _mp4_boxes(p, 0, len(p)):
+        if btype == b"moov":
+            for ctype, c0, c1 in _mp4_boxes(p, b0, b1):
+                if ctype == b"trak":
+                    walk_trak(c0, c1)
+    if best is None:
+        return None
+    return best[1]
 
 
 def _mp4_video_meta(p: bytes) -> tuple[int, int, int]:
@@ -926,6 +1023,73 @@ def decode_media(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+#: sample_frames output schema
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    k: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "id",
+) -> DataFrame:
+    """Uniformly sample up to ``k`` frames per MP4/MOV payload and
+    extract their REAL encoded bytes — a pure-stdlib demux via the
+    ISO-BMFF sample tables (``stsz`` sizes, ``stsc`` sample→chunk runs,
+    ``stco``/``co64`` chunk offsets), no ffmpeg.
+
+    Frame ``i`` of ``k`` picks sample ``floor(i * n / k)`` (first frame
+    always included).  Output rows: ``(id, frame_idx, n_frames, offset,
+    size, frame_bytes)`` where ``frame_bytes`` is the sample's byte
+    range sliced from the payload — the codec bitstream (e.g. H.264
+    AUs), ready for a decoder UDF downstream; decoding those bytes to
+    pixels is the ONLY stubbed step in this container.  Payloads
+    without a resolvable sample table (bare ftyp probes, fragmented
+    MP4) produce no rows.
+
+    Scale notes: same shape as :func:`decode_media` — one Arrow batch
+    in/out, work proportional to bytes actually sliced; per-payload
+    table walk is O(samples) integer arithmetic.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if len(payload) < 12 or payload[4:8] != b"ftyp":
+                    continue
+                table = _mp4_sample_table(payload)
+                if not table:
+                    continue
+                n = len(table)
+                picks = sorted({i * n // k for i in range(min(k, n))})
+                for fi in picks:
+                    off, size = table[fi]
+                    body = payload[off : off + size]
+                    if len(body) < size:
+                        continue  # truncated payload: skip that frame
+                    rows.append((int(rid), fi, n, off, size, body))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
 
 
 #: resize_media output schema

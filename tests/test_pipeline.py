@@ -883,6 +883,92 @@ def test_decode_media_full_jpeg_real_pixels(spark):
     assert abs(r["feature"][1] - 0.0) < 1e-12
 
 
+def _mp4_with_samples(sizes, chunks, stco, mdat_body, fixed=0):
+    """ISO-BMFF file with a REAL sample table: ftyp + mdat(body) + moov
+    (trak(tkhd + hdlr'vide' + stbl(stsz/stsc/stco))).  ``chunks`` is
+    the stsc entry list [(first_chunk, samples_per_chunk, desc)]."""
+    import struct as s
+
+    ftyp = b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00mp41mp42"
+    mdat = s.pack(">I", len(mdat_body) + 8) + b"mdat" + mdat_body
+    stsz = bytes(4) + s.pack(">II", fixed, len(sizes))
+    if not fixed:
+        stsz += b"".join(s.pack(">I", z) for z in sizes)
+    stsc = bytes(4) + s.pack(">I", len(chunks))
+    for e in chunks:
+        stsc += s.pack(">III", *e)
+    stco_b = bytes(4) + s.pack(">I", len(stco))
+    stco_b += b"".join(s.pack(">I", o) for o in stco)
+    tk = bytes([0, 0, 0, 0]) + b"\x00" * 20 + b"\x00" * 52
+    tk += s.pack(">II", 64 << 16, 48 << 16)
+    hd = bytes(4) + bytes(4) + b"vide" + bytes(12)
+    stbl = _box(
+        b"stbl",
+        _box(b"stsz", stsz) + _box(b"stsc", stsc) + _box(b"stco", stco_b),
+    )
+    mdia = _box(b"mdia", _box(b"hdlr", hd) + _box(b"minf", stbl))
+    trak = _box(b"trak", _box(b"tkhd", tk) + mdia)
+    return ftyp + mdat + _box(b"moov", trak)
+
+
+def test_sample_frames_real_mp4_demux(spark):
+    """sample_frames slices REAL frame bytes via the stsz/stsc/stco
+    tables: multi-chunk layout, uniform picks, fixed-size stsz, and
+    refusal on moov-less payloads."""
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline import sample_frames
+
+    # chunk1 @32: 'abc','defg'; chunk2 @39: 'hijkl','mn'
+    mp4 = _mp4_with_samples(
+        sizes=[3, 4, 5, 2],
+        chunks=[(1, 2, 1)],
+        stco=[32, 39],
+        mdat_body=b"abcdefghijklmn",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    bare = b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00"
+    df = spark.createDataFrame([(1, mp4), (2, bare)], schema)
+
+    rows = sorted(
+        sample_frames(df, k=4).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["id"] for r in rows] == [1, 1, 1, 1]  # bare ftyp: no rows
+    assert [bytes(r["frame_bytes"]) for r in rows] == [
+        b"abc", b"defg", b"hijkl", b"mn",
+    ]
+    assert [r["offset"] for r in rows] == [32, 35, 39, 44]
+    assert all(r["n_frames"] == 4 for r in rows)
+
+    # k=2 over 4 samples picks indices 0 and 2
+    got2 = sorted(
+        r["frame_idx"] for r in sample_frames(df, k=2).collect()
+    )
+    assert got2 == [0, 2]
+
+    # fixed-size stsz path: two 5-byte samples in one chunk at 32
+    mp4f = _mp4_with_samples(
+        sizes=[5, 5],
+        chunks=[(1, 2, 1)],
+        stco=[32],
+        mdat_body=b"AAAAABBBBB",
+        fixed=5,
+    )
+    dff = spark.createDataFrame([(9, mp4f)], schema)
+    rf = sorted(
+        sample_frames(dff, k=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [bytes(r["frame_bytes"]) for r in rf] == [b"AAAAA", b"BBBBB"]
+
+    with pytest.raises(ValueError):
+        sample_frames(df, k=0)
+
+
 def test_resize_media_nearest_neighbour(spark):
     """resize_media: real decode + hand-checked nearest-neighbour
     sampling.  A 2x2 RGB PNG upsampled to 4x4 replicates each source
