@@ -66,6 +66,11 @@ from filters_spark.pipeline.multimodal import (
     resize_media,
     sample_frames,
 )
+from filters_spark.pipeline.tokenize import (
+    bpe_encode,
+    bpe_train,
+    word_freqs,
+)
 from filters_spark.pipeline.timeseries import (
     asof_join,
     interval_join,
@@ -77,6 +82,8 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "asof_join",
     "attach_media_meta",
+    "bpe_encode",
+    "bpe_train",
     "byte_features",
     "cosine_sim",
     "cosine_topk",
@@ -116,6 +123,7 @@ __all__ = [
     "stratified_sample",
     "temperature_weights",
     "time_rollup",
+    "word_freqs",
     "srp_bucket",
     "srp_topk",
     "token_counts",
