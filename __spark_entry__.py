@@ -2739,6 +2739,57 @@ ASOF LEFT JOIN errors e
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (pipeline/textstats.py): one term
+    frequency relation feeds both the doc-frequency agg and the scoring
+    join; n_docs enters as a broadcast 1-row cross join (no action).
+    Scores grid-rounded for cross-engine libm-ln comparison."""
+    from filters_spark.pipeline import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        (F.round(F.col("score") * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "score"
+        ),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_TFIDF = """
+WITH terms AS (
+  SELECT doc_id AS id, t.term
+  FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE length(t.term) >= 2
+), tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY 1, 2
+), df_t AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.id, tf.term, tf.tf, df_t.doc_freq,
+         tf.tf * (ln(CAST(nd.n_docs + 1 AS DOUBLE)
+                     / CAST(df_t.doc_freq + 1 AS DOUBLE)) + 1.0) AS score
+  FROM tf JOIN df_t USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT id, term, tf, doc_freq,
+       round(score * 1e6) / 1e6 AS score,
+       CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_interval_join(spark, sf_dir):
     """Bucketed range join (pipeline/timeseries.py): every click inside
     the 10-minute window after an error by the same user.  Time-bucket
@@ -2909,6 +2960,7 @@ FROM numbered
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new-in-r3 and unchecked-in-r2 first (VERDICT r2 item 6) --
     "asof_join": q_asof_join,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "interval_join": q_interval_join,
     "time_rollup": q_time_rollup,
     "sessionize": q_sessionize,
@@ -3076,6 +3128,7 @@ _ORACLES: dict[str, str] = {
     "ngram_overlap": SQL_NGRAM_OVERLAP,
     "redact_pii": SQL_REDACT_PII,
     "asof_join": SQL_ASOF_JOIN,
+    "tfidf_top_terms": SQL_TFIDF,
     "interval_join": SQL_INTERVAL_JOIN,
     "time_rollup": SQL_TIME_ROLLUP,
     "sessionize": SQL_SESSIONIZE,

@@ -56,6 +56,7 @@ from filters_spark.pipeline.textstats import (
     fingerprint,
     lang_id,
     quality_score,
+    tfidf_top_terms,
     token_counts,
 )
 from filters_spark.pipeline.multimodal import (
@@ -122,6 +123,7 @@ __all__ = [
     "split_column",
     "stratified_sample",
     "temperature_weights",
+    "tfidf_top_terms",
     "time_rollup",
     "word_freqs",
     "srp_bucket",

@@ -20,6 +20,7 @@ __all__ = [
     "lang_id",
     "lang_id_fasttext",
     "fingerprint",
+    "tfidf_top_terms",
     "STOPWORDS",
 ]
 
@@ -232,6 +233,75 @@ def _ft_model(fasttext_mod, path: str):
     if m is None:
         m = _FT_MODELS[path] = fasttext_mod.load_model(path)
     return m
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 2,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the standard keyword /
+    topic signal for corpus curation (source triage, boilerplate
+    spotting, topic-balanced sampling).
+
+    Terms are lowercased ``[a-z0-9]+`` runs of length ≥ ``min_len``.
+    ``score = tf * (ln((n_docs + 1) / (df + 1)) + 1)`` (smoothed idf);
+    ranking breaks score ties lexicographically so results are
+    deterministic.  Output: ``(id, term, tf, doc_freq, score, rank)``.
+
+    Plan shape: the term-frequency relation is built ONCE (explode +
+    one hash agg) and feeds both the document-frequency aggregate and
+    the scoring join; ``n_docs`` enters as a broadcast one-row cross
+    join, so the whole thing stays one lazy plan with no driver action.
+    The per-doc top-k is a window over the doc key — rank data is one
+    row per distinct (doc, term), already ~10× smaller than the token
+    stream.
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: F.length(t) >= min_len,
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("__n_docs") + 1).cast("double")
+                    / (F.col("doc_freq") + 1).cast("double")
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "doc_freq", "score", "rank")
+    )
 
 
 def fingerprint(

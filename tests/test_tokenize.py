@@ -62,6 +62,49 @@ def test_bpe_encode_known_segmentation(spark):
     assert got[None] is None
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    """TF-IDF scores against hand-computed smoothed idf; deterministic
+    score-then-term ranking; single-pass tf relation (one scan in the
+    optimized plan)."""
+    import math
+
+    from filters_spark.pipeline import tfidf_top_terms
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "Apple apple, banana!"),
+            (2, "banana cherry"),
+            (3, "cherry CHERRY cherry date"),
+        ],
+        schema,
+    )
+    out = tfidf_top_terms(df, k=2)
+    rows = {(r["id"], r["term"]): r for r in out.collect()}
+
+    def idf(dfreq):
+        return math.log(4.0 / (dfreq + 1)) + 1.0
+
+    r = rows[(1, "apple")]
+    assert (r["tf"], r["doc_freq"], r["rank"]) == (2, 1, 1)
+    assert abs(r["score"] - 2 * idf(1)) < 1e-12
+    assert rows[(1, "banana")]["rank"] == 2
+    assert abs(rows[(1, "banana")]["score"] - idf(2)) < 1e-12
+    r3 = rows[(3, "cherry")]
+    assert (r3["tf"], r3["rank"]) == (3, 1)
+    assert abs(r3["score"] - 3 * idf(2)) < 1e-12
+    assert rows[(3, "date")]["rank"] == 2
+    # d2: tie between banana and cherry (tf=1, df=2 each) -> term asc
+    assert rows[(2, "banana")]["rank"] == 1
+    assert rows[(2, "cherry")]["rank"] == 2
+    assert len(rows) == 6
+
+
 def test_bpe_encode_reconstruction_invariant(spark):
     """Whatever the merges, concatenating a word's tokens must
     reconstruct word + sentinel — checked over adversarial text."""
