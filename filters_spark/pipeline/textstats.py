@@ -271,8 +271,16 @@ def tfidf_top_terms(
     tf = terms.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    docfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("doc_freq")
+    # doc_freq must CONSUME tf (the vacuous tf > 0 predicate): without
+    # it Catalyst prunes the count out of this branch, rewriting it to
+    # a distinct-only aggregate whose partial agg no longer canonically
+    # matches the tf branch — and the scan + explode + shuffle run once
+    # per consumer instead of hitting ReusedExchange (the pack_plan
+    # two-consumer lesson, pinned below in tests)
+    docfreq = (
+        tf.where(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("__n_docs")

@@ -105,6 +105,34 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert len(rows) == 6
 
 
+def test_tfidf_reuses_tf_exchange(spark):
+    """The tf relation has two consumers (doc-frequency agg + scoring
+    join); its scan + explode + shuffle must run ONCE via
+    ReusedExchange (AQE off shows it statically).  Without the
+    tf-consuming predicate in the doc_freq branch, Catalyst rewrites it
+    to a distinct-only aggregate and the corpus explodes twice."""
+    from filters_spark.pipeline import tfidf_top_terms
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], schema)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            tfidf_top_terms(df, k=2)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("ReusedExchange") >= 1
+    assert plan.count("Generate explode") == 1
+
+
 def test_bpe_encode_reconstruction_invariant(spark):
     """Whatever the merges, concatenating a word's tokens must
     reconstruct word + sentinel — checked over adversarial text."""
