@@ -246,6 +246,126 @@ def test_time_rollup_hierarchy(spark):
     assert plan.count("LogicalRDD") == 1 or plan.count("Relation") <= 1
 
 
+def test_asof_join_composite_keys(spark):
+    """Multi-column key: matches require BOTH key columns equal."""
+    left = spark.createDataFrame(
+        [(1, "u1", "a", 100.0), (2, "u1", "b", 100.0)],
+        "event_id long, user_id string, region string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("u1", "a", 50.0, 1.0), ("u1", "b", 60.0, 2.0)],
+        "user_id string, region string, ts double, price double",
+    )
+    got = {
+        r["event_id"]: r["price_right"]
+        for r in asof_join(
+            left, right, on=["user_id", "region"]
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0}
+
+
+def test_interval_join_timestamp_columns(spark):
+    """Timestamp-typed point/start/end columns route through the
+    NTZ-safe epoch helper; bucket_width is in seconds."""
+    points = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:05:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"),
+             _ts("2024-01-01 10:30:00"), "in"),
+            ("u1", _ts("2024-01-01 11:00:00"),
+             _ts("2024-01-01 11:30:00"), "out"),
+        ],
+        "user_id string, start timestamp, end timestamp, tag string",
+    )
+    got = interval_join(
+        points, intervals, on="user_id", bucket_width=600.0
+    ).collect()
+    assert [(r["event_id"], r["tag_i"]) for r in got] == [(1, "in")]
+
+
+def test_interval_join_fuzz_vs_bruteforce(spark):
+    """Randomised layouts vs a brute-force pandas containment filter:
+    the bucketing must never add or lose a pair, whatever the
+    bucket_width."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        keys = st.integers(0, 1)
+        pts = data.draw(
+            st.lists(
+                st.tuples(keys, st.integers(0, 200)),
+                min_size=1, max_size=12,
+            )
+        )
+        ivs = data.draw(
+            st.lists(
+                st.tuples(
+                    keys, st.integers(0, 200), st.integers(0, 220)
+                ),
+                min_size=1, max_size=8,
+            )
+        )
+        width = float(data.draw(st.sampled_from([1, 7, 64, 300])))
+        pdf = spark.createDataFrame(
+            [(i, k, float(t)) for i, (k, t) in enumerate(pts)],
+            "event_id long, user_id long, ts double",
+        )
+        idf = spark.createDataFrame(
+            [
+                (j, k, float(s), float(e))
+                for j, (k, s, e) in enumerate(ivs)
+            ],
+            "iv_id long, user_id long, start double, end double",
+        )
+        got = sorted(
+            (r["event_id"], r["iv_id_i"])
+            for r in interval_join(
+                pdf,
+                idf,
+                on="user_id",
+                interval_cols=["iv_id"],
+                bucket_width=width,
+            ).collect()
+        )
+        expect = sorted(
+            (i, j)
+            for i, (pk, pt) in enumerate(pts)
+            for j, (ik, s, e) in enumerate(ivs)
+            if pk == ik and s <= pt < e
+        )
+        assert got == expect
+
+    run()
+
+
+def test_time_rollup_no_keys(spark):
+    """keys=[] rolls the whole table into one bucket series."""
+    ev = spark.createDataFrame(
+        [
+            (_ts("2024-01-03 10:15:00"), 2.0),
+            (_ts("2024-01-03 11:15:00"), 4.0),
+        ],
+        "ts timestamp, value double",
+    )
+    out = time_rollup(ev, keys=[], grains=("hour", "day")).collect()
+    by = {(r["grain"], str(r["bucket_ts"])): r for r in out}
+    assert by[("day", "2024-01-03 00:00:00")]["n_events"] == 2
+    assert by[("day", "2024-01-03 00:00:00")]["sum_value"] == 6.0
+    assert len([r for r in out if r["grain"] == "hour"]) == 2
+
+
 def test_sessionize_gap_islands(spark):
     ev = spark.createDataFrame(
         [
