@@ -20,10 +20,11 @@ upsample, YCbCr→RGB) and WAV PCM16 down to samples
 (:func:`decode_wav_samples` — plain numpy over the data chunk), so
 ``decode_media``'s feature vector holds actual luminance statistics
 for full images and actual RMS/zero-crossing statistics for PCM WAVs.
-Only video (MP4) and the rare image shapes (progressive JPEG,
-interlaced PNG/GIF) fall back to header dimensions with a
-digest-derived deterministic feature.  ``strict=True`` raises only for
-genuinely unknown bytes.
+Interlaced images decode too (PNG Adam7 sub-image scatter, GIF 4-pass
+row reorder); only video (MP4 — though :func:`sample_frames` demuxes
+real frame BYTES via the sample tables) and progressive JPEG fall back
+to header dimensions with a digest-derived deterministic feature.
+``strict=True`` raises only for genuinely unknown bytes.
 """
 
 from __future__ import annotations
@@ -344,17 +345,79 @@ def _mp4_video_meta(p: bytes) -> tuple[int, int, int]:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
 
 
+def _png_defilter(raw: bytes, offset: int, w: int, h: int, ch: int):
+    """Defilter ``h`` scanlines of ``w`` pixels starting at ``offset``
+    (PNG spec §9: None / Sub / Up / Average / Paeth).  Returns
+    ``(rows, next_offset)`` with ``rows`` shaped ``(h, w*ch)``, or
+    ``None`` on truncation / unknown filter.  The prior-scanline
+    dependency forces the row loop; each filter is vectorised across
+    the row via numpy."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) < offset + h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        base = offset + r * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: left neighbour, sequential in x
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        out[r] = cur.astype(np.uint8)
+        prev = out[r]
+    return out, offset + h * (stride + 1)
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png_pixels(payload: bytes):
     """FULL pure-stdlib PNG pixel decode (no PIL): ``zlib`` inflate of
     the concatenated IDAT stream + per-scanline defilter (None / Sub /
-    Up / Average / Paeth, PNG spec §9), palette expansion via PLTE.
+    Up / Average / Paeth, PNG spec §9), palette expansion via PLTE,
+    Adam7 deinterlace (each pass is its own filtered sub-image
+    scattered onto the output grid, spec §8.2).
 
-    Supports the overwhelmingly common on-disk shape: 8-bit samples,
-    non-interlaced, color types 0 (grey), 2 (RGB), 3 (palette),
-    4 (grey+alpha), 6 (RGBA).  Returns an ``(height, width, channels)``
-    uint8 numpy array, or ``None`` when the payload is not such a PNG
-    (truncated, 16-bit, interlaced, corrupt) — callers fall back to
-    header-only metadata.
+    Supports 8-bit samples, color types 0 (grey), 2 (RGB), 3 (palette),
+    4 (grey+alpha), 6 (RGBA), interlace methods 0 and 1.  Returns an
+    ``(height, width, channels)`` uint8 numpy array, or ``None`` when
+    the payload is not such a PNG (truncated, 16-bit, corrupt) —
+    callers fall back to header-only metadata.
     """
     import numpy as np
 
@@ -365,7 +428,7 @@ def decode_png_pixels(payload: bytes):
         w, h, bit_depth, color, _comp, _filt, interlace = struct.unpack(
             ">IIBBBBB", p[16:29]
         )
-        if bit_depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        if bit_depth != 8 or interlace > 1 or color not in _PNG_CHANNELS:
             return None
         if w == 0 or h == 0 or w * h > 64_000_000:  # 64 MP sanity bound
             return None
@@ -388,45 +451,29 @@ def decode_png_pixels(payload: bytes):
             return None
         raw = zlib.decompress(b"".join(idat))
         ch = _PNG_CHANNELS[color]
-        stride = w * ch
-        if len(raw) != h * (stride + 1):
-            return None
-        # defilter: prior-scanline dependency forces the row loop, but
-        # each filter is vectorised across the row via numpy
-        out = np.empty((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        for r in range(h):
-            ftype = raw[r * (stride + 1)]
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-            ).astype(np.int32)
-            if ftype == 0:
-                cur = line
-            elif ftype == 1:  # Sub: left neighbour, sequential in x
-                cur = line.copy()
-                for x in range(ch, stride):
-                    cur[x] = (cur[x] + cur[x - ch]) & 0xFF
-            elif ftype == 2:  # Up
-                cur = (line + prev) & 0xFF
-            elif ftype == 3:  # Average
-                cur = line.copy()
-                for x in range(stride):
-                    left = cur[x - ch] if x >= ch else 0
-                    cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth
-                cur = line.copy()
-                for x in range(stride):
-                    a = int(cur[x - ch]) if x >= ch else 0
-                    b = int(prev[x])
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (cur[x] + pred) & 0xFF
-            else:
+        if interlace == 0:
+            if len(raw) != h * (w * ch + 1):
                 return None
-            out[r] = cur.astype(np.uint8)
-            prev = out[r]
-        px = out.reshape(h, w, ch)
+            got = _png_defilter(raw, 0, w, h, ch)
+            if got is None:
+                return None
+            px = got[0].reshape(h, w, ch)
+        else:  # Adam7: 7 independently-filtered sub-images
+            px = np.zeros((h, w, ch), dtype=np.uint8)
+            offset = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw == 0 or ph == 0:
+                    continue
+                got = _png_defilter(raw, offset, pw, ph, ch)
+                if got is None:
+                    return None
+                rows, offset = got
+                sub = rows.reshape(ph, pw, ch)
+                px[y0::dy, x0::dx] = sub
+            if offset != len(raw):
+                return None
         if color == 3:
             pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
             idx = px[:, :, 0]
@@ -488,10 +535,11 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
 
 def decode_gif_pixels(payload: bytes):
     """REAL GIF pixel decode — pure-stdlib LZW (variable-width codes,
-    clear/end handling, dictionary growth) + color-table expansion for
-    the FIRST image frame.  Returns an ``(height, width, 3)`` uint8 RGB
-    array, or ``None`` for non-GIF / interlaced / truncated / corrupt
-    payloads (callers fall back to header-only metadata)."""
+    clear/end handling, dictionary growth) + color-table expansion +
+    4-pass deinterlace for the FIRST image frame.  Returns an
+    ``(height, width, 3)`` uint8 RGB array, or ``None`` for non-GIF /
+    truncated / corrupt payloads (callers fall back to header-only
+    metadata)."""
     import numpy as np
 
     p = payload
@@ -525,8 +573,9 @@ def decode_gif_pixels(payload: bytes):
                     if len(ct) < size:
                         return None
                     i += size
-                if ipacked & 0x40 or ct is None:  # interlaced: out of scope
+                if ct is None:
                     return None
+                interlaced = bool(ipacked & 0x40)
                 if w == 0 or h == 0 or w * h > 64_000_000:
                     return None
                 min_code = p[i]
@@ -548,7 +597,22 @@ def decode_gif_pixels(payload: bytes):
                 pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
                 if int(arr.max(initial=0)) >= pal.shape[0]:
                     return None
-                return pal[arr].reshape(h, w, 3)
+                img = pal[arr].reshape(h, w, 3)
+                if interlaced:
+                    # GIF 4-pass interlace (89a spec appendix E): the
+                    # stream carries rows 0,8,.. then 4,12,.. then
+                    # 2,6,.. then 1,3,..; stream row i IS display row
+                    # order[i]
+                    order = (
+                        list(range(0, h, 8))
+                        + list(range(4, h, 8))
+                        + list(range(2, h, 4))
+                        + list(range(1, h, 2))
+                    )
+                    out = np.empty_like(img)
+                    out[order] = img
+                    img = out
+                return img
             elif b0 == 0x3B:  # trailer
                 return None
             else:

@@ -410,11 +410,12 @@ def test_parse_media_header_real_containers():
     assert parse_media_header(b"\x89PNG\r\n\x1a\ntrunc") is None
 
 
-def _full_png(w, h, color, scanlines, plte=None):
+def _full_png(w, h, color, scanlines, plte=None, interlace=0):
     """Assemble a complete PNG from EXPLICIT (filter_byte, filtered_row)
     scanlines — expected pixels in the tests below are hand-computed
     from the spec, never produced by an encoder sharing the decoder's
-    math."""
+    math.  For ``interlace=1`` pass the Adam7 passes' scanlines in
+    stream order."""
     import struct as s
     import zlib as z
 
@@ -424,7 +425,7 @@ def _full_png(w, h, color, scanlines, plte=None):
             + s.pack(">I", z.crc32(cid + body))
         )
 
-    ihdr = s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = s.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
     raw = b"".join(bytes([f]) + bytes(d) for f, d in scanlines)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if plte is not None:
@@ -578,11 +579,62 @@ def test_decode_gif_pixels_hand_traced_lzw():
     # corrupt / out-of-scope payloads fall back to None
     assert decode_gif_pixels(b"GIF89a\x00") is None
     assert decode_gif_pixels(_gif_full(3, 1, pal, 2, [140])) is None  # truncated
+    # interlace flag on a 1-row image: order [0] is the identity
     interlaced = bytearray(_gif_full(3, 1, pal, 2, [140, 11]))
     interlaced[
         6 + 7 + 12 + 9
     ] |= 0x40  # set interlace flag in the image descriptor
-    assert decode_gif_pixels(bytes(interlaced)) is None
+    assert decode_gif_pixels(bytes(interlaced))[0].tolist() == [
+        [10, 20, 30]
+    ] * 3
+
+
+def test_decode_png_pixels_adam7_interlace():
+    """Adam7: a 2x2 grayscale image is pass1 (pixel 0,0), pass6
+    (pixel 1,0), pass7 (row 1, Sub-filtered) — each pass its own
+    filtered sub-image, scattered onto the grid (PNG spec §8.2)."""
+    from filters_spark.pipeline.multimodal import decode_png_pixels
+
+    scanlines = [
+        (0, [10]),       # pass 1: (0,0) = 10
+        (0, [20]),       # pass 6: (1,0) = 20
+        (1, [30, 10]),   # pass 7: row 1 Sub -> 30, 40
+    ]
+    px = decode_png_pixels(_full_png(2, 2, 0, scanlines, interlace=1))
+    assert px.shape == (2, 2, 1)
+    assert px[:, :, 0].tolist() == [[10, 20], [30, 40]]
+
+    # trailing garbage after the last pass is rejected, not ignored
+    bad = _full_png(2, 2, 0, scanlines + [(0, [99])], interlace=1)
+    assert decode_png_pixels(bad) is None
+
+
+def test_decode_gif_pixels_interlaced_row_order():
+    """GIF 4-pass interlace: a 1x4 image whose STREAM carries display
+    rows 0,2,1,3 must come back in display order.  The code stream is
+    CLEAR-before-every-literal (all codes stay 3 bits wide)."""
+    from filters_spark.pipeline.multimodal import decode_gif_pixels
+
+    pal = [0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    # display rows top->bottom = palette 0,1,2,3; stream order 0,2,1,3
+    codes = [4, 0, 4, 2, 4, 1, 4, 3, 5]  # CLEAR,lit,...,END @ 3 bits
+    acc = 0
+    for k, v in enumerate(codes):
+        acc |= v << (3 * k)
+    data = []
+    for _ in range((3 * len(codes) + 7) // 8):
+        data.append(acc & 0xFF)
+        acc >>= 8
+    gif = bytearray(_gif_full(1, 4, pal, 2, data))
+    gif[6 + 7 + 12 + 9] |= 0x40  # interlace flag
+    px = decode_gif_pixels(bytes(gif))
+    assert px.shape == (4, 1, 3)
+    assert [tuple(px[y, 0]) for y in range(4)] == [
+        (0, 0, 0),
+        (10, 20, 30),
+        (40, 50, 60),
+        (70, 80, 90),
+    ]
 
 
 def test_decode_media_full_gif_real_pixels(spark):
