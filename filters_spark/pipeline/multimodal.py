@@ -84,7 +84,10 @@ def attach_media_meta(
     p = F.col(payload_col)
     media_type = (
         F.when(
-            F.startswith(p, F.lit(b"\x89PNG")) | F.startswith(p, F.lit(b"\xff\xd8\xff")),
+            F.startswith(p, F.lit(b"\x89PNG"))
+            | F.startswith(p, F.lit(b"\xff\xd8\xff"))
+            | F.startswith(p, F.lit(b"GIF8"))
+            | F.startswith(p, F.lit(b"BM")),
             F.lit("image"),
         )
         .when(F.startswith(p, F.lit(b"RIFF")), F.lit("audio"))
@@ -907,10 +910,13 @@ def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16_000_000):
 
 
 def decode_wav_samples(payload: bytes):
-    """REAL WAV sample decode for PCM16 (format tag 1, 16-bit) — the
-    data chunk is raw little-endian samples, so plain ``numpy`` suffices
-    (no codec library).  Returns ``(samples: (frames, channels) int16
-    array, sample_rate)``, or ``None`` for non-WAV / non-PCM16 /
+    """REAL WAV sample decode — the data chunk is raw little-endian
+    samples, so plain ``numpy`` suffices (no codec library).  Handles
+    the common uncompressed shapes: PCM 8-bit (unsigned), 16-bit,
+    24-bit and 32-bit (format tag 1) and IEEE float32/float64 (tag 3),
+    each normalised onto the int16 grid so downstream features are
+    format-independent.  Returns ``(samples: (frames, channels) int16
+    array, sample_rate)``, or ``None`` for non-WAV / compressed /
     truncated payloads (callers fall back to header-only metadata)."""
     import numpy as np
 
@@ -931,15 +937,52 @@ def decode_wav_samples(payload: bytes):
             elif cid == b"data":
                 data = body
             i += 8 + size + (size & 1)
-        if fmt_tag != 1 or bits != 16 or not channels or data is None:
+        if not channels or data is None:
             return None
-        n = len(data) // (2 * channels) * channels
-        if n == 0:
+        if fmt_tag == 1 and bits == 16:
+            width = 2
+            n = len(data) // (width * channels) * channels
+            if n == 0:
+                return None
+            samples = np.frombuffer(data, dtype="<i2", count=n)
+        elif fmt_tag == 1 and bits == 8:  # unsigned, midpoint 128
+            n = len(data) // channels * channels
+            if n == 0:
+                return None
+            raw = np.frombuffer(data, dtype=np.uint8, count=n)
+            samples = ((raw.astype(np.int16) - 128) << 8)
+        elif fmt_tag == 1 and bits == 24:
+            width = 3
+            n = len(data) // (width * channels) * channels
+            if n == 0:
+                return None
+            b = np.frombuffer(
+                data, dtype=np.uint8, count=n * 3
+            ).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = (v >> 8).astype(np.int16)
+        elif fmt_tag == 1 and bits == 32:
+            width = 4
+            n = len(data) // (width * channels) * channels
+            if n == 0:
+                return None
+            v = np.frombuffer(data, dtype="<i4", count=n)
+            samples = (v >> 16).astype(np.int16)
+        elif fmt_tag == 3 and bits in (32, 64):
+            width = bits // 8
+            n = len(data) // (width * channels) * channels
+            if n == 0:
+                return None
+            f = np.frombuffer(
+                data, dtype="<f4" if bits == 32 else "<f8", count=n
+            )
+            samples = np.clip(
+                np.rint(f.astype(np.float64) * 32767.0), -32768, 32767
+            ).astype(np.int16)
+        else:
             return None
-        samples = np.frombuffer(data, dtype="<i2", count=n).reshape(
-            -1, channels
-        )
-        return samples, rate
+        return samples.reshape(-1, channels), rate
     except (struct.error, ValueError):
         return None
 

@@ -1122,6 +1122,71 @@ def test_decode_wav_samples_and_audio_features(spark):
     assert abs(sum(r["feature"][2:]) - 1.0) < 1e-9  # L1 histogram
 
 
+def _wav_raw(fmt_tag, bits, channels, rate, data):
+    import struct as s
+
+    block = channels * bits // 8
+    fmt = s.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits
+    )
+    return (
+        b"RIFF" + s.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + s.pack("<I", 16) + fmt
+        + b"data" + s.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_wav_samples_other_formats():
+    """PCM8 / PCM24 / PCM32 / float32 all land on the int16 grid with
+    hand-computed values; compressed tags stay None."""
+    import struct as s
+
+    from filters_spark.pipeline.multimodal import decode_wav_samples
+
+    pcm8 = _wav_raw(1, 8, 1, 8000, bytes([128, 255, 0]))
+    got, rate = decode_wav_samples(pcm8)
+    assert rate == 8000
+    assert got[:, 0].tolist() == [0, (255 - 128) << 8, -32768]
+
+    # 24-bit: 0x123456 -> 0x1234; -2 (0xFFFFFE) -> floor(-2/256) = -1
+    pcm24 = _wav_raw(
+        1, 24, 1, 8000, bytes([0x56, 0x34, 0x12, 0xFE, 0xFF, 0xFF])
+    )
+    got, _ = decode_wav_samples(pcm24)
+    assert got[:, 0].tolist() == [0x1234, -1]
+
+    pcm32 = _wav_raw(1, 32, 1, 8000, s.pack("<ii", 0x12345678, -65536))
+    got, _ = decode_wav_samples(pcm32)
+    assert got[:, 0].tolist() == [0x1234, -1]
+
+    f32 = _wav_raw(3, 32, 2, 44100, s.pack("<4f", 0.5, -1.5, 1.0, 0.0))
+    got, rate = decode_wav_samples(f32)
+    assert rate == 44100
+    assert got.tolist() == [[16384, -32768], [32767, 0]]
+
+    # compressed (e.g. tag 85 = MP3-in-WAV) refuses rather than guesses
+    assert decode_wav_samples(_wav_raw(85, 16, 1, 8000, b"\x00\x00")) is None
+
+
+def test_attach_media_meta_gif_bmp_are_images(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, _gif(3, 3)), (1, _bmp(4, 4))], schema
+    )
+    got = {
+        r["id"]: r["media_meta"]["media_type"]
+        for r in attach_media_meta(df).collect()
+    }
+    assert got == {0: "image", 1: "image"}
+
+
 def test_decode_media_real_headers(spark):
     """decode_media reports true dimensions for real containers and the
     deterministic fallback only for unknown bytes; strict passes when
