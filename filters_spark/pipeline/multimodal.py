@@ -47,6 +47,7 @@ __all__ = [
     "decode_png_pixels",
     "decode_gif_pixels",
     "decode_jpeg_pixels",
+    "decode_bmp_pixels",
     "decode_wav_samples",
     "decode_media",
     "resize_media",
@@ -909,6 +910,46 @@ def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16_000_000):
         return None
 
 
+def decode_bmp_pixels(payload: bytes):
+    """REAL BMP pixel decode for the dominant uncompressed shapes:
+    BITMAPINFOHEADER(+), BI_RGB, 24- or 32-bit.  Rows are stored
+    bottom-up (negative height = top-down) and padded to 4 bytes; pixel
+    order is BGR(A) → returned as ``(height, width, 3)`` uint8 RGB.
+    ``None`` for palette / RLE / OS2-header / truncated payloads."""
+    import numpy as np
+
+    p = payload
+    if not p.startswith(b"BM") or len(p) < 54:
+        return None
+    try:
+        (data_off,) = struct.unpack("<I", p[10:14])
+        (hdr_size,) = struct.unpack("<I", p[14:18])
+        if hdr_size < 40:  # BITMAPCOREHEADER/OS2: out of scope
+            return None
+        w, h_raw = struct.unpack("<ii", p[18:26])
+        planes, bpp = struct.unpack("<HH", p[26:30])
+        (compression,) = struct.unpack("<I", p[30:34])
+        if planes != 1 or compression != 0 or bpp not in (24, 32):
+            return None
+        top_down = h_raw < 0
+        h = abs(h_raw)
+        if w <= 0 or h == 0 or w * h > 64_000_000:
+            return None
+        ch = bpp // 8
+        stride = (w * ch + 3) & ~3  # rows pad to 4 bytes
+        if len(p) < data_off + stride * h:
+            return None
+        rows = np.frombuffer(
+            p, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        px = rows[:, : w * ch].reshape(h, w, ch)
+        if not top_down:
+            px = px[::-1]
+        return px[:, :, 2::-1]  # BGR(A) -> RGB
+    except (struct.error, ValueError):
+        return None
+
+
 def decode_wav_samples(payload: bytes):
     """REAL WAV sample decode — the data chunk is raw little-endian
     samples, so plain ``numpy`` suffices (no codec library).  Handles
@@ -1099,6 +1140,8 @@ def decode_media(
                         px = decode_gif_pixels(payload)
                     if px is None:
                         px = decode_jpeg_pixels(payload)
+                    if px is None:
+                        px = decode_bmp_pixels(payload)
                 if px is not None:
                     hgt, w = int(px.shape[0]), int(px.shape[1])
                     if px.shape[2] >= 3:
@@ -1242,8 +1285,6 @@ def resize_media(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        ys = None
-        xs = None
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -1255,6 +1296,8 @@ def resize_media(
                     px = decode_gif_pixels(payload)
                 if px is None:
                     px = decode_jpeg_pixels(payload)
+                if px is None:
+                    px = decode_bmp_pixels(payload)
                 if px is None:
                     continue
                 h, w = int(px.shape[0]), int(px.shape[1])

@@ -1136,6 +1136,63 @@ def _wav_raw(fmt_tag, bits, channels, rate, data):
     )
 
 
+def _full_bmp(w, h, rows_bgr, top_down=False, bpp=24):
+    """Complete uncompressed BMP from explicit BGR byte rows (given in
+    DISPLAY order, top to bottom); file rows get 4-byte padding and
+    bottom-up order unless top_down."""
+    import struct as s
+
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    file_rows = rows_bgr if top_down else rows_bgr[::-1]
+    data = b"".join(
+        bytes(r) + b"\x00" * (stride - w * ch) for r in file_rows
+    )
+    h_field = -h if top_down else h
+    info = s.pack("<IiiHHIIiiII", 40, w, h_field, 1, bpp, 0,
+                  len(data), 2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + s.pack("<IHHI", off + len(data), 0, 0, off)
+    return hdr + info + data
+
+
+def test_decode_bmp_pixels_hand_computed():
+    """BMP decode: bottom-up row order, BGR->RGB swap, 4-byte row
+    padding, top-down negative height, 32-bit alpha dropped."""
+    import numpy as np
+
+    from filters_spark.pipeline.multimodal import decode_bmp_pixels
+
+    # 1x2: display top pixel pure red, bottom pure blue (BGR on disk)
+    px = decode_bmp_pixels(
+        _full_bmp(1, 2, [[0, 0, 255], [255, 0, 0]])
+    )
+    assert px.shape == (2, 1, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0)
+    assert tuple(px[1, 0]) == (0, 0, 255)
+
+    # top-down variant: same display expectation
+    px2 = decode_bmp_pixels(
+        _full_bmp(1, 2, [[0, 0, 255], [255, 0, 0]], top_down=True)
+    )
+    assert (px2 == px).all()
+
+    # 3 px wide x 1: stride pads 9 -> 12; values survive the padding
+    row = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+    px3 = decode_bmp_pixels(_full_bmp(3, 1, [row]))
+    assert px3[0].tolist() == [[3, 2, 1], [6, 5, 4], [9, 8, 7]]
+
+    # 32-bit BGRA: alpha byte dropped
+    px4 = decode_bmp_pixels(
+        _full_bmp(1, 1, [[10, 20, 30, 99]], bpp=32)
+    )
+    assert tuple(px4[0, 0]) == (30, 20, 10)
+
+    assert decode_bmp_pixels(b"BMshort") is None
+    # header-only (no pixel data) rejects
+    assert decode_bmp_pixels(_bmp(8, 8)) is None
+
+
 def test_decode_wav_samples_other_formats():
     """PCM8 / PCM24 / PCM32 / float32 all land on the int16 grid with
     hand-computed values; compressed tags stay None."""
