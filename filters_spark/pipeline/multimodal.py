@@ -12,19 +12,20 @@ pure-stdlib ``struct`` parsing of PNG / JPEG / GIF / BMP / WAV / MP4
 signatures and dimension fields; no PIL/ffmpeg needed), and every
 common image/audio container is DECODED for real, pure stdlib+numpy:
 PNG down to pixels (:func:`decode_png_pixels` — ``zlib`` inflate +
-per-scanline defilter, color types 0/2/3/4/6), GIF down to pixels
-(:func:`decode_gif_pixels` — variable-width LZW + color-table
-expansion), baseline JPEG down to pixels (:func:`decode_jpeg_pixels`
-— canonical Huffman entropy decode, dequant, matrix IDCT, chroma
-upsample, YCbCr→RGB) and WAV PCM16 down to samples
-(:func:`decode_wav_samples` — plain numpy over the data chunk), so
+per-scanline defilter + Adam7 deinterlace, color types 0/2/3/4/6),
+GIF down to pixels (:func:`decode_gif_pixels` — variable-width LZW +
+color-table expansion + 4-pass deinterlace), JPEG down to pixels
+(:func:`decode_jpeg_pixels` — canonical Huffman entropy decode,
+dequant, matrix IDCT, chroma upsample, YCbCr→RGB; BOTH baseline and
+full progressive incl. successive approximation and EOB runs), BMP
+(:func:`decode_bmp_pixels`) and WAV down to samples
+(:func:`decode_wav_samples` — PCM 8/16/24/32 + float32/64), so
 ``decode_media``'s feature vector holds actual luminance statistics
-for full images and actual RMS/zero-crossing statistics for PCM WAVs.
-Interlaced images decode too (PNG Adam7 sub-image scatter, GIF 4-pass
-row reorder); only video (MP4 — though :func:`sample_frames` demuxes
-real frame BYTES via the sample tables) and progressive JPEG fall back
-to header dimensions with a digest-derived deterministic feature.
-``strict=True`` raises only for genuinely unknown bytes.
+for full images and actual RMS/zero-crossing statistics for WAVs.
+Only video frame-pixel decode stays out of scope (no codec libs in
+this container) — and even there :func:`sample_frames` demuxes the
+real frame BYTES via the MP4 sample tables.  ``strict=True`` raises
+only for genuinely unknown bytes.
 """
 
 from __future__ import annotations
@@ -698,21 +699,122 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_entropy_segments(p: bytes, i: int):
+    """Collect one scan's entropy-coded data starting at ``i``: strip
+    0xFF00 byte stuffing, split at RSTn markers.  Returns
+    ``(segments, j)`` with ``j`` positioned at the terminating
+    marker."""
+    segments, cur = [], bytearray()
+    while i < len(p):
+        b0 = p[i]
+        if b0 != 0xFF:
+            cur.append(b0)
+            i += 1
+            continue
+        m = p[i + 1] if i + 1 < len(p) else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _jpeg_refine_nonzero(br: _JpegBits, coef, k: int, p1: int) -> None:
+    """AC successive-approximation correction bit for a nonzero-history
+    coefficient (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine): a 1-bit
+    appends the next magnitude bit toward larger magnitude, once."""
+    if br.read_bit() and (coef[k] & p1) == 0:
+        coef[k] += p1 if coef[k] > 0 else -p1
+
+
+def _jpeg_ac_first(br, coef, ac_t, ss, se, al, eobrun):
+    """AC first scan for one block's band (T.81 G.1.2.2): run-lengths,
+    ZRL, and end-of-band runs (EOBRUN covers this and following
+    blocks).  Returns the new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << r) - 1 + (br.receive(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(br, coef, ac_t, ss, se, al, eobrun):
+    """AC refinement scan for one block's band (T.81 G.1.2.3): every
+    nonzero-history coefficient passed consumes a correction bit; new
+    coefficients arrive as ±1<<Al after skipping ``r`` zero-history
+    positions; EOB runs correct the rest of the band.  Returns the new
+    eobrun."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (br.receive(r) if r else 0)
+                    break  # tail loop corrects the rest of the band
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refine size must be 1")
+                newval = p1 if br.read_bit() else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    _jpeg_refine_nonzero(br, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _jpeg_refine_nonzero(br, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16_000_000):
-    """REAL baseline-JPEG pixel decode — pure stdlib + numpy, no codec
-    library: marker parse (DQT / DHT / SOF0-SOF1 / DRI / SOS), canonical
+    """REAL JPEG pixel decode — pure stdlib + numpy, no codec library:
+    marker parse (DQT / DHT / SOF / DRI / multi-scan SOS), canonical
     Huffman entropy decode with byte-unstuffing and restart-marker
     handling, dequantise + de-zigzag, 8x8 IDCT as two matrix products,
     nearest-neighbour chroma upsample, JFIF YCbCr→RGB.
 
-    Supports the dominant on-disk shape: baseline/extended-sequential
-    Huffman (SOF0/SOF1), 8-bit samples, 1 or 3 components, any sampling
-    factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals.  Returns
-    ``(height, width, 3)`` uint8 RGB (grayscale replicated), or ``None``
-    for progressive / arithmetic / truncated / corrupt payloads —
-    callers fall back to header-only metadata.  ``max_pixels`` bounds
-    the pure-Python entropy-decode cost per payload; swap in a codec
-    library for pixel-heavy corpora.
+    Baseline/extended-sequential (SOF0/SOF1) decodes in one pass; FULL
+    progressive (SOF2, T.81 annex G) accumulates coefficients across
+    scans — spectral selection, successive approximation (DC and AC
+    first + refinement scans), EOB runs, interleaved DC scans,
+    per-scan Huffman table redefinition, restart intervals in both
+    modes.  8-bit samples, 1 or 3 components, any sampling factors.
+    Returns ``(height, width, 3)`` uint8 RGB (grayscale replicated),
+    or ``None`` for arithmetic-coded / lossless / truncated / corrupt
+    payloads — callers fall back to header-only metadata.
+    ``max_pixels`` bounds the pure-Python entropy-decode cost per
+    payload; swap in a codec library for pixel-heavy corpora.
     """
     import numpy as np
 
@@ -721,10 +823,10 @@ def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16_000_000):
         return None
     try:
         qt = {}
-        huff = {}  # (class, id) -> table
+        huff = {}  # (class, id) -> table; scans snapshot it at SOS
         restart = 0
         frame = None
-        scan = None
+        scans = []
         i = 2
         while i + 2 <= len(p):
             if p[i] != 0xFF:
@@ -733,7 +835,9 @@ def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16_000_000):
             if m == 0xFF:
                 i += 1
                 continue
-            if m == 0x01 or 0xD0 <= m <= 0xD9:
+            if m == 0xD9:  # EOI
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD8:
                 i += 2
                 continue
             if i + 4 > len(p):
@@ -765,7 +869,7 @@ def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16_000_000):
                         return None
                     huff[(cls, tid)] = _huff_table(counts, syms)
                     j += 17 + n
-            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext-seq / prog
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or nc not in (1, 3):
                     return None
@@ -773,124 +877,228 @@ def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16_000_000):
                 for c in range(nc):
                     cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 15, tq))
-                frame = (w, h, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                frame = (w, h, comps, m == 0xC2)
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                        0xCD, 0xCE, 0xCF):
-                return None  # progressive / lossless / arithmetic
+                return None  # lossless / arithmetic
             elif m == 0xDD:
                 (restart,) = struct.unpack(">H", body[:2])
-            elif m == 0xDA:  # SOS: component→table map, then entropy
+            elif m == 0xDA:  # SOS: components, band, approximation
                 ns = body[0]
-                scan = []
+                sc = []
                 for c in range(ns):
                     cs, tabs = body[1 + 2 * c : 3 + 2 * c]
-                    scan.append((cs, tabs >> 4, tabs & 15))
-                i += 2 + seg
-                break
+                    sc.append((cs, tabs >> 4, tabs & 15))
+                ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+                segments, j = _jpeg_entropy_segments(p, i + 2 + seg)
+                scans.append(
+                    (sc, ss, se, a >> 4, a & 15, segments, restart,
+                     dict(huff))
+                )
+                i = j
+                continue
             i += 2 + seg
-        if frame is None or scan is None:
+        if frame is None or not scans:
             return None
-        w, h, comps = frame
+        w, h, comps, progressive = frame
         if w == 0 or h == 0 or w * h > max_pixels:
             return None
-
-        # entropy data: strip 0xFF00 stuffing, split at RST markers
-        segments = []
-        cur = bytearray()
-        while i < len(p):
-            b0 = p[i]
-            if b0 != 0xFF:
-                cur.append(b0)
-                i += 1
-                continue
-            m = p[i + 1] if i + 1 < len(p) else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                i += 2
-            elif 0xD0 <= m <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-            else:  # EOI or next marker
-                break
-        segments.append(bytes(cur))
 
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        # per-component padded planes + dequant matrices in natural order
-        planes = []
+        # dequant matrices in natural order
         deq = []
         for cid, ch, cv, tq in comps:
             if tq not in qt or ch < 1 or cv < 1:
                 return None
-            planes.append(
-                np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
-            )
             q = np.empty(64, dtype=np.float64)
             for k in range(64):
                 q[_ZIGZAG[k]] = qt[tq][k]
             deq.append(q.reshape(8, 8))
-        for cs, td, ta in scan:
-            if (0, td) not in huff or (1, ta) not in huff:
-                return None
 
         # IDCT basis: spatial = M @ F @ M.T
         xs = np.arange(8)
         M = np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16) / 2.0
         M[:, 0] /= np.sqrt(2.0)
 
-        n_mcu = mcux * mcuy
-        per_seg = restart if restart else n_mcu
-        mcu = 0
-        for seg_bytes in segments:
-            if mcu >= n_mcu:
-                break
-            br = _JpegBits(seg_bytes)
-            pred = [0] * len(comps)
-            for _ in range(min(per_seg, n_mcu - mcu)):
-                my, mx = divmod(mcu, mcux)
-                for ci, (cid, ch, cv, _tq) in enumerate(comps):
-                    sc = next((s for s in scan if s[0] == cid), None)
-                    if sc is None:
-                        return None
-                    dc_t = huff[(0, sc[1])]
-                    ac_t = huff[(1, sc[2])]
-                    for by in range(cv):
-                        for bx in range(ch):
-                            coef = np.zeros((8, 8), dtype=np.float64)
-                            s = _huff_decode(br, dc_t)
-                            pred[ci] += _extend(br.receive(s), s)
-                            coef[0, 0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(br, ac_t)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                nat = _ZIGZAG[k]
-                                coef[nat // 8, nat % 8] = _extend(
-                                    br.receive(s), s
+        if not progressive:
+            planes = [
+                np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+                for _cid, ch, cv, _tq in comps
+            ]
+            sc, _ss, _se, _ah, _al, segments, s_restart, snap = scans[0]
+            for cs, td, ta in sc:
+                if (0, td) not in snap or (1, ta) not in snap:
+                    return None
+            n_mcu = mcux * mcuy
+            per_seg = s_restart if s_restart else n_mcu
+            mcu = 0
+            for seg_bytes in segments:
+                if mcu >= n_mcu:
+                    break
+                br = _JpegBits(seg_bytes)
+                pred = [0] * len(comps)
+                for _ in range(min(per_seg, n_mcu - mcu)):
+                    my, mx = divmod(mcu, mcux)
+                    for ci, (cid, ch, cv, _tq) in enumerate(comps):
+                        s_entry = next(
+                            (s for s in sc if s[0] == cid), None
+                        )
+                        if s_entry is None:
+                            return None
+                        dc_t = snap[(0, s_entry[1])]
+                        ac_t = snap[(1, s_entry[2])]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                coef = np.zeros((8, 8), dtype=np.float64)
+                                s = _huff_decode(br, dc_t)
+                                pred[ci] += _extend(br.receive(s), s)
+                                coef[0, 0] = pred[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_decode(br, ac_t)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        return None
+                                    nat = _ZIGZAG[k]
+                                    coef[nat // 8, nat % 8] = _extend(
+                                        br.receive(s), s
+                                    )
+                                    k += 1
+                                block = (
+                                    M @ (coef * deq[ci]) @ M.T + 128.0
                                 )
-                                k += 1
-                            block = M @ (coef * deq[ci]) @ M.T + 128.0
-                            y0 = (my * cv + by) * 8
-                            x0 = (mx * ch + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-                mcu += 1
+                                y0 = (my * cv + by) * 8
+                                x0 = (mx * ch + bx) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                                    block
+                                )
+                    mcu += 1
+            if mcu < n_mcu:
+                return None
+        else:
+            # progressive: accumulate zigzag-ordered coefficients per
+            # component across scans, then one IDCT pass
+            coefs = [
+                np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                for _cid, ch, cv, _tq in comps
+            ]
+            by_id = {c[0]: ci for ci, c in enumerate(comps)}
+            for sc, ss, se, ah, al, segments, s_restart, snap in scans:
+                idxs = [by_id.get(cs) for cs, _td, _ta in sc]
+                if None in idxs:
+                    return None
+                if ss == 0:
+                    # DC scan (may be interleaved); se must be 0
+                    if se != 0:
+                        return None
+                    if len(sc) > 1:
+                        units = mcux * mcuy
+                    else:
+                        ci = idxs[0]
+                        _cid, chs, cvs, _tq = comps[ci]
+                        bw = -(-(-(-w * chs // hmax)) // 8)
+                        bh = -(-(-(-h * cvs // vmax)) // 8)
+                        units = bw * bh
+                else:
+                    if len(sc) != 1 or ah > 13 or al > 13:
+                        return None
+                    ci = idxs[0]
+                    _cid, chs, cvs, _tq = comps[ci]
+                    bw = -(-(-(-w * chs // hmax)) // 8)
+                    bh = -(-(-(-h * cvs // vmax)) // 8)
+                    units = bw * bh
+                    ac_t = snap.get((1, sc[0][2]))
+                    if ah == 0 and ac_t is None:
+                        return None
+                    if ah > 0 and ac_t is None:
+                        return None
+                per_seg = s_restart if s_restart else units
+                unit = 0
+                for seg_bytes in segments:
+                    if unit >= units:
+                        break
+                    br = _JpegBits(seg_bytes)
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                    for _ in range(min(per_seg, units - unit)):
+                        if ss == 0 and len(sc) > 1:
+                            my, mx = divmod(unit, mcux)
+                            for pos, (cs, td, _ta) in enumerate(sc):
+                                ci = idxs[pos]
+                                _cid, chs, cvs, _tq = comps[ci]
+                                for by in range(cvs):
+                                    for bx in range(chs):
+                                        blk = coefs[ci][
+                                            my * cvs + by, mx * chs + bx
+                                        ]
+                                        if ah == 0:
+                                            t = _huff_decode(
+                                                br, snap[(0, td)]
+                                            )
+                                            pred[ci] += _extend(
+                                                br.receive(t), t
+                                            )
+                                            blk[0] = pred[ci] << al
+                                        else:
+                                            blk[0] |= (
+                                                br.read_bit() << al
+                                            )
+                        else:
+                            ci = idxs[0]
+                            _cid, chs, cvs, _tq = comps[ci]
+                            bw = -(-(-(-w * chs // hmax)) // 8)
+                            byy, bxx = divmod(unit, bw)
+                            blk = coefs[ci][byy, bxx]
+                            if ss == 0:
+                                td = sc[0][1]
+                                if ah == 0:
+                                    t = _huff_decode(br, snap[(0, td)])
+                                    pred[ci] += _extend(
+                                        br.receive(t), t
+                                    )
+                                    blk[0] = pred[ci] << al
+                                else:
+                                    blk[0] |= br.read_bit() << al
+                            elif ah == 0:
+                                eobrun = _jpeg_ac_first(
+                                    br, blk, ac_t, ss, se, al, eobrun
+                                )
+                            else:
+                                eobrun = _jpeg_ac_refine(
+                                    br, blk, ac_t, ss, se, al, eobrun
+                                )
+                        unit += 1
+                if unit < units:
+                    return None
+            # de-zigzag + dequant + IDCT, all blocks per component
+            inv = np.empty(64, dtype=np.int64)
+            for k in range(64):
+                inv[_ZIGZAG[k]] = k
+            planes = []
+            for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+                nat = coefs[ci][:, :, inv].astype(np.float64).reshape(
+                    coefs[ci].shape[0], coefs[ci].shape[1], 8, 8
+                ) * deq[ci]
+                spatial = (
+                    np.einsum("iu,abuv,jv->abij", M, nat, M) + 128.0
+                )
+                pl = spatial.transpose(0, 2, 1, 3).reshape(
+                    coefs[ci].shape[0] * 8, coefs[ci].shape[1] * 8
+                )
+                planes.append(pl)
 
-        if mcu < n_mcu:
-            return None
         # upsample each component to full resolution and crop
         full = []
-        for ci, (cid, ch, cv, _tq) in enumerate(comps):
+        for ci, (_cid, ch, cv, _tq) in enumerate(comps):
             pl = planes[ci]
             if ch != hmax or cv != vmax:
                 pl = np.repeat(

@@ -813,6 +813,219 @@ def _j_block(bw, dc_diff, ac=()):
     _j_put_sym(bw, _J_AC_SYMS, 0x00)
 
 
+def _jpeg_multi(w, h, comps, scans, ac_syms=None, dri=0):
+    """Progressive (SOF2) JPEG with multiple hand-packed scans.
+    ``scans`` = [(comp_specs, ss, se, ah, al, payload_bytes)] where
+    comp_specs = [(cid, dc_table, ac_table)]."""
+    import struct as s
+
+    ac = ac_syms if ac_syms is not None else _J_AC_SYMS
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + s.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    out += seg(0xC4, bytes([0x00]) + bytes(_J_COUNTS) + bytes(_J_DC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_J_COUNTS) + bytes(ac))
+    sof = bytes([8]) + s.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += seg(0xC2, sof)
+    if dri:
+        out += seg(0xDD, s.pack(">H", dri))
+    for comp_specs, ss, se, ah, al, payload in scans:
+        sos = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos) + payload
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_progressive_dc_successive_approximation():
+    """SOF2 with a DC-first scan at Al=1 plus a DC refinement scan: the
+    two scans reassemble DC=3 bit by bit -> the same flat 134 field the
+    baseline test produces."""
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    bw1 = _JpegBitWriter()
+    _j_put_sym(bw1, _J_DC_SYMS, 1)  # category 1
+    bw1.put(1, 1)  # diff = +1 -> DC high bits = 1 (value 1<<1 = 2)
+    bw2 = _JpegBitWriter()
+    bw2.put(1, 1)  # refinement bit -> DC = 2 | 1 = 3
+    jp = _jpeg_multi(
+        8, 8, [(1, 1, 1)],
+        [
+            ([(1, 0, 0)], 0, 0, 0, 1, bw1.tobytes()),
+            ([(1, 0, 0)], 0, 0, 1, 0, bw2.tobytes()),
+        ],
+    )
+    px = decode_jpeg_pixels(jp)
+    assert px.shape == (8, 8, 3)
+    assert px.min() == px.max() == 134
+
+
+def test_decode_jpeg_progressive_spectral_matches_baseline():
+    """Progressive spectral selection (DC scan + AC band scan) must
+    reproduce the BASELINE decode of the same coefficients exactly."""
+    import numpy as np
+
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    # baseline reference: DC diff 3 + AC (0,1,-1)
+    bwb = _JpegBitWriter()
+    _j_block(bwb, 3, ac=[(0, 1, -1)])
+    base = decode_jpeg_pixels(_jpeg_full(8, 8, [(1, 1, 1)], bwb.tobytes()))
+
+    dc = _JpegBitWriter()
+    _j_put_sym(dc, _J_DC_SYMS, 2)  # category 2, diff +3
+    dc.put(3, 2)
+    acw = _JpegBitWriter()
+    _j_put_sym(acw, _J_AC_SYMS, 0x01)  # (run 0, size 1)
+    acw.put(0, 1)  # -1
+    _j_put_sym(acw, _J_AC_SYMS, 0x00)  # EOB
+    jp = _jpeg_multi(
+        8, 8, [(1, 1, 1)],
+        [
+            ([(1, 0, 0)], 0, 0, 0, 0, dc.tobytes()),
+            ([(1, 0, 0)], 1, 63, 0, 0, acw.tobytes()),
+        ],
+    )
+    prog = decode_jpeg_pixels(jp)
+    assert np.array_equal(prog, base)
+
+
+def test_decode_jpeg_progressive_ac_refinement():
+    """AC successive approximation: first scan places -1 at zigzag k=1
+    with Al=1 (coef -2); the refinement scan corrects it to -3 AND
+    introduces a new +1 at k=2 — checked against the explicit T.81
+    IDCT formula."""
+    import math
+
+    import numpy as np
+
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    dc = _JpegBitWriter()
+    _j_put_sym(dc, _J_DC_SYMS, 2)
+    dc.put(3, 2)  # DC = 3 -> 48 after dequant
+    ac1 = _JpegBitWriter()
+    _j_put_sym(ac1, _J_AC_SYMS, 0x01)
+    ac1.put(0, 1)  # -1 -> coef[1] = -1 << 1 = -2
+    _j_put_sym(ac1, _J_AC_SYMS, 0x00)  # EOB
+    ref = _JpegBitWriter()
+    _j_put_sym(ref, _J_AC_SYMS, 0x01)  # new coefficient, size 1
+    ref.put(1, 1)  # sign bit -> +1 << 0
+    ref.put(1, 1)  # correction bit for k=1: -2 -> -3
+    jp = _jpeg_multi(
+        8, 8, [(1, 1, 1)],
+        [
+            ([(1, 0, 0)], 0, 0, 0, 0, dc.tobytes()),
+            ([(1, 0, 0)], 1, 2, 0, 1, ac1.tobytes()),
+            ([(1, 0, 0)], 1, 2, 1, 0, ref.tobytes()),
+        ],
+    )
+    px = decode_jpeg_pixels(jp)
+    assert px is not None
+
+    # F in natural (v, u): DC 48; k=1 -> (0,1) = -3*16; k=2 -> (1,0)
+    F = np.zeros((8, 8))
+    F[0][0], F[0][1], F[1][0] = 48.0, -48.0, 16.0
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    for y in range(8):
+        for x in range(8):
+            v = sum(
+                c(u) * c(vf) * F[vf][u]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * vf * math.pi / 16)
+                for u in range(8)
+                for vf in range(8)
+            ) / 4.0
+            assert px[y, x, 0] == min(max(round(v + 128), 0), 255)
+
+
+def test_decode_jpeg_progressive_eobrun_spans_blocks():
+    """An EOB1 run in the AC scan covers the second block entirely —
+    output must equal the baseline decode of the same coefficients."""
+    import numpy as np
+
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    # baseline reference: two blocks, first has AC (0,1,-1), second flat
+    bwb = _JpegBitWriter()
+    _j_block(bwb, 3, ac=[(0, 1, -1)])
+    _j_block(bwb, 0)
+    base = decode_jpeg_pixels(
+        _jpeg_full(16, 8, [(1, 1, 1)], bwb.tobytes())
+    )
+
+    ac_syms = [0x00, 0x01, 0x10, 0x11]  # EOB0, (0,1), EOB1, (1,1)
+    dc = _JpegBitWriter()
+    _j_put_sym(dc, _J_DC_SYMS, 2)
+    dc.put(3, 2)  # block 1 DC diff 3
+    _j_put_sym(dc, _J_DC_SYMS, 0)  # block 2 DC diff 0
+    acw = _JpegBitWriter()
+    codes = _jpeg_canonical_codes(_J_COUNTS)
+
+    def put_ac(sym):
+        length, code = codes[ac_syms.index(sym)]
+        acw.put(code, length)
+
+    put_ac(0x01)
+    acw.put(0, 1)  # block 1: -1 at k=1
+    put_ac(0x10)
+    acw.put(0, 1)  # EOB1 + 1 extra bit 0 -> run=2 (this + next block)
+    jp = _jpeg_multi(
+        16, 8, [(1, 1, 1)],
+        [
+            ([(1, 0, 0)], 0, 0, 0, 0, dc.tobytes()),
+            ([(1, 0, 0)], 1, 63, 0, 0, acw.tobytes()),
+        ],
+        ac_syms=ac_syms,
+    )
+    prog = decode_jpeg_pixels(jp)
+    assert prog is not None and np.array_equal(prog, base)
+
+
+def test_decode_jpeg_progressive_interleaved_color():
+    """Interleaved progressive DC scan over a 4:2:0 MCU (4 Y + Cb +
+    Cr blocks) followed by no AC scans equals the baseline flat-color
+    result."""
+    import numpy as np
+
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    bwb = _JpegBitWriter()
+    for diff in (3, 0, 0, 0, -2, 2):
+        _j_block(bwb, diff)
+    base = decode_jpeg_pixels(
+        _jpeg_full(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)],
+                   bwb.tobytes())
+    )
+
+    dc = _JpegBitWriter()
+    for diff in (3, 0, 0, 0, -2, 2):
+        s, bits = _j_put_mag(dc, diff)
+        _j_put_sym(dc, _J_DC_SYMS, s)
+        if s:
+            dc.put(bits, s)
+    jp = _jpeg_multi(
+        16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)],
+        [
+            (
+                [(1, 0, 0), (2, 0, 0), (3, 0, 0)],
+                0, 0, 0, 0, dc.tobytes(),
+            ),
+        ],
+    )
+    prog = decode_jpeg_pixels(jp)
+    assert prog is not None and np.array_equal(prog, base)
+
+
 def test_decode_jpeg_pixels_dc_only_grayscale():
     """DC-only grayscale block: coefficient (0,0) = diff*q, IDCT of a
     lone DC is the constant dc*q/8 + 128."""
@@ -825,7 +1038,7 @@ def test_decode_jpeg_pixels_dc_only_grayscale():
     assert px.shape == (8, 8, 3)
     assert px.min() == px.max() == 134
 
-    # progressive (SOF2) is out of scope -> None
+    # malformed progressive (a DC scan claiming band 0..63) -> None
     bw2 = _JpegBitWriter()
     _j_block(bw2, 3)
     assert (
