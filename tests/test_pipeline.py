@@ -1026,6 +1026,26 @@ def test_decode_jpeg_progressive_interleaved_color():
     assert prog is not None and np.array_equal(prog, base)
 
 
+def test_decode_jpeg_progressive_restart_interval():
+    """DRI inside a progressive DC scan: predictor resets at RST0, so
+    two blocks carrying diff 3 each land on the same value."""
+    from filters_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    b1, b2 = _JpegBitWriter(), _JpegBitWriter()
+    for bw_ in (b1, b2):
+        _j_put_sym(bw_, _J_DC_SYMS, 2)
+        bw_.put(3, 2)
+    scan = b1.tobytes() + b"\xff\xd0" + b2.tobytes()
+    jp = _jpeg_multi(
+        16, 8, [(1, 1, 1)],
+        [([(1, 0, 0)], 0, 0, 0, 0, scan)],
+        dri=1,
+    )
+    px = decode_jpeg_pixels(jp)
+    assert px.shape == (8, 16, 3)
+    assert px.min() == px.max() == 134
+
+
 def test_decode_jpeg_pixels_dc_only_grayscale():
     """DC-only grayscale block: coefficient (0,0) = diff*q, IDCT of a
     lone DC is the constant dc*q/8 + 128."""
@@ -1232,6 +1252,48 @@ def test_sample_frames_real_mp4_demux(spark):
 
     with pytest.raises(ValueError):
         sample_frames(df, k=0)
+
+
+def test_sample_frames_co64_offsets(spark):
+    """64-bit chunk-offset boxes (co64) resolve the same byte ranges."""
+    import struct as s
+
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline import sample_frames
+
+    mp4 = _mp4_with_samples(
+        sizes=[3, 4],
+        chunks=[(1, 2, 1)],
+        stco=[32],
+        mdat_body=b"abcdefg",
+    )
+    # rewrite the stco box into a co64 with the same offset
+    old = s.pack(">I", 8 + 8 + 4) + b"stco" + bytes(4) + s.pack(">II", 1, 32)
+    new = s.pack(">I", 8 + 8 + 8) + b"co64" + bytes(4) + s.pack(">IQ", 1, 32)
+    assert old in mp4
+    mp4 = mp4.replace(old, new)
+    # fix enclosing box sizes (stbl/minf/mdia/trak/moov grew by 4)
+    # simpler: rebuild via the box walk — just reassemble from scratch
+    # is complex; instead verify the parser tolerates the size delta by
+    # patching each ancestor's 32-bit size field (+4)
+    grown = bytearray(mp4)
+    for btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = grown.find(btype)
+        assert j >= 4
+        (sz,) = s.unpack(">I", grown[j - 4 : j])
+        grown[j - 4 : j] = s.pack(">I", sz + 4)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(5, bytes(grown))], schema)
+    rows = sorted(
+        sample_frames(df, k=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [bytes(r["frame_bytes"]) for r in rows] == [b"abc", b"defg"]
 
 
 def test_resize_media_nearest_neighbour(spark):
