@@ -109,7 +109,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         payload.alias("__payload"),
-        F.col(tiebreak).cast("double").alias("__tie"),
+        _epoch_seconds(right, tiebreak).alias("__tie"),
     )
     l = left.select(
         "*",

@@ -265,6 +265,21 @@ def test_asof_join_composite_keys(spark):
     assert got == {1: 1.0, 2: 2.0}
 
 
+def test_asof_join_right_side_with_no_value_columns(spark):
+    """right_cols=[] defaults the tiebreak to the timestamp column —
+    which must survive TIMESTAMP_NTZ (no direct double cast)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:00:00"))],
+        "user_id string, ts timestamp",
+    )
+    got = asof_join(left, right, on="user_id").collect()[0]
+    assert got["ts_right"] == _ts("2024-01-01 09:00:00")
+
+
 def test_interval_join_timestamp_columns(spark):
     """Timestamp-typed point/start/end columns route through the
     NTZ-safe epoch helper; bucket_width is in seconds."""
