@@ -209,10 +209,13 @@ def interval_join(
     suffix: str = "_i",
     bucket_width: float = 3600.0,
     max_buckets_per_interval: int = 4096,
+    how: str = "inner",
 ) -> DataFrame:
     """Range join without the range-join plan: every ``points`` row is
     paired with every ``intervals`` row of the same key(s) whose
     half-open window ``[start, end)`` contains ``point_ts``.
+    ``how="left"`` keeps non-matching points once with null interval
+    columns (an extra anti-join branch over the matched point ids).
 
     Catalyst executes a raw inequality join as a broadcast-nested-loop
     (O(|P|·|I|) per key) — the classic 100 TB killer.  Instead both
@@ -230,8 +233,9 @@ def interval_join(
 
     Output: all ``points`` columns + ``interval_cols`` (default: the
     interval frame's non-key extra columns) suffixed with ``suffix``.
-    Non-matching points are dropped (inner-join semantics).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if interval_cols is None:
         interval_cols = [
@@ -286,10 +290,28 @@ def interval_join(
         (F.col("__p_s") >= F.col("__start_s"))
         & (F.col("__p_s") < F.col("__end_s"))
     )
-    return joined.select(
+    matched = joined.select(
         *[pt[c] for c in points.columns],
         *[F.col(c + suffix) for c in interval_cols],
     )
+    if how == "inner":
+        return matched
+    mpts = matched.select(*points.columns).alias("__m")
+    lp = points.alias("__p")
+    anti_cond = [
+        F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        for c in points.columns
+    ]  # null-safe: a NULL-bearing matched point must not reappear
+    unmatched = lp.join(mpts, anti_cond, "left_anti").select(
+        "*",
+        *[
+            F.lit(None)
+            .cast(intervals.schema[c].dataType)
+            .alias(c + suffix)
+            for c in interval_cols
+        ],
+    )
+    return matched.unionByName(unmatched)
 
 
 _GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")

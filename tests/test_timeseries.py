@@ -302,6 +302,27 @@ def test_interval_join_timestamp_columns(spark):
     assert [(r["event_id"], r["tag_i"]) for r in got] == [(1, "in")]
 
 
+def test_interval_join_left_keeps_unmatched_points(spark):
+    points = spark.createDataFrame(
+        [(1, "u1", 100.0), (2, "u1", 900.0), (3, "u2", 100.0)],
+        "event_id long, user_id string, ts double",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 50.0, 200.0, "A")],
+        "user_id string, start double, end double, tag string",
+    )
+    got = {
+        r["event_id"]: r["tag_i"]
+        for r in interval_join(
+            points, intervals, on="user_id", bucket_width=128.0,
+            how="left",
+        ).collect()
+    }
+    assert got == {1: "A", 2: None, 3: None}
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, on="user_id", how="outer")
+
+
 def test_interval_join_fuzz_vs_bruteforce(spark):
     """Randomised layouts vs a brute-force pandas containment filter:
     the bucketing must never add or lose a pair, whatever the
