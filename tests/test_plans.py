@@ -189,3 +189,37 @@ def test_stats_single_aggregation_pass(tdf):
     assert 2 <= n_aggs <= 4, plan[:2000]
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # SinglePartition (+AQE wrapper)
+
+
+def test_every_registered_query_avoids_unbounded_nested_loops(spark):
+    """Whole-surface plan discipline: build ALL driver-contract queries
+    at sf0.001 and assert no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere except the documented bounded-build-side cases.  This is
+    the net that catches a future operator silently degrading into the
+    O(n^2) plan that works at test scale and dies at 100 TB."""
+    import __spark_entry__ as e
+
+    # every entry here must carry a WHY; an unexplained hit fails
+    allowed = {
+        # 1-row global-total relation broadcast-crossed onto the data
+        # (bounded build side by construction):
+        "tfidf_top_terms",     # n_docs count
+        "drift_frequencies",   # total-count normaliser
+        "length_histogram",    # total-count normaliser
+        # documented O(n^2) opt-in: the exact all-pairs baseline the
+        # DuckDB oracle replays (default API path is SRP-bucketed)
+        "embed_near_dups",
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in e.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan(
+        ).toString()
+        hits = [
+            pat
+            for pat in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if pat in plan
+        ]
+        if hits and name not in allowed:
+            offenders[name] = hits
+    assert not offenders, offenders
