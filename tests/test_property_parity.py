@@ -260,3 +260,70 @@ def test_fuzzed_chain_parity(spark, lead_i, mid_is, term_i, values):
         assert act_val == exp_val, (
             f"{label}: cleaned differs for {v!r}: {act_val!r} != {exp_val!r}"
         )
+
+
+# -- numeric parity (fuzzed) -------------------------------------------------
+# Strings through Int / Decimal / Round / Min / Max chains, reference as
+# oracle.  Domain notes: magnitudes stay inside the engine's documented
+# 64-bit Int / Decimal(38,18) envelope (DEVIATIONS #4-#6) — the
+# deviations are *documented*, so the fuzz asserts parity only where
+# parity is claimed.
+
+NUM_TOKENS = st.one_of(
+    st.integers(-(2**62), 2**62).map(str),
+    st.integers(-(10**6), 10**6).map(lambda n: f"{n}.0"),
+    st.integers(-(10**4), 10**4).map(lambda n: f"  {n} "),
+    st.integers(-(10**4), 10**4).map(lambda n: f"{n}.25"),
+    st.sampled_from(
+        [
+            "", "abc", "12a", "+7", "-0", "0.5", "7.25", "-3.50",
+            "00042", ".5", "5.", "- 5", "1 000", "١٢٣",
+        ]
+    ),
+)
+
+NUM_PAIRS = [
+    ("int", lambda: ref.Int(), lambda: fs.Int()),
+    (
+        "int_minmax",
+        lambda: ref.Int() | ref.Min(-5) | ref.Max(1000),
+        lambda: fs.Int() | fs.Min(-5) | fs.Max(1000),
+    ),
+    (
+        "round_quarter",
+        lambda: ref.Round(to_nearest="0.25"),
+        lambda: fs.Round(to_nearest="0.25"),
+    ),
+    (
+        "round_down",
+        lambda: ref.Round(to_nearest="10", rounding="ROUND_DOWN"),
+        lambda: fs.Round(to_nearest="10", rounding="ROUND_DOWN"),
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,ref_chain,spec_chain", NUM_PAIRS, ids=[p[0] for p in NUM_PAIRS]
+)
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(values=st.lists(NUM_TOKENS, min_size=1, max_size=25))
+def test_fuzzed_numeric_parity(spark, name, ref_chain, spec_chain, values):
+    expected = [_ref_apply(ref_chain(), v) for v in values]
+    got = _engine_apply_batch(spark, spec_chain(), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        assert act_codes == exp_codes, (
+            f"{name}: codes differ for {v!r}: {act_codes} != {exp_codes}"
+        )
+        if exp_val is None or act_val is None:
+            assert act_val == exp_val, (
+                f"{name}: cleaned differs for {v!r}: "
+                f"{act_val!r} != {exp_val!r}"
+            )
+        else:
+            # numeric equality: Decimal('1E+3') == Decimal('1000')
+            assert act_val == exp_val, (
+                f"{name}: cleaned differs for {v!r}: "
+                f"{act_val!r} != {exp_val!r}"
+            )
