@@ -327,3 +327,80 @@ def test_fuzzed_numeric_parity(spark, name, ref_chain, spec_chain, values):
                 f"{name}: cleaned differs for {v!r}: "
                 f"{act_val!r} != {exp_val!r}"
             )
+
+
+# -- temporal parity (fuzzed) ------------------------------------------------
+# ISO-shaped datetime strings (naive, offset-bearing, date-only,
+# fractional seconds) through Datetime/Date, reference as oracle.
+# Cleaned values compare as UTC instants (the engine renders the
+# reference's always-UTC contract).
+
+_DT = st.datetimes(
+    min_value=__import__("datetime").datetime(1905, 1, 2, 0, 0, 0),
+    max_value=__import__("datetime").datetime(2099, 12, 30, 23, 59, 59),
+)
+
+
+@st.composite
+def _iso_strings(draw):
+    dt = draw(_DT).replace(microsecond=draw(st.sampled_from([0, 250000])))
+    form = draw(st.sampled_from(["naive", "t", "offset", "date", "junk"]))
+    if form == "naive":
+        return dt.strftime("%Y-%m-%d %H:%M:%S")
+    if form == "t":
+        return dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if form == "offset":
+        off = draw(st.sampled_from(["+00:00", "+05:30", "-08:00"]))
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + off
+    if form == "date":
+        return dt.strftime("%Y-%m-%d")
+    return draw(st.sampled_from(["not a date", "2024-13-45", ""]))
+
+
+def _ref_dt_apply(chain, value):
+    runner = ref.FilterRunner(chain, value)
+    codes = sorted(c for cs in runner.error_codes.values() for c in cs)
+    return runner.cleaned_data, codes
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(values=st.lists(_iso_strings(), min_size=1, max_size=25))
+def test_fuzzed_datetime_parity(spark, values):
+    import datetime as _d
+
+    expected = [_ref_dt_apply(ref.Datetime(), v) for v in values]
+    got = _engine_apply_batch(spark, fs.Datetime(), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        assert act_codes == exp_codes, (
+            f"datetime codes differ for {v!r}: {act_codes} != {exp_codes}"
+        )
+        if exp_val is None:
+            assert act_val is None, (v, act_val)
+        else:
+            # reference returns aware UTC; engine returns the same
+            # instant as a naive-UTC timestamp under the UTC session
+            exp_naive = exp_val.astimezone(_d.timezone.utc).replace(
+                tzinfo=None
+            )
+            assert act_val == exp_naive, (
+                f"datetime cleaned differs for {v!r}: "
+                f"{act_val!r} != {exp_naive!r}"
+            )
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(values=st.lists(_iso_strings(), min_size=1, max_size=25))
+def test_fuzzed_date_parity(spark, values):
+    expected = [_ref_dt_apply(ref.Date(), v) for v in values]
+    got = _engine_apply_batch(spark, fs.Date(), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        assert act_codes == exp_codes, (
+            f"date codes differ for {v!r}: {act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"date cleaned differs for {v!r}: {act_val!r} != {exp_val!r}"
+        )
