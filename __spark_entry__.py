@@ -2953,63 +2953,15 @@ FROM numbered
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep: the 15 queries the
-# r2 driver did not reach come FIRST (they were only judge-verified), then
-# cheap single-scan queries, then the heavy self-join / suite queries —
-# all 50 of which already have driver-green rows in CORRECTNESS_r02.json.
+# Ordered for the driver's bounded correctness sweep (50 of 84 in dict
+# order).  r3's window covered the FIRST 50 names of the r3 ordering; the
+# 34 names below whose latest driver-green row is r2 (or, for
+# dedup_groups, judge-only) come FIRST so that r3 ∪ r4 driver rows cover
+# all 84 registered queries (VERDICT r3 item 2).  Cheap scans lead, the
+# heavy self-joins (incl. dedup_groups) sit inside the 50-window tail,
+# and the 50 r3-green names fill out the back.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- new-in-r3 and unchecked-in-r2 first (VERDICT r2 item 6) --
-    "asof_join": q_asof_join,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "interval_join": q_interval_join,
-    "time_rollup": q_time_rollup,
-    "sessionize": q_sessionize,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "span_dedup": q_span_dedup,
-    "span_clean": q_span_clean,
-    "split_assign": q_split_assign,
-    "det_sample": q_det_sample,
-    "stratified_sample": q_stratified_sample,
-    "det_topn": q_det_topn,
-    "pack_plan": q_pack_plan,
-    "pack_sequences": q_pack_sequences,
-    "pack_token_ids": q_pack_token_ids,
-    "multimodal_pixels": q_multimodal_pixels,
-    "multimodal_samples": q_multimodal_samples,
-    "curation_e2e": q_curation_e2e,
-    "length_exact": q_length_exact,
-    "bytestring_encode": q_bytestring_encode,
-    "toml_decode": q_toml_decode,
-    "bytearray_pack": q_bytearray_pack,
-    "omit_project": q_omit_project,
-    "namedtuple_fields": q_namedtuple_fields,
-    "noop_chain": q_noop_chain,
-    "call_custom": q_call_custom,
-    "macro_registry": q_macro_registry,
-    "type_static": q_type_static,
-    "array_static": q_array_static,
-    "handler_errors": q_handler_errors,
-    "repetition_stats": q_repetition_stats,
-    "ngram_overlap": q_ngram_overlap,
-    "redact_pii": q_redact_pii,
-    # -- flagship + cheap single-scan queries --
-    "flagship_validate": q_flagship_validate,
-    "required": q_required,
-    "choice_canonical": q_choice_canonical,
-    "min_max": q_min_max,
-    "int_parse": q_int_parse,
-    "round_quarter": q_round_quarter,
-    "strip": q_strip,
-    "casefold": q_casefold,
-    "regex_all_matches": q_regex_all_matches,
-    "split_tokens": q_split_tokens,
-    "maxbytes_truncate": q_maxbytes_truncate,
-    "base64_roundtrip": q_base64_roundtrip,
-    "uuid_canonical": q_uuid_canonical,
-    "ipaddress": q_ipaddress,
-    "json_decode": q_json_decode,
-    "datetime_utc": q_datetime_utc,
-    "optional_default": q_optional_default,
+    # -- r3 complement: latest driver row is r2 --
     "minlength": q_minlength,
     "len_range": q_len_range,
     "maxchars_truncate": q_maxchars_truncate,
@@ -3035,16 +2987,68 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_histogram": q_length_histogram,
     "dedup_exact": q_dedup_exact,
     "cosine_topk": q_cosine_topk,
-    # -- heavy self-join / suite queries (driver-green in r2) --
+    # -- never driver-checked: judge-verified only in r3 --
+    "dedup_groups": q_dedup_groups,
+    # -- r3 complement: heavy self-join / suite queries --
     "suite_verdicts": q_suite_verdicts,
     "dedup_simhash": q_dedup_simhash,
     "simhash_pairs": q_simhash_pairs,
-    "dedup_groups": q_dedup_groups,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_srp": q_embed_near_dups_srp,
     "srp_ann_topk": q_srp_ann_topk,
+    # -- r3 driver-green names below (cheap scans first) --
+    "flagship_validate": q_flagship_validate,
+    "required": q_required,
+    "choice_canonical": q_choice_canonical,
+    "min_max": q_min_max,
+    "int_parse": q_int_parse,
+    "round_quarter": q_round_quarter,
+    "strip": q_strip,
+    "casefold": q_casefold,
+    "regex_all_matches": q_regex_all_matches,
+    "split_tokens": q_split_tokens,
+    "maxbytes_truncate": q_maxbytes_truncate,
+    "base64_roundtrip": q_base64_roundtrip,
+    "uuid_canonical": q_uuid_canonical,
+    "ipaddress": q_ipaddress,
+    "json_decode": q_json_decode,
+    "datetime_utc": q_datetime_utc,
+    "optional_default": q_optional_default,
+    "length_exact": q_length_exact,
+    "bytestring_encode": q_bytestring_encode,
+    "toml_decode": q_toml_decode,
+    "bytearray_pack": q_bytearray_pack,
+    "omit_project": q_omit_project,
+    "namedtuple_fields": q_namedtuple_fields,
+    "noop_chain": q_noop_chain,
+    "call_custom": q_call_custom,
+    "macro_registry": q_macro_registry,
+    "type_static": q_type_static,
+    "array_static": q_array_static,
+    "handler_errors": q_handler_errors,
+    "repetition_stats": q_repetition_stats,
+    "ngram_overlap": q_ngram_overlap,
+    "redact_pii": q_redact_pii,
+    "split_assign": q_split_assign,
+    "det_sample": q_det_sample,
+    "stratified_sample": q_stratified_sample,
+    "det_topn": q_det_topn,
+    "span_dedup": q_span_dedup,
+    "span_clean": q_span_clean,
+    "pack_plan": q_pack_plan,
+    "pack_sequences": q_pack_sequences,
+    "pack_token_ids": q_pack_token_ids,
+    "multimodal_pixels": q_multimodal_pixels,
+    "multimodal_samples": q_multimodal_samples,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "time_rollup": q_time_rollup,
+    "sessionize": q_sessionize,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "curation_e2e": q_curation_e2e,
 }
 
 _ORACLES: dict[str, str] = {

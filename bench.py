@@ -228,16 +228,11 @@ def main() -> None:
     steal_sec = round(read_steal_sec() - steal0, 1)
     total = round(suite["suite_sec"] + sum(queries.values()), 3)
 
-    out = {
-        "metric": "full_chain_validation_plus_headline_queries_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {"full_validation_suite": suite["suite_sec"], **queries},
-        "sf": sf,
-        "cpus": cpus,
-        "n_turns": suite["n_turns"],
-        "turns_per_sec_full_chain": suite["turns_per_sec"],
-        "hypervisor_steal_cpu_sec": steal_sec,
+    # Bulky per-attempt detail goes on its OWN earlier stdout line and a
+    # sidecar file; the FINAL stdout line stays compact so the driver's
+    # tail-window JSON parse always succeeds (r3's BENCH record came back
+    # `parsed: null` once query_attempts outgrew the tail window).
+    detail = {
         "suite_detail": {
             k: v
             for k, v in suite.items()
@@ -248,6 +243,27 @@ def main() -> None:
             for a in attempts
         ],
         "query_attempts": query_attempts,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print("BENCH_DETAIL " + json.dumps(detail), flush=True)
+
+    out = {
+        "metric": "full_chain_validation_plus_headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {"full_validation_suite": suite["suite_sec"], **queries},
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": suite["n_turns"],
+        "turns_per_sec_full_chain": suite["turns_per_sec"],
+        "hypervisor_steal_cpu_sec": steal_sec,
     }
     spark.stop()
     print(json.dumps(out))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "exact_dedup",
@@ -431,7 +432,25 @@ def dedup_groups(
     ``df`` (optional) appends singleton groups (``group_id = id``) for
     documents that appear in no pair, so the output is a total
     assignment over the corpus.
+
+    Id columns must be integral: a silent ``cast("long")`` on string doc
+    ids would NULL every node and collapse the adjacency into garbage,
+    so non-integral id types raise instead.  For string ids, map them to
+    longs first (e.g. ``xxhash64(id)`` plus a collision check, or a
+    ``monotonically_increasing_id`` lookup table) and join back after.
     """
+    _integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    id_checks = [(pairs, a_col), (pairs, b_col)] + (
+        [(df, id_col)] if df is not None else []
+    )
+    for frame, col_name in id_checks:
+        dt = frame.schema[col_name].dataType
+        if not isinstance(dt, _integral):
+            raise TypeError(
+                f"dedup_groups: id column {col_name!r} has type "
+                f"{dt.simpleString()}; ids must be integral (hash string "
+                "ids to longs explicitly, e.g. xxhash64, and join back)"
+            )
     e = pairs.select(
         F.col(a_col).cast("long").alias("u"),
         F.col(b_col).cast("long").alias("v"),

@@ -99,6 +99,16 @@ def asof_join(
         ]
     if tiebreak is None:
         tiebreak = right_cols[-1] if right_cols else right_ts
+    # the tiebreak stays in its NATIVE orderable type: casting to double
+    # (the old behaviour) turned every string tiebreak into NULL, so the
+    # documented "largest tiebreak wins" silently degraded to an
+    # arbitrary partition-dependent pick among duplicate (key, ts) rows
+    tie_type = right.schema[tiebreak].dataType
+    if isinstance(tie_type, T.MapType):
+        raise ValueError(
+            f"asof_join: tiebreak column {tiebreak!r} has non-orderable "
+            f"type {tie_type.simpleString()}; pass tiebreak= explicitly"
+        )
 
     payload = F.struct(
         F.col(right_ts).alias("__asof_ts"),
@@ -109,14 +119,14 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         payload.alias("__payload"),
-        _epoch_seconds(right, tiebreak).alias("__tie"),
+        F.col(tiebreak).alias("__tie"),
     )
     l = left.select(
         "*",
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
-        F.lit(None).cast("double").alias("__tie"),
+        F.lit(None).cast(tie_type).alias("__tie"),
     )
     # right rows order before left rows at equal ts (inclusive match);
     # among equal-ts right rows the largest tiebreak lands last, so the
@@ -207,9 +217,10 @@ def interval_join(
     end_col: str = "end",
     interval_cols: list[str] | None = None,
     suffix: str = "_i",
-    bucket_width: float = 3600.0,
+    bucket_width: float | str = "auto",
     max_buckets_per_interval: int = 4096,
     how: str = "inner",
+    point_id: str | None = None,
 ) -> DataFrame:
     """Range join without the range-join plan: every ``points`` row is
     paired with every ``intervals`` row of the same key(s) whose
@@ -231,6 +242,22 @@ def interval_join(
     interval that would fan out pathologically instead of silently
     materialising it.
 
+    ``bucket_width="auto"`` (default) derives the width from the
+    interval frame itself — one tiny aggregate computing the p90
+    interval length and the max length; the width is
+    ``max(p90_len, max_len / (0.9 * max_buckets_per_interval))`` so a
+    typical interval covers ~1-2 buckets and the fan-out guard can
+    never trip.  The join RESULT is width-independent, so the
+    approximate percentile costs nothing in determinism.  Pass a number
+    to pin the width (e.g. when the interval frame is too expensive to
+    pre-scan or a domain bucket size is known).
+
+    ``how="left"`` keeps unmatched points with null interval columns.
+    When the point frame has a unique id column, pass ``point_id=`` —
+    the unmatched recovery then anti-joins on that single narrow key
+    instead of the full (null-safe) point row, a much cheaper shuffle
+    at scale.
+
     Output: all ``points`` columns + ``interval_cols`` (default: the
     interval frame's non-key extra columns) suffixed with ``suffix``.
     """
@@ -243,7 +270,32 @@ def interval_join(
             for c in intervals.columns
             if c not in keys and c not in (start_col, end_col)
         ]
-    w = float(bucket_width)
+    if bucket_width == "auto":
+        stats = (
+            intervals.select(
+                (
+                    _epoch_seconds(intervals, end_col)
+                    - _epoch_seconds(intervals, start_col)
+                ).alias("__len")
+            )
+            .filter(F.col("__len") > 0)
+            .agg(
+                F.expr("approx_percentile(__len, 0.9)").alias("p90"),
+                F.max("__len").alias("mx"),
+            )
+            .first()
+        )
+        if stats is None or stats["mx"] is None:
+            w = 3600.0  # empty interval frame: any width works
+        else:
+            w = max(
+                float(stats["p90"]),
+                float(stats["mx"]) / (0.9 * max_buckets_per_interval),
+            )
+    else:
+        w = float(bucket_width)
+    if not w > 0:
+        raise ValueError(f"bucket_width must be positive, got {w!r}")
     p_s = _epoch_seconds(points, point_ts)
     i_start = _epoch_seconds(intervals, start_col)
     i_end = _epoch_seconds(intervals, end_col)
@@ -296,11 +348,22 @@ def interval_join(
     )
     if how == "inner":
         return matched
-    mpts = matched.select(*points.columns).alias("__m")
+    if point_id is not None:
+        # unique-id fast path: the anti-join shuffles only the id
+        # column instead of the full (null-safe) point row
+        if point_id not in points.columns:
+            raise ValueError(
+                f"point_id column {point_id!r} not in points frame"
+            )
+        anti_key = [point_id]
+        mpts = matched.select(*anti_key).alias("__m")
+    else:
+        anti_key = list(points.columns)
+        mpts = matched.select(*anti_key).alias("__m")
     lp = points.alias("__p")
     anti_cond = [
         F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
-        for c in points.columns
+        for c in anti_key
     ]  # null-safe: a NULL-bearing matched point must not reappear
     unmatched = lp.join(mpts, anti_cond, "left_anti").select(
         "*",
@@ -334,37 +397,77 @@ def time_rollup(
     partials (sum-of-sums, min-of-mins...), so the raw shuffle happens
     once and the coarse aggregations are near-free — the continuous-
     aggregate design, not one full groupBy per grain.
+
+    ``week`` does NOT nest in month/quarter/year (a week can straddle a
+    month boundary), so it is always a LEAF: re-aggregated from the
+    finest sub-week level (minute/hour/day — days DO nest in weeks) and
+    never used as the source for a coarser calendar grain.  When
+    ``week`` is requested together with a coarser grain and no sub-week
+    grain, an internal day-level partial (not emitted) serves as the
+    shared base, keeping the raw shuffle single.
     """
     keys = list(keys or [])
-    ordered = sorted(grains, key=_GRAIN_ORDER.index)
-    finest = ordered[0]
-    cur = (
-        df.groupBy(
-            F.date_trunc(finest, F.col(ts_col)).alias("bucket_ts"),
+    for g in grains:
+        if g not in _GRAIN_ORDER:
+            raise ValueError(
+                f"unknown grain {g!r}; expected one of {_GRAIN_ORDER}"
+            )
+    ordered = sorted(set(grains), key=_GRAIN_ORDER.index)
+    want_week = "week" in ordered
+    # calendar chain: every member nests in the next (min⊂hour⊂day⊂
+    # month⊂quarter⊂year) so partial re-aggregation is exact
+    cal = [g for g in ordered if g != "week"]
+    emit_cal = set(cal)
+    if want_week and cal and _GRAIN_ORDER.index(cal[0]) > _GRAIN_ORDER.index(
+        "day"
+    ):
+        # week + coarser-only: insert an internal (unemitted) day base
+        # so week re-aggregates from something that nests in it
+        cal = ["day"] + cal
+
+    def _agg_raw(grain: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
             *[F.col(k) for k in keys],
-        )
-        .agg(
+        ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col(value_col)).alias("sum_value"),
             F.min(F.col(value_col)).alias("min_value"),
             F.max(F.col(value_col)).alias("max_value"),
         )
-    )
-    levels = [cur.withColumn("grain", F.lit(finest))]
-    for grain in ordered[1:]:
-        cur = (
-            cur.groupBy(
-                F.date_trunc(grain, F.col("bucket_ts")).alias("bucket_ts"),
-                *[F.col(k) for k in keys],
-            )
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").alias("sum_value"),
-                F.min("min_value").alias("min_value"),
-                F.max("max_value").alias("max_value"),
-            )
+
+    def _reagg(src: DataFrame, grain: str) -> DataFrame:
+        return src.groupBy(
+            F.date_trunc(grain, F.col("bucket_ts")).alias("bucket_ts"),
+            *[F.col(k) for k in keys],
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
         )
-        levels.append(cur.withColumn("grain", F.lit(grain)))
+
+    levels: list[DataFrame] = []
+    if not cal:
+        # week is the only grain: aggregate the raw table by week
+        levels.append(_agg_raw("week").withColumn("grain", F.lit("week")))
+    else:
+        cur = _agg_raw(cal[0])
+        week_base = cur if _GRAIN_ORDER.index(cal[0]) <= _GRAIN_ORDER.index(
+            "day"
+        ) else None
+        if cal[0] in emit_cal:
+            levels.append(cur.withColumn("grain", F.lit(cal[0])))
+        for grain in cal[1:]:
+            cur = _reagg(cur, grain)
+            if _GRAIN_ORDER.index(grain) <= _GRAIN_ORDER.index("day"):
+                week_base = cur
+            if grain in emit_cal:
+                levels.append(cur.withColumn("grain", F.lit(grain)))
+        if want_week:
+            levels.append(
+                _reagg(week_base, "week").withColumn("grain", F.lit("week"))
+            )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
@@ -394,14 +497,17 @@ def sessionize(
     Adds ``session_seq`` (0-based per entity) and ``session_id``
     (``entity || '#' || seq``).  One shuffle on the entity key; ties on
     ``ts_col`` break by ``order_tiebreak`` (default: the first other
-    column) so numbering is deterministic.
+    column; on a frame with ONLY the entity and timestamp columns the
+    ordering falls back to ``ts_col`` alone) so numbering is
+    deterministic up to exact-duplicate rows.
     """
     tiebreak = order_tiebreak or next(
-        c for c in df.columns if c not in (entity_col, ts_col)
+        (c for c in df.columns if c not in (entity_col, ts_col)), None
     )
-    w = Window.partitionBy(entity_col).orderBy(
-        F.col(ts_col).asc(), F.col(tiebreak).asc()
-    )
+    order_cols = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order_cols.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
     cur_s = _epoch_seconds(df, ts_col)
     prev_s = F.lag(cur_s).over(w)
     is_start = (

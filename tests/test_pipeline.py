@@ -2292,3 +2292,19 @@ def test_minhash_lsh_bucket_flood_guard(spark):
     unguarded = minhash_lsh_pairs(df, bands=4, rows=2, max_bucket=None)
     up = {(r["a"], r["b"]) for r in unguarded.collect()}
     assert len(up) >= 40 * 39 / 2  # the quadratic flood the guard removes
+
+
+def test_dedup_groups_rejects_non_integral_ids(spark):
+    """String ids would silently NULL-cast and collapse the adjacency
+    (ADVICE r3): non-integral id columns raise instead."""
+    from filters_spark.pipeline.dedup import dedup_groups
+
+    spairs = spark.createDataFrame(
+        [("a", "b")], "a string, b string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        dedup_groups(spairs)
+    ipairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    scorpus = spark.createDataFrame([("x",)], "doc_id string")
+    with pytest.raises(TypeError, match="integral"):
+        dedup_groups(ipairs, df=scorpus)

@@ -428,3 +428,169 @@ def test_sessionize_gap_islands(spark):
     )
     r2 = sessionize(ev2, gap_seconds=1800.0, order_tiebreak="event_id")
     assert {r["session_seq"] for r in r2.collect()} == {0}
+
+
+def test_asof_join_string_tiebreak(spark):
+    """A STRING tiebreak must stay in its native orderable type: the
+    old double-cast nulled it out and the duplicate-(key, ts) winner
+    became partition-dependent (ADVICE r3)."""
+    dup = spark.createDataFrame(
+        [
+            ("u9", _ts("2024-01-01 08:00:00"), "alpha"),
+            ("u9", _ts("2024-01-01 08:00:00"), "zeta"),
+            ("u9", _ts("2024-01-01 08:00:00"), "mid"),
+        ],
+        "user_id string, ts timestamp, label string",
+    )
+    l9 = spark.createDataFrame(
+        [(1, "u9", _ts("2024-01-01 09:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    r = asof_join(l9, dup, on="user_id", tiebreak="label").collect()[0]
+    assert r["label_right"] == "zeta"  # largest string wins, always
+    # default tiebreak = last projected right col (a string here) too
+    r2 = asof_join(l9, dup, on="user_id").collect()[0]
+    assert r2["label_right"] == "zeta"
+
+
+def test_asof_join_non_orderable_tiebreak_raises(spark):
+    right = spark.createDataFrame(
+        [("u1", 1.0, {"k": 1})],
+        "user_id string, ts double, meta map<string, int>",
+    )
+    left = spark.createDataFrame(
+        [(1, "u1", 2.0)], "event_id long, user_id string, ts double"
+    )
+    with pytest.raises(ValueError, match="non-orderable"):
+        asof_join(left, right, on="user_id", tiebreak="meta")
+
+
+def test_time_rollup_week_never_feeds_calendar_grains(spark):
+    """Weeks do not nest in months (ADVICE r3, high): an event in a
+    month-straddling week must land in ITS month, and the week bucket
+    must still aggregate across the boundary."""
+    ev = spark.createDataFrame(
+        [
+            # ISO week starting Mon 2024-01-29 straddles Jan/Feb
+            (_ts("2024-01-29 10:00:00"), "click", 1.0),
+            (_ts("2024-02-01 10:00:00"), "click", 2.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    out = time_rollup(
+        ev, keys=["event_type"], grains=("day", "week", "month")
+    ).collect()
+    by = {(r["grain"], str(r["bucket_ts"])): r for r in out}
+    # the straddling week aggregates BOTH events
+    w = by[("week", "2024-01-29 00:00:00")]
+    assert (w["n_events"], w["sum_value"]) == (2, 3.0)
+    # months split correctly: Feb 1 must NOT leak into January
+    jan = by[("month", "2024-01-01 00:00:00")]
+    feb = by[("month", "2024-02-01 00:00:00")]
+    assert (jan["n_events"], jan["sum_value"]) == (1, 1.0)
+    assert (feb["n_events"], feb["sum_value"]) == (1, 2.0)
+
+
+def test_time_rollup_week_plus_coarse_only(spark):
+    """week + month with no sub-week grain: an internal day base keeps
+    both correct without emitting day rows."""
+    ev = spark.createDataFrame(
+        [
+            (_ts("2024-01-29 10:00:00"), 1.0),
+            (_ts("2024-02-01 10:00:00"), 2.0),
+        ],
+        "ts timestamp, value double",
+    )
+    out = time_rollup(ev, keys=[], grains=("week", "month")).collect()
+    grains = {r["grain"] for r in out}
+    assert grains == {"week", "month"}  # day base is internal only
+    by = {(r["grain"], str(r["bucket_ts"])): r for r in out}
+    assert by[("week", "2024-01-29 00:00:00")]["n_events"] == 2
+    assert by[("month", "2024-02-01 00:00:00")]["sum_value"] == 2.0
+
+    # week alone aggregates the raw table directly
+    wk = time_rollup(ev, keys=[], grains=("week",)).collect()
+    assert {r["grain"] for r in wk} == {"week"}
+    assert wk[0]["n_events"] == 2
+
+    with pytest.raises(ValueError, match="unknown grain"):
+        time_rollup(ev, keys=[], grains=("fortnight",))
+
+
+def test_sessionize_entity_ts_only_frame(spark):
+    """No third column: ordering falls back to ts alone instead of
+    raising StopIteration (ADVICE r3)."""
+    ev = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 10:00:00")),
+            (7, _ts("2024-01-01 11:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(ev, gap_seconds=1800.0).collect()
+    assert sorted(r["session_seq"] for r in out) == [0, 1]
+
+
+def test_interval_join_auto_bucket_width(spark):
+    """bucket_width='auto' (the default) derives a width from the
+    interval-length p90/max so mixed-width intervals neither flood nor
+    trip the fan-out guard, and the result matches an explicit width."""
+    points = spark.createDataFrame(
+        [(i, "u1", float(t)) for i, t in enumerate([5, 55, 500, 5000])],
+        "event_id long, user_id string, ts double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", 0.0, 10.0, "tiny"),
+            ("u1", 50.0, 60.0, "tiny2"),
+            ("u1", 0.0, 6000.0, "huge"),  # 600x wider than the tiny ones
+        ],
+        "user_id string, start double, end double, tag string",
+    )
+    auto = sorted(
+        (r["event_id"], r["tag_i"])
+        for r in interval_join(
+            points, intervals, on="user_id",
+            max_buckets_per_interval=8,  # tight guard: auto must clear it
+        ).collect()
+    )
+    explicit = sorted(
+        (r["event_id"], r["tag_i"])
+        for r in interval_join(
+            points, intervals, on="user_id", bucket_width=750.0
+        ).collect()
+    )
+    assert auto == explicit
+    assert ("tiny", ) not in auto  # sanity: tags come paired
+
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(points, intervals, on="user_id", bucket_width=0.0)
+
+
+def test_interval_join_point_id_fast_path(spark):
+    """how='left' with point_id= anti-joins on the id alone and must
+    produce the same rows as the full-row null-safe recovery."""
+    points = spark.createDataFrame(
+        [(1, "u1", 100.0), (2, "u1", 900.0), (3, "u2", None)],
+        "event_id long, user_id string, ts double",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 50.0, 200.0, "A")],
+        "user_id string, start double, end double, tag string",
+    )
+    kw = dict(on="user_id", bucket_width=128.0, how="left")
+    slow = {
+        r["event_id"]: r["tag_i"]
+        for r in interval_join(points, intervals, **kw).collect()
+    }
+    fast = {
+        r["event_id"]: r["tag_i"]
+        for r in interval_join(
+            points, intervals, point_id="event_id", **kw
+        ).collect()
+    }
+    assert slow == fast == {1: "A", 2: None, 3: None}
+    with pytest.raises(ValueError, match="point_id"):
+        interval_join(
+            points, intervals, point_id="nope", **kw
+        )
