@@ -1160,44 +1160,93 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 
 
 def q_ivf_ann_topk(spark, sf_dir):
-    """Approximate top-k via IVF cells — the data-ADAPTIVE counterpart
-    of ``srp_ann_topk`` (centroids follow the corpus distribution).
-    Fully deterministic: centroids are the ``portable_hash60``-smallest
-    corpus vectors, so the DuckDB oracle replays centroid selection,
-    cell assignment (arg-max cosine, lowest-index tie-break), and probe
-    choice exactly."""
+    """Approximate top-k via IVF cells WITH one Lloyd refinement round
+    — the data-ADAPTIVE counterpart of ``srp_ann_topk`` (centroids
+    follow the corpus distribution, then move to actual member means).
+    Fully deterministic end-to-end: the init centroids are the
+    ``portable_hash60``-smallest corpus vectors, and the refinement
+    mean quantizes components to a 1e-6 integer grid and sums BIGINTs
+    (order-independent), so the DuckDB oracle replays centroid
+    selection, the Lloyd round, cell assignment (arg-max cosine,
+    lowest-index tie-break), and probe choice exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_cells=8, nprobe=2
+        emb,
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_cells=8,
+        nprobe=2,
+        refine_rounds=1,
     )
     return out.select("vec_id", _round6("score").alias("score"))
 
 
-SQL_IVF_ANN_TOPK = """
-WITH h AS (
+def _sql_ivf_ann_topk(rounds: int = 1) -> str:
+    """DuckDB replay of ``ivf_topk(refine_rounds=rounds)``: one CTE
+    pair (assignment arg-max + quantized-BIGINT-sum means) per Lloyd
+    round, chained off the hash-init centroid table ``c0``."""
+    ctes = [
+        """h AS (
   SELECT vec_id, embedding,
          CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#42'), 1, 15)
               AS BIGINT) AS h60
   FROM embeddings
-), c AS (
+)""",
+        """c0 AS (
   SELECT row_number() OVER (ORDER BY h60, vec_id) - 1 AS cidx,
-         embedding AS cvec
+         CAST(embedding AS DOUBLE[]) AS cvec
   FROM h ORDER BY h60, vec_id LIMIT 8
-), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-qc AS (
-  SELECT cidx FROM c, q
-  ORDER BY list_cosine_similarity(CAST(c.cvec AS DOUBLE[]),
-                                  CAST(q.embedding AS DOUBLE[])) DESC, cidx
-  LIMIT 2
-), a AS (
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""a{r} AS (
   SELECT e.vec_id, c.cidx,
          row_number() OVER (
            PARTITION BY e.vec_id
            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                           CAST(c.cvec AS DOUBLE[])) DESC,
+                                           c.cvec) DESC,
                     c.cidx) AS rn
-  FROM embeddings e CROSS JOIN c
-), cells AS (SELECT vec_id, cidx AS cell FROM a WHERE rn = 1)
+  FROM embeddings e CROSS JOIN c{r} c
+)""")
+        ctes.append(f"""x{r} AS (
+  SELECT a.cidx AS cidx,
+         generate_subscripts(e.embedding, 1) AS pos,
+         unnest(e.embedding) AS val
+  FROM (SELECT vec_id, cidx FROM a{r} WHERE rn = 1) a
+  JOIN embeddings e USING (vec_id)
+)""")
+        ctes.append(f"""m{r} AS (
+  SELECT cidx, pos,
+         CAST(SUM(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 1e6 AS mean
+  FROM x{r} GROUP BY cidx, pos
+)""")
+        ctes.append(f"""c{r + 1} AS (
+  SELECT c{r}.cidx, COALESCE(mm.cv, c{r}.cvec) AS cvec
+  FROM c{r} LEFT JOIN (
+    SELECT cidx, list(mean ORDER BY pos) AS cv FROM m{r} GROUP BY cidx
+  ) mm USING (cidx)
+)""")
+    c = f"c{rounds}"
+    ctes.append("q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)")
+    ctes.append(f"""qc AS (
+  SELECT cidx FROM {c}, q
+  ORDER BY list_cosine_similarity({c}.cvec,
+                                  CAST(q.embedding AS DOUBLE[])) DESC, cidx
+  LIMIT 2
+)""")
+    ctes.append(f"""a_fin AS (
+  SELECT e.vec_id, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                    c.cidx) AS rn
+  FROM embeddings e CROSS JOIN {c} c
+)""")
+    ctes.append("cells AS (SELECT vec_id, cidx AS cell FROM a_fin WHERE rn = 1)")
+    return (
+        "WITH " + ",\n".join(ctes) + """
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                     CAST(q.embedding AS DOUBLE[])) * 1e6)
@@ -1208,6 +1257,10 @@ ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                 CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
 LIMIT 10
 """
+    )
+
+
+SQL_IVF_ANN_TOPK = _sql_ivf_ann_topk(rounds=1)
 
 
 def q_split_assign(spark, sf_dir):

@@ -48,6 +48,7 @@ from filters_spark.pipeline.similarity import (
     embedding_near_dups,
     ivf_assign,
     ivf_centroids,
+    ivf_refine,
     ivf_topk,
     srp_bucket,
     srp_topk,
@@ -110,6 +111,7 @@ __all__ = [
     "repeated_spans",
     "ivf_assign",
     "ivf_centroids",
+    "ivf_refine",
     "ivf_topk",
     "pack_plan",
     "pack_sequences",

@@ -28,6 +28,7 @@ __all__ = [
     "embedding_near_dups",
     "ivf_assign",
     "ivf_centroids",
+    "ivf_refine",
     "ivf_topk",
     "srp_bucket",
     "srp_topk",
@@ -254,6 +255,70 @@ def ivf_centroids(
     return [[float(x) for x in r["__v"]] for r in rows]
 
 
+def ivf_refine(
+    df: DataFrame,
+    centroids: list[list[float]],
+    rounds: int = 1,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: float = 1e6,
+) -> list[list[float]]:
+    """Deterministic Lloyd refinement over an IVF centroid init — turns
+    :func:`ivf_centroids`' replayable random init into real k-means
+    centroids (VERDICT r3 item 4).
+
+    Each round: assign every vector to its nearest centroid
+    (:func:`ivf_assign` — one corpus projection, no Python), then
+    recompute each centroid as the member mean.  The mean is made
+    EXACTLY reproducible across engines and partition orders by
+    quantizing each component to the ``1/quant`` grid and summing as
+    BIGINTs (integer addition is order-independent; float sums are
+    not), then dividing back in double with a fixed operation order
+    (``sum / n / quant``) — so a SQL oracle replays every round
+    bit-for-bit with a chain of CTEs.  Cells that lose all members keep
+    their previous centroid (a deterministic rule both engines share).
+
+    Scale shape per round: one corpus-wide assignment projection + one
+    explode keyed ``(cell, pos)`` — the shuffle carries
+    ``(int, int, long)`` triples and lands on ``n_cells × dim`` groups;
+    driver state is the centroid table itself (config-sized).  No
+    lineage accumulation: each round's plan reads ``df`` afresh with
+    the new centroid literals, so no checkpointing is needed (unlike
+    ``dedup_groups``, whose rounds chain on the previous round's
+    DataFrame).
+    """
+    if dim is None:
+        dim = len(centroids[0])
+    cur = [[float(x) for x in c] for c in centroids]
+    for _ in range(max(0, rounds)):
+        assign = ivf_assign(df, cur, dim, vec_col, id_col)
+        joined = df.select(
+            F.col(id_col), F.col(vec_col).alias("__v")
+        ).join(assign, id_col)
+        stats = (
+            joined.select(
+                "cell", F.posexplode(F.col("__v")).alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("val").cast("double") * F.lit(quant), 0
+                    ).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in cur]
+        for r in stats:
+            # fixed op order (s / n / quant), mirrored by the oracle
+            new[r["cell"]][r["pos"]] = float(r["s"]) / r["n"] / quant
+        cur = new
+    return cur
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -375,9 +440,15 @@ def ivf_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_rounds: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: score only vectors whose cell is
     among the ``nprobe`` centroids nearest the query.
+
+    ``refine_rounds`` runs that many deterministic Lloyd iterations
+    (:func:`ivf_refine`) over the init before probing — centroids move
+    to actual cluster means, so recall at fixed ``nprobe`` improves on
+    clustered corpora while staying oracle-replayable.
 
     The data-ADAPTIVE counterpart of :func:`srp_topk` (SRP planes are
     data-oblivious): cells follow the corpus distribution, so dense
@@ -395,6 +466,10 @@ def ivf_topk(
 
     if centroids is None:
         centroids = ivf_centroids(df, n_cells, vec_col, id_col, seed)
+    if refine_rounds:
+        centroids = ivf_refine(
+            df, centroids, refine_rounds, len(query_vec), vec_col, id_col
+        )
     q = [float(x) for x in query_vec]
     nq = _math.sqrt(sum(x * x for x in q))
 

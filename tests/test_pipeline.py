@@ -2308,3 +2308,66 @@ def test_dedup_groups_rejects_non_integral_ids(spark):
     scorpus = spark.createDataFrame([("x",)], "doc_id string")
     with pytest.raises(TypeError, match="integral"):
         dedup_groups(ipairs, df=scorpus)
+
+
+def test_ivf_refine_improves_recall_on_clustered_corpus(spark):
+    """One–two Lloyd rounds (ivf_refine) move hash-init centroids to
+    actual cluster means: with a bad init (two picks in one cluster,
+    seed=3 on this corpus), nprobe=1 recall jumps 0.4 → 1.0.  Also pins
+    determinism: refinement is pure integer-grid arithmetic, so two
+    runs produce bit-identical centroids."""
+    import random
+
+    from filters_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_refine,
+        ivf_topk,
+    )
+
+    rng = random.Random(1234)
+    centers = [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]]
+    rows = [
+        (
+            i,
+            [
+                float(centers[i % 3][d] + rng.uniform(-0.05, 0.05))
+                for d in range(4)
+            ],
+        )
+        for i in range(60)
+    ]
+    emb3 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    q = [1.0, 0.0, 0.0, 0.0]
+    brute = {r["vec_id"] for r in cosine_topk(emb3, q, k=10).collect()}
+    init = ivf_centroids(emb3, n_cells=3, seed=3)
+    got_init = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb3, q, k=10, n_cells=3, nprobe=1, centroids=init
+        ).collect()
+    }
+    refined = ivf_refine(emb3, init, rounds=2)
+    got_ref = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb3, q, k=10, n_cells=3, nprobe=1, centroids=refined
+        ).collect()
+    }
+    recall_init = len(got_init & brute) / 10
+    recall_ref = len(got_ref & brute) / 10
+    assert recall_init == 0.4  # two init picks landed in one cluster
+    assert recall_ref == 1.0
+    # bit-identical across runs (integer-grid means, no float-sum order)
+    assert ivf_refine(emb3, init, rounds=2) == refined
+    # refine_rounds= plumbs through ivf_topk
+    via_param = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb3, q, k=10, n_cells=3, nprobe=1, seed=3, refine_rounds=2
+        ).collect()
+    }
+    assert via_param == got_ref
+    emb3.unpersist()
