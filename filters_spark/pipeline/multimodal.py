@@ -22,9 +22,11 @@ full progressive incl. successive approximation and EOB runs), BMP
 (:func:`decode_wav_samples` — PCM 8/16/24/32 + float32/64), so
 ``decode_media``'s feature vector holds actual luminance statistics
 for full images and actual RMS/zero-crossing statistics for WAVs.
-Only video frame-pixel decode stays out of scope (no codec libs in
-this container) — and even there :func:`sample_frames` demuxes the
-real frame BYTES via the MP4 sample tables.  ``strict=True`` raises
+Video: :func:`sample_frames` demuxes real frame BYTES via the MP4
+sample tables or the RIFF-AVI ``movi`` walk, and MJPEG frames (AVI
+``MJPG``, QuickTime ``jpeg``) decode to PIXELS through the JPEG
+decoder — only *inter-frame* codec pixel decode (H.264 etc.) stays out
+of scope (no codec libs in this container).  ``strict=True`` raises
 only for genuinely unknown bytes.
 """
 
@@ -92,6 +94,11 @@ def attach_media_meta(
             | F.startswith(p, F.lit(b"BM")),
             F.lit("image"),
         )
+        .when(
+            F.startswith(p, F.lit(b"RIFF"))
+            & (F.substring(p, 9, 4) == F.lit(b"AVI ")),
+            F.lit("video"),
+        )
         .when(F.startswith(p, F.lit(b"RIFF")), F.lit("audio"))
         .when(
             F.startswith(F.substring(p, 5, 4), F.lit(b"ftyp")), F.lit("video")
@@ -157,6 +164,12 @@ def parse_media_header(
     if p.startswith(b"BM") and len(p) >= 26:
         w, h = struct.unpack("<ii", p[18:26])
         return "image", w, abs(h), 1
+    if p.startswith(b"RIFF") and p[8:12] == b"AVI ":
+        info = _avi_info(p)
+        if info is None:
+            return None
+        w, h, nf, _handler, _frames = info
+        return "video", w, h, nf
     if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
         i, channels, rate, block_align, data_size = 12, 0, 0, 0, 0
         while i + 8 <= len(p):
@@ -174,6 +187,65 @@ def parse_media_header(
         w, h, frames = _mp4_video_meta(p)
         return "video", w, h, frames
     return None
+
+
+def _avi_info(p: bytes):
+    """REAL RIFF-AVI parse — pure stdlib ``struct``, no demux library
+    (OpenDML/AVI RIFF spec): walks the chunk tree, reads ``avih``
+    (dwTotalFrames at +16, dwWidth/dwHeight at +32/+36), the first
+    ``vids`` stream's ``strh`` fccHandler, and collects the stream-0
+    video frame chunks (``00dc``/``00db``, including ones nested in
+    ``rec `` grouping lists) as absolute ``(offset, size)`` ranges.
+
+    Returns ``(width, height, n_frames, handler, frames)`` or ``None``
+    when the payload is not a RIFF-AVI.  For MJPEG AVIs each frame
+    chunk is a complete JPEG bitstream — :func:`decode_jpeg_pixels`
+    decodes it directly (the round-3 "video pixel decode" gap, closed
+    for the one codec that is stdlib-tractable)."""
+    if not (p.startswith(b"RIFF") and p[8:12] == b"AVI "):
+        return None
+    width = height = total = 0
+    handler = b""
+    frames: list[tuple[int, int]] = []
+    in_vids = False
+    # iterative walk: (start, end, in_movi) frames of LIST bodies
+    stack = [(12, len(p), False)]
+    while stack:
+        i, end, in_movi = stack.pop()
+        while i + 8 <= end:
+            cid = p[i : i + 4]
+            (size,) = struct.unpack("<I", p[i + 4 : i + 8])
+            body, bend = i + 8, i + 8 + size
+            if bend > end:
+                break  # truncated chunk: stop this level
+            if cid == b"LIST" and size >= 4:
+                ltype = p[body : body + 4]
+                stack.append(
+                    (
+                        body + 4,
+                        bend,
+                        in_movi or ltype in (b"movi", b"rec "),
+                    )
+                )
+            elif cid == b"avih" and size >= 40:
+                (total,) = struct.unpack("<I", p[body + 16 : body + 20])
+                width, height = struct.unpack(
+                    "<II", p[body + 32 : body + 40]
+                )
+            elif cid == b"strh" and size >= 8:
+                if p[body : body + 4] == b"vids" and not in_vids:
+                    handler = p[body + 4 : body + 8]
+                    in_vids = True
+            elif in_movi and cid[:2] == b"00" and cid[2:4] in (
+                b"dc",
+                b"db",
+            ):
+                frames.append((body, size))
+            i = bend + (size & 1)  # chunks are word-aligned
+    if not frames and not (width or height):
+        return None
+    frames.sort()  # stack pops lists LIFO; file order is authoritative
+    return width, height, (total or len(frames)), handler, frames
 
 
 _MP4_CONTAINERS = frozenset(
@@ -1255,10 +1327,13 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:
     if parsed is not None:
         return parsed
     mt = "unknown"
-    for magic, kind in _SNIFF:
-        if payload.startswith(magic):
-            mt = kind
-            break
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        mt = "video"  # truncated AVI: keep the container type
+    else:
+        for magic, kind in _SNIFF:
+            if payload.startswith(magic):
+                mt = kind
+                break
     if mt == "unknown" and len(payload) >= 12 and payload[4:8] == b"ftyp":
         mt = "video"
     h = hashlib.md5(payload).digest()
@@ -1266,6 +1341,34 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:
     height = 16 + h[1] % 64
     n_frames = 1 if mt == "image" else 1 + h[2] % 30
     return mt, width, height, n_frames
+
+
+def _video_frame_table(payload: bytes):
+    """Per-frame ``(offset, size)`` table for a video container: AVI
+    ``movi`` chunks or the ISO-BMFF sample table.  ``None`` when the
+    payload is neither or carries no resolvable frame index."""
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        info = _avi_info(payload)
+        return info[4] if info and info[4] else None
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _mp4_sample_table(payload)
+    return None
+
+
+def _video_first_jpeg(payload: bytes):
+    """First video frame's bytes when they are a JPEG bitstream — the
+    MJPEG case (AVI ``MJPG`` ``00dc`` chunks; QuickTime/MP4 ``jpeg``
+    sample entries), detected by the frame's own SOI marker rather than
+    by trusting the declared fourcc.  ``None`` for inter-frame codecs
+    (H.264 etc.), whose pixel decode stays the documented stub."""
+    table = _video_frame_table(payload)
+    if not table:
+        return None
+    off, size = table[0]
+    body = payload[off : off + size]
+    if len(body) == size and body.startswith(b"\xff\xd8"):
+        return body
+    return None
 
 
 def decode_media(
@@ -1290,10 +1393,12 @@ def decode_media(
     stdlib+numpy) and the feature vector holds actual pixel statistics
     (luminance mean, std, then an L1-normalised luminance histogram
     over the remaining ``feature_dim - 2`` slots); PCM16 WAVs decode to
-    samples with RMS/zero-crossing/level-histogram features.
-    Everything else — video containers, header-only or undecodable
-    images — reports header-parsed dimensions with the digest-derived
-    feature fallback.
+    samples with RMS/zero-crossing/level-histogram features; MJPEG
+    videos (AVI ``MJPG`` / QuickTime ``jpeg``) decode their first
+    frame's pixels through the same JPEG decoder.  Everything else —
+    inter-frame video codecs, header-only or undecodable images —
+    reports header-parsed dimensions with the digest-derived feature
+    fallback.
 
     Scale notes: decode is CPU-bound and embarrassingly parallel — size
     partitions by payload bytes (``spark.sql.files.maxPartitionBytes``),
@@ -1350,6 +1455,13 @@ def decode_media(
                         px = decode_jpeg_pixels(payload)
                     if px is None:
                         px = decode_bmp_pixels(payload)
+                elif mt == "video":
+                    # MJPEG: the representative (first) frame is a
+                    # complete JPEG — decode it for REAL pixel features;
+                    # inter-frame codecs fall through to the fallback
+                    fb = _video_first_jpeg(payload)
+                    if fb is not None:
+                        px = decode_jpeg_pixels(fb)
                 if px is not None:
                     hgt, w = int(px.shape[0]), int(px.shape[1])
                     if px.shape[2] >= 3:
@@ -1402,10 +1514,13 @@ def sample_frames(
     payload_col: str = "payload",
     id_col: str = "id",
 ) -> DataFrame:
-    """Uniformly sample up to ``k`` frames per MP4/MOV payload and
+    """Uniformly sample up to ``k`` frames per MP4/MOV/AVI payload and
     extract their REAL encoded bytes — a pure-stdlib demux via the
     ISO-BMFF sample tables (``stsz`` sizes, ``stsc`` sample→chunk runs,
-    ``stco``/``co64`` chunk offsets), no ffmpeg.
+    ``stco``/``co64`` chunk offsets) or the RIFF-AVI ``movi`` chunk
+    walk (:func:`_avi_info`), no ffmpeg.  For MJPEG payloads the
+    emitted ``frame_bytes`` are complete JPEGs,
+    directly decodable with :func:`decode_jpeg_pixels`.
 
     Frame ``i`` of ``k`` picks sample ``floor(i * n / k)`` (first frame
     always included).  Output rows: ``(id, frame_idx, n_frames, offset,
@@ -1430,9 +1545,7 @@ def sample_frames(
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                if len(payload) < 12 or payload[4:8] != b"ftyp":
-                    continue
-                table = _mp4_sample_table(payload)
+                table = _video_frame_table(payload)
                 if not table:
                     continue
                 n = len(table)
