@@ -3002,6 +3002,179 @@ FROM numbered
 """
 
 
+# -- skew-stress twins (VERDICT r3 item 5): ~10% of rows on ONE hot key --
+
+def _hot_user():
+    """Deterministic hot-key mapping: every user_id divisible by 10
+    collapses onto entity -1 (~10% of rows for a uniform user column).
+    Mirrored verbatim by the oracle CASE expression."""
+    return F.when(F.col("user_id") % 10 == 0, F.lit(-1)).otherwise(
+        F.col("user_id")
+    )
+
+
+_SQL_HOT_EVENTS = """
+  SELECT event_id, ts,
+         CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END AS user_id,
+         event_type, value
+  FROM events
+"""
+
+
+def q_asof_join_skew(spark, sf_dir):
+    """Skew-stress twin of ``asof_join``: one entity owns ~10% of the
+    rows.  The union+window design keeps a hot key as a SINGLE sorted
+    run (no per-key pair explosion), so bench cost must stay within ~2×
+    of the uniform-key query — bench.py measures both every round."""
+    from filters_spark.pipeline import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("user_id", _hot_user())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_id"),
+            F.max_by("value", "event_id").alias("err_value"),
+        )
+    )
+    joined = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["err_id", "err_value"],
+        tiebreak="err_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("err_ts_us"),
+        F.col("err_value_right").alias("err_value"),
+    )
+
+
+SQL_ASOF_JOIN_SKEW = f"""
+WITH ev AS ({_SQL_HOT_EVENTS}),
+errors AS (
+  SELECT user_id, ts,
+         arg_max(value, event_id) AS err_value
+  FROM ev WHERE event_type = 'error'
+  GROUP BY user_id, ts
+), clicks AS (
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS ts_us,
+       epoch_us(e.ts) AS err_ts_us,
+       e.err_value AS err_value
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def q_sessionize_skew(spark, sf_dir):
+    """Skew-stress twin of ``sessionize``: the hot entity's events form
+    one long gaps-and-islands run inside a single window partition —
+    linear work, AQE handles the partition imbalance."""
+    from filters_spark.pipeline import sessionize
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("user_id", _hot_user())
+        .select("event_id", "user_id", "ts")
+    )
+    out = sessionize(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800.0,
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_id",
+    )
+
+
+SQL_SESSIONIZE_SKEW = f"""
+WITH ev AS ({_SQL_HOT_EVENTS}),
+marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > CAST(1800 * 1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS is_start
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT event_id, user_id,
+         CAST(SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT event_id, user_id, session_seq,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR)
+         AS session_id
+FROM numbered
+"""
+
+
+def q_interval_join_mixed(spark, sf_dir):
+    """``interval_join`` under MIXED interval widths (1 minute to 10
+    hours, keyed off err_id) with ``bucket_width='auto'``: the width
+    derives from the interval-length p90/max so the fan-out guard
+    cannot trip — the round-3 auto-tune item, exercised at bench scale.
+    Micros (BIGINT) keep both engines exact."""
+    from filters_spark.pipeline import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    win = (F.lit(1) + F.col("event_id") % 600) * F.lit(60 * 1_000_000)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        us.alias("start_us"),
+        (us + win.cast("long")).alias("end_us"),
+    )
+    out = interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        point_ts="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        interval_cols=["err_id"],
+        bucket_width="auto",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("err_id_i").alias("err_id")
+    )
+
+
+SQL_INTERVAL_JOIN_MIXED = """
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       e.event_id AS err_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) >= epoch_us(e.ts)
+ AND epoch_us(c.ts) < epoch_us(e.ts)
+     + (1 + e.event_id % 600) * CAST(60000000 AS BIGINT)
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3102,6 +3275,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "ivf_ann_topk": q_ivf_ann_topk,
     "curation_e2e": q_curation_e2e,
+    # -- new in r4: skew-stress twins + mixed-width auto-tune --
+    "asof_join_skew": q_asof_join_skew,
+    "sessionize_skew": q_sessionize_skew,
+    "interval_join_mixed": q_interval_join_mixed,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3189,6 +3366,9 @@ _ORACLES: dict[str, str] = {
     "interval_join": SQL_INTERVAL_JOIN,
     "time_rollup": SQL_TIME_ROLLUP,
     "sessionize": SQL_SESSIONIZE,
+    "asof_join_skew": SQL_ASOF_JOIN_SKEW,
+    "sessionize_skew": SQL_SESSIONIZE_SKEW,
+    "interval_join_mixed": SQL_INTERVAL_JOIN_MIXED,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

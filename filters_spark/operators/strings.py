@@ -649,11 +649,37 @@ class MaxBytes(BaseSpec):
         if target_bytes < 1:
             return b""
         if len(bytes_value) > target_bytes:
-            # decode-with-ignore drops any partial trailing sequence —
-            # equivalent to the reference's byte-walk, for any codec
-            cut = bytes_value[:target_bytes]
-            cut = cut.decode(self.encoding, errors="ignore").encode(self.encoding)
-            bytes_value = cut
+            if self.encoding.lower() in ("utf-8", "utf8"):
+                # decode-with-ignore drops the partial trailing sequence
+                # — equivalent to the reference's utf-8 byte-walk
+                # (string.py:447-487), fuzz-verified
+                cut = bytes_value[:target_bytes]
+                bytes_value = cut.decode(
+                    self.encoding, errors="ignore"
+                ).encode(self.encoding)
+            else:
+                # generic codecs: the reference's exact chop loop
+                # (string.py:489-511) INCLUDING its raise-when-nothing-
+                # decodes edge (trim reaches target without success →
+                # ValueError → catch-all 'exception' code); fuzz found
+                # the ignore-decode shortcut diverging here (utf-16
+                # budget too small for one code unit)
+                trim = 0
+                while True:
+                    cut = bytes_value[: target_bytes - trim]
+                    try:
+                        cut.decode(self.encoding)
+                    except UnicodeDecodeError:
+                        trim += 1
+                    else:
+                        bytes_value = bytes(cut)
+                        break
+                    if trim >= target_bytes:
+                        raise ValueError(
+                            f"Unable to truncate {bytes_value!r} to "
+                            f"{target_bytes} bytes when encoded using "
+                            f"{self.encoding}."
+                        )
         return bytes_value + encoded_suffix
 
     def scalar(self, x):
@@ -688,34 +714,78 @@ class MaxBytes(BaseSpec):
 
 
 class Base64Decode(BaseSpec):
-    """Base64 decode with the reference's exact pre-checks
-    (``string.py:38-96``): strip whitespace, alphabet check, reject mixed
-    std/URL-safe dialects, re-pad, decode.  Fully JVM-side.
+    """Base64 decode with the reference's exact pre-checks AND its
+    exact decode semantics (``string.py:38-96``): strip whitespace,
+    alphabet check, reject mixed std/URL-safe dialects, strip trailing
+    ``=``, re-pad to a multiple of 4, then decode with CPython's
+    NON-STRICT ``binascii.a2b_base64`` state machine — which the
+    reference inherits via ``b64decode``.  Fully JVM-side.
 
-    A ``=`` anywhere but the end, or a data length ≡ 1 (mod 4), raises in
-    the reference and surfaces as the catch-all ``exception`` code —
-    mirrored here as explicit predicates.
+    The non-strict scanner (fuzz-derived, 23 probe cases pinned):
+    ``=`` at quad position 0/1 is IGNORED; at position 2 it counts as
+    padding (two of them end the decode); at position 3 one ends the
+    decode; everything after the terminating padding is DISCARDED; a
+    scan ending at quad position 1 ("1 more than a multiple of 4") or
+    ending at position 2/3 without enough padding ("Incorrect
+    padding") raises — surfacing as the catch-all ``exception`` code.
+    That scanner is expressed here as a quad-structured regex: legal
+    non-terminating quads are ``=*D=*D=?DD`` (D = one data char); the
+    remainder after the maximal quad prefix classifies the outcome.
     """
 
     templates = {CODE_NOT_BASE64: "Base64-encoded value expected."}
 
+    #: one base64 data char, both dialects (mixed already rejected)
+    _D = "[A-Za-z0-9+/_-]"
+
     def compile(self, value, dtype, ctx, key) -> Step:
         if not _is_stringy(dtype):
             raise CompileError(f"Base64Decode needs string/binary, got {dtype}")
+        D = self._D
         s = value if isinstance(dtype, T.StringType) else value.cast("string")
         s = F.regexp_replace(s, "[ \\t\\r\\n]+", "")
         bad_alphabet = ~s.rlike("^[-+_/A-Za-z0-9=]+$")
         url_safe = s.contains("_") | s.contains("-")
         mixed = url_safe & (s.contains("+") | s.contains("/"))
+        # reference repad: strip ALL trailing '=', append 4 - len % 4
+        # (yes, 4 when already a multiple — harmless under non-strict)
         stripped = F.regexp_replace(s, "=+$", "")
-        # '=' not at the end, or data length % 4 == 1 → binascii error in
-        # the reference → catch-all 'exception' code
-        exploded = stripped.contains("=") | (F.length(stripped) % 4 == 1)
-        pad = (4 - F.length(stripped) % 4) % 4
+        pad = F.lit(4) - F.length(stripped) % 4
         padded = F.concat(stripped, F.repeat(F.lit("="), pad))
-        translated = F.translate(padded, "-_", "+/")
-        decoded = F.unbase64(translated)
+        # maximal prefix of legal NON-terminating quads: within a quad,
+        # '=' is ignored at positions 0/1, at most one at position 2,
+        # none at position 3 (more would terminate the scan)
+        quads = F.regexp_extract(padded, f"^((?:=*{D}=*{D}=?{D}{D})*)", 1)
+        rem = F.substring(padded, F.length(quads) + 1, F.length(padded))
+        # terminator classification of the remainder (mutually
+        # exclusive by construction; anything else raises upstream)
+        done_q3 = rem.rlike(f"^=*{D}=*{D}=?{D}=")  # pad at quad pos 3
+        done_q2 = rem.rlike(f"^=*{D}=*{D}==")      # two pads at pos 2
+        end_q0 = rem.rlike("^=*$")                 # clean end
+        extra = (
+            F.when(done_q3, F.lit(3))
+            .when(done_q2, F.lit(2))
+            .otherwise(F.lit(0))
+        )
+        # consumed data chars: all of the quad prefix + the remainder's
+        # first `extra` (the discarded tail's data chars come after)
+        data = F.concat(
+            F.regexp_replace(quads, "=", ""),
+            F.substring(F.regexp_replace(rem, "=", ""), 1, extra),
+        )
+        n4 = F.length(data) % 4  # ∈ {0, 2, 3} on the decodable paths
+        final_pad = (
+            F.when(n4 == 2, F.lit("=="))
+            .when(n4 == 3, F.lit("="))
+            .otherwise(F.lit(""))
+        )
+        decoded = F.unbase64(
+            F.translate(F.concat(data, final_pad), "-_", "+/")
+        )
         not_b64 = bad_alphabet | mixed
+        # scan ended at quad pos 1, or at pos 2/3 without enough
+        # padding → binascii raises in the reference → 'exception'
+        exploded = ~(done_q3 | done_q2 | end_q0)
         inv = not_b64 | exploded
         return Step(
             value=F.when(inv, F.lit(None)).otherwise(decoded),

@@ -404,3 +404,98 @@ def test_fuzzed_date_parity(spark, values):
         assert act_val == exp_val, (
             f"date cleaned differs for {v!r}: {act_val!r} != {exp_val!r}"
         )
+
+
+# -- MaxBytes truncation edges + Base64Decode dialects (VERDICT r3 #7) ------
+#
+# MaxBytes: inputs biased to multibyte boundaries (2/3/4-byte UTF-8,
+# combining marks, an explicit BOM char) with tiny byte budgets and
+# every prefix/suffix/encoding combination the reference supports —
+# truncation must never orphan a multibyte sequence, and utf-16 budgets
+# must account for the BOM exactly like the reference.
+
+MB_CHARS = st.sampled_from(
+    ["a", "é", "€", "𝄞", "﻿", "字", " ", "́", "ß"]
+)
+MB_TEXT = st.lists(MB_CHARS, min_size=0, max_size=10).map("".join)
+
+MAXBYTES_CONFIGS = [
+    ("plain", dict(truncate=True)),
+    ("reject", dict(truncate=False)),
+    ("suffix", dict(truncate=True, suffix="…")),
+    ("prefix", dict(truncate=True, prefix=">>")),
+    ("prefix_suffix", dict(truncate=True, prefix="[", suffix="..")),
+    ("utf16", dict(truncate=True, encoding="utf-16")),
+    ("utf16_suffix", dict(truncate=True, encoding="utf-16", suffix="…")),
+]
+
+
+@pytest.mark.parametrize(
+    "name,kw", MAXBYTES_CONFIGS, ids=[c[0] for c in MAXBYTES_CONFIGS]
+)
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    values=st.lists(MB_TEXT, min_size=1, max_size=10),
+    max_bytes=st.integers(3, 17),
+)
+def test_fuzzed_maxbytes_edges(spark, name, kw, values, max_bytes):
+    expected = [
+        _ref_apply(ref.MaxBytes(max_bytes, **kw), v) for v in values
+    ]
+    got = _engine_apply_batch(spark, fs.MaxBytes(max_bytes, **kw), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        if isinstance(act_val, (bytearray, memoryview)):
+            act_val = bytes(act_val)
+        assert act_codes == exp_codes, (
+            f"{name}/mb={max_bytes}: codes differ for {v!r}: "
+            f"{act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"{name}/mb={max_bytes}: value differs for {v!r}: "
+            f"{act_val!r} != {exp_val!r}"
+        )
+
+
+# Base64Decode: junk drawn from the base64 alphabet superset (both
+# dialects + '=' + whitespace) PLUS genuinely valid encodings of random
+# bytes in both dialects — exercises whitespace stripping, the
+# alphabet check, mixed-dialect rejection, and re-padding.
+
+import base64 as _b64  # noqa: E402
+
+_B64_JUNK = st.text(
+    alphabet="ABCDef0189+/-_= \t\n", max_size=20
+).map(lambda s: s.encode("ascii"))
+_B64_RAW = st.binary(max_size=12)
+B64_INPUT = st.one_of(
+    _B64_JUNK,
+    _B64_RAW.map(_b64.b64encode),
+    _B64_RAW.map(_b64.urlsafe_b64encode),
+)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(values=st.lists(B64_INPUT, min_size=1, max_size=15))
+def test_fuzzed_base64_parity(spark, values):
+    expected = [_ref_apply(ref.Base64Decode(), v) for v in values]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, v binary"
+    )
+    out, val_col, viol_col = attach_chain(df, "v", fs.Base64Decode(), key="")
+    got = {
+        r["i"]: (r[val_col], sorted(x["code"] for x in r[viol_col]))
+        for r in out.select("i", val_col, viol_col).collect()
+    }
+    for i, v in enumerate(values):
+        exp_val, exp_codes = expected[i]
+        act_val, act_codes = got[i]
+        if isinstance(act_val, (bytearray, memoryview)):
+            act_val = bytes(act_val)
+        assert act_codes == exp_codes, (
+            f"base64: codes differ for {v!r}: {act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"base64: value differs for {v!r}: {act_val!r} != {exp_val!r}"
+        )
