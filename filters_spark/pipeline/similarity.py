@@ -292,13 +292,13 @@ def ivf_refine(
         dim = len(centroids[0])
     cur = [[float(x) for x in c] for c in centroids]
     for _ in range(max(0, rounds)):
-        assign = ivf_assign(df, cur, dim, vec_col, id_col)
-        joined = df.select(
-            F.col(id_col), F.col(vec_col).alias("__v")
-        ).join(assign, id_col)
+        # keep_vec=True: assignment + vector in ONE corpus projection
+        # (no self-join on id — at 100 TB that join is a second scan
+        # plus an id-keyed shuffle of every vector, per round)
+        assign = ivf_assign(df, cur, dim, vec_col, id_col, keep_vec=True)
         stats = (
-            joined.select(
-                "cell", F.posexplode(F.col("__v")).alias("pos", "val")
+            assign.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
             )
             .groupBy("cell", "pos")
             .agg(
@@ -325,9 +325,13 @@ def ivf_assign(
     dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest (max-cosine) centroid:
-    ``(id, cell)``; ties break to the lowest cell index.
+    ``(id, cell)``; ties break to the lowest cell index.  With
+    ``keep_vec=True`` the vector column rides along — the ≤32-cell
+    path stays ONE projection with no join, which is what lets
+    :func:`ivf_refine` recompute means without re-scanning the corpus.
 
     With ≤32 centroids the per-cell scores are unrolled literal
     expressions — one codegen-friendly projection pass over the corpus,
@@ -387,14 +391,18 @@ def ivf_assign(
             score_cols.append(
                 (dot / (F.col("__vn") * F.lit(cn))).alias(f"__s{i}")
             )
-        sc = staged.select(F.col(id_col), *score_cols)
+        keep = [F.col("__v").alias(vec_col)] if keep_vec else []
+        sc = staged.select(F.col(id_col), *keep, *score_cols)
         names = [f"__s{i}" for i in range(len(centroids))]
         best = (
             F.greatest(*[F.col(n) for n in names])
             if len(names) > 1
             else F.col(names[0])
         )
-        sc2 = sc.select(F.col(id_col), *names, best.alias("__best"))
+        keep2 = [F.col(vec_col)] if keep_vec else []
+        sc2 = sc.select(
+            F.col(id_col), *keep2, *names, best.alias("__best")
+        )
         cell = F.when(F.col(names[0]) == F.col("__best"), F.lit(0))
         for i in range(1, len(names) - 1):
             cell = cell.when(F.col(names[i]) == F.col("__best"), F.lit(i))
@@ -407,7 +415,9 @@ def ivf_assign(
         # method limit.  (All-NaN scores — a zero-norm vector — land in
         # the last cell instead of dropping out; documented, harmless.)
         cell = cell.otherwise(F.lit(len(names) - 1))
-        return sc2.select(F.col(id_col), cell.cast("int").alias("cell"))
+        return sc2.select(
+            F.col(id_col), *keep2, cell.cast("int").alias("cell")
+        )
     spark = df.sparkSession
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -419,14 +429,18 @@ def ivf_assign(
         F.broadcast(cent)
     ).select(
         id_col,
+        "__v",
         "cidx",
         cosine_sim(F.col("__v"), F.col("cvec")).alias("__s"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("cidx"))
+    keep3 = [F.col("__v").alias(vec_col)] if keep_vec else []
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("cidx").cast("int").alias("cell"))
+        .select(
+            F.col(id_col), *keep3, F.col("cidx").cast("int").alias("cell")
+        )
     )
 
 

@@ -2488,3 +2488,19 @@ def test_avi_inter_frame_codec_keeps_fallback(spark):
     dec = decode_media(df, feature_dim=4, strict=True).collect()[0]
     assert dec["media_type"] == "video"
     assert (dec["width"], dec["height"], dec["n_frames"]) == (320, 240, 1)
+
+
+def test_ivf_assign_keep_vec_single_projection_no_join(emb):
+    """keep_vec=True threads the vector through the ≤32-cell expression
+    path as ONE projection — no Exchange, no Join (this is what keeps
+    ivf_refine at one corpus scan per Lloyd round)."""
+    from filters_spark.pipeline.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_cells=3)
+    out = ivf_assign(emb, cents, keep_vec=True)
+    assert set(out.columns) == {"vec_id", "embedding", "cell"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    plain = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    kept = {r["vec_id"]: r["cell"] for r in out.collect()}
+    assert kept == plain
