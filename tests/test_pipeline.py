@@ -2504,3 +2504,33 @@ def test_ivf_assign_keep_vec_single_projection_no_join(emb):
     plain = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
     kept = {r["vec_id"]: r["cell"] for r in out.collect()}
     assert kept == plain
+
+
+def test_mp4_mjpeg_sample_decodes_to_pixels(spark):
+    """QuickTime-style MJPEG: an ISO-BMFF container whose video samples
+    are complete JPEGs — decode_media detects the SOI on the first
+    demuxed sample and produces real pixel features, same as the AVI
+    path."""
+    from pyspark.sql import types as T
+
+    from filters_spark.pipeline import decode_media
+
+    bw = _JpegBitWriter()
+    _j_block(bw, 3)  # flat 8x8 -> every pixel 134
+    jp = _jpeg_full(8, 8, [(1, 1, 1)], bw.tobytes())
+    mp4 = _mp4_with_samples(
+        sizes=[len(jp)], chunks=[(1, 1, 1)], stco=[32], mdat_body=jp
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, mp4)], schema)
+    dec = decode_media(df, feature_dim=4).collect()[0]
+    assert dec["media_type"] == "video"
+    # pixel dims from the decoded frame; n_frames from the stsz table
+    assert (dec["width"], dec["height"], dec["n_frames"]) == (8, 8, 1)
+    assert abs(dec["feature"][0] - 134.0 / 255.0) < 1e-9
+    assert dec["feature"][1] == 0.0
