@@ -3224,6 +3224,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_srp": q_embed_near_dups_srp,
     "srp_ann_topk": q_srp_ann_topk,
+    # -- new in r4 (no driver row yet): skew twins + auto-width --
+    "asof_join_skew": q_asof_join_skew,
+    "sessionize_skew": q_sessionize_skew,
+    "interval_join_mixed": q_interval_join_mixed,
     # -- r3 driver-green names below (cheap scans first) --
     "flagship_validate": q_flagship_validate,
     "required": q_required,
@@ -3275,10 +3279,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "ivf_ann_topk": q_ivf_ann_topk,
     "curation_e2e": q_curation_e2e,
-    # -- new in r4: skew-stress twins + mixed-width auto-tune --
-    "asof_join_skew": q_asof_join_skew,
-    "sessionize_skew": q_sessionize_skew,
-    "interval_join_mixed": q_interval_join_mixed,
 }
 
 _ORACLES: dict[str, str] = {
