@@ -72,6 +72,9 @@ def run_resumable(
     fail_after_buckets: int | None = None,
     output: str | None = None,
     sketch_cols: list[str] | None = None,
+    hist_cols: list[str] | None = None,
+    hist_bins: int = 32,
+    hist_range: tuple[float, float] = (0.0, 2048.0),
 ) -> dict:
     """Run the suite bucket-group by bucket-group, committing the manifest
     after each group.  Returns aggregate counters across ALL completed
@@ -100,6 +103,15 @@ def run_resumable(
     resumed job reports table-wide distinct counts without rescanning
     the partitions a previous run already validated.
 
+    ``hist_cols`` is the distribution twin of ``sketch_cols``: each
+    completed bucket's manifest entry carries a FIXED-GRID histogram
+    per listed column (string columns histogrammed by length —
+    the PSI drift input; numeric columns by value).  Fixed-grid
+    histograms merge by vector addition, so the resumed job's
+    table-wide ``length_histograms`` is EXACTLY what a single-shot run
+    over the full table would report — quantile summaries cannot make
+    that claim (merge-of-merges degrades).
+
     ``fail_after_buckets`` is a test hook: abort after N newly-completed
     buckets to simulate a killed job.
     """
@@ -123,6 +135,18 @@ def run_resumable(
 
             sketches = bucket_distinct_sketches(
                 sub, conv_bucket, sketch_cols
+            )
+        histograms: dict[int, dict[str, list[int]]] = {}
+        if hist_cols:
+            from filters_spark.engine.stats import bucket_length_histograms
+
+            histograms = bucket_length_histograms(
+                sub,
+                conv_bucket,
+                hist_cols,
+                bins=hist_bins,
+                lo=hist_range[0],
+                hi=hist_range[1],
             )
         result = suite.run(sub, baseline=baseline)
         try:
@@ -169,6 +193,8 @@ def run_resumable(
             payload = {"verdict": row, "metrics": result.metrics}
             if b in sketches:
                 payload["sketches"] = sketches[b]
+            if b in histograms:
+                payload["histograms"] = histograms[b]
             manifest.mark(b, payload)
             newly += 1
             if fail_after_buckets is not None and newly >= fail_after_buckets:
@@ -178,6 +204,7 @@ def run_resumable(
     total = {"n_rows": 0, "n_invalid": 0, "dup_keys": 0, "gappy_convs": 0}
     passed = True
     states: list[dict[str, str]] = []
+    hist_states: list[dict[str, list[int]]] = []
     for b in manifest.completed():
         entry = manifest.read(b)
         v = entry["verdict"]
@@ -186,6 +213,8 @@ def run_resumable(
         passed = passed and bool(v.get("bucket_pass", True))
         if entry.get("sketches"):
             states.append(entry["sketches"])
+        if entry.get("histograms"):
+            hist_states.append(entry["histograms"])
     out = {
         "completed": len(manifest.completed()),
         "aborted": False,
@@ -198,4 +227,8 @@ def run_resumable(
         out["distinct_estimates"] = merge_distinct_sketches(
             df.sparkSession, states
         )
+    if hist_states:
+        from filters_spark.engine.stats import merge_length_histograms
+
+        out["length_histograms"] = merge_length_histograms(hist_states)
     return out

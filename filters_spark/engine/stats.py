@@ -67,6 +67,83 @@ def bucket_distinct_sketches(
     }
 
 
+def bucket_length_histograms(
+    df: DataFrame,
+    bucket_col: Column,
+    columns: list[str],
+    bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 2048.0,
+) -> dict[int, dict[str, list[int]]]:
+    """Per-bucket FIXED-GRID histograms — ``{bucket: {column:
+    [count, ...]}}`` with ``bins`` equal-width bins over ``[lo, hi)``
+    (underflow clamps into bin 0, overflow into the last bin; string
+    columns are histogrammed by ``length()``, numeric columns by
+    value).
+
+    This is the EXACTLY-mergeable distribution state for the
+    checkpoint manifest: merging two fixed-grid histograms is vector
+    addition, so a resumed job's table-wide text-length distribution
+    (the PSI drift input) is bit-identical to a single-shot run —
+    unlike quantile summaries, whose merge-of-merges degrades.  One
+    hash aggregation keyed by bucket; state is ``bins`` longs per
+    column (a few hundred bytes per manifest entry).  Nulls fall in no
+    bin.
+    """
+    width = (float(hi) - float(lo)) / bins
+
+    def bin_of(c: str) -> Column:
+        dt = df.schema[c].dataType
+        v = (
+            F.length(F.col(c)).cast("double")
+            if isinstance(dt, T.StringType)
+            else F.col(c).cast("double")
+        )
+        raw = F.floor((v - F.lit(float(lo))) / F.lit(width))
+        # least/greatest SKIP nulls in Spark (unlike standard SQL), so
+        # an unguarded clamp would drop null values into bin 0 — gate
+        # the whole expression on v being present
+        return F.when(
+            v.isNotNull(),
+            F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)),
+        )
+
+    aggs = [
+        F.array(
+            *[
+                F.coalesce(
+                    F.sum((bin_of(c) == i).cast("long")), F.lit(0)
+                )
+                for i in range(bins)
+            ]
+        ).alias(c)
+        for c in columns
+    ]
+    rows = df.groupBy(bucket_col.alias("__b")).agg(*aggs).collect()
+    return {
+        int(r["__b"]): {c: [int(x) for x in r[c]] for c in columns}
+        for r in rows
+    }
+
+
+def merge_length_histograms(
+    states: list[dict[str, list[int]]],
+) -> dict[str, list[int]]:
+    """Vector-add per-bucket fixed-grid histograms into table-wide
+    counts — EXACT (integer addition is associative/commutative), no
+    Spark job, no data rescan.  Input dicts must share a key set."""
+    if not states:
+        return {}
+    cols = sorted(states[0])
+    out = {c: [0] * len(states[0][c]) for c in cols}
+    for s in states:
+        for c in cols:
+            acc = out[c]
+            for i, x in enumerate(s[c]):
+                acc[i] += int(x)
+    return out
+
+
 def merge_distinct_sketches(
     spark, states: list[dict[str, str]]
 ) -> dict[str, float]:

@@ -77,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
         "is checkpointed in the manifest and unioned on resume "
         "(accumulated sketch state; needs --manifest)",
     )
+    p.add_argument(
+        "--hist-cols",
+        help="comma-separated columns whose per-bucket fixed-grid "
+        "histograms (string columns by length — the PSI drift input) "
+        "are checkpointed in the manifest and vector-added on resume; "
+        "EXACTLY equal to a single-shot run (needs --manifest)",
+    )
+    p.add_argument("--hist-bins", type=int, default=32)
     return p
 
 
@@ -132,6 +140,10 @@ def main(argv: list[str] | None = None) -> int:
             sketch_cols=(
                 args.sketch_cols.split(",") if args.sketch_cols else None
             ),
+            hist_cols=(
+                args.hist_cols.split(",") if args.hist_cols else None
+            ),
+            hist_bins=args.hist_bins,
         )
         from filters_spark.engine.stats import column_stats
 

@@ -385,3 +385,34 @@ def test_resume_rejects_mismatched_bucket_fn(tmp_path, tdf, baseline):
     final = run_resumable(tdf, suite, manifest, baseline=baseline,
                           buckets_per_job=8)
     assert final["completed"] == 8 and final["n_rows"] == tdf.count()
+
+
+def test_checkpoint_histogram_state_merges_exactly(tmp_path, tdf, baseline):
+    """Fixed-grid histogram state (the PSI drift input) rides the
+    manifest and merges by vector addition: a killed-then-resumed job's
+    table-wide text-length histogram is BIT-IDENTICAL to one computed
+    directly over the full table — the exactness claim quantile
+    summaries cannot make."""
+    from filters_spark.engine.stats import bucket_length_histograms
+
+    suite = ValidationSuite(RULES, n_buckets=8)
+    manifest = CheckpointManifest(tmp_path / "mh")
+    partial = run_resumable(
+        tdf, suite, manifest, baseline=baseline, buckets_per_job=2,
+        fail_after_buckets=4, hist_cols=["text", "turn_idx"],
+        hist_bins=16, hist_range=(0.0, 512.0),
+    )
+    assert partial["aborted"]
+    final = run_resumable(
+        tdf, suite, manifest, baseline=baseline, buckets_per_job=4,
+        hist_cols=["text", "turn_idx"], hist_bins=16,
+        hist_range=(0.0, 512.0),
+    )
+    got = final["length_histograms"]
+    # single-shot truth over the whole table, one bucket
+    whole = bucket_length_histograms(
+        tdf, F.lit(0), ["text", "turn_idx"], bins=16, lo=0.0, hi=512.0
+    )[0]
+    assert got == whole  # exact, not approximate
+    assert sum(got["text"]) == tdf.where(F.col("text").isNotNull()).count()
+    assert all("histograms" in manifest.read(b) for b in manifest.completed())
