@@ -5,7 +5,12 @@ from filters_spark.engine.referential import (
     gaps_by_window,
     orphans,
 )
-from filters_spark.engine.drift import frequencies, kl_divergence, psi
+from filters_spark.engine.drift import (
+    frequencies,
+    kl_divergence,
+    psi,
+    psi_from_histograms,
+)
 from filters_spark.engine.explode import explode_validate
 from filters_spark.engine.suite import ValidationSuite
 from filters_spark.engine.checkpoint import CheckpointManifest, run_resumable
@@ -38,6 +43,7 @@ __all__ = [
     "kl_divergence",
     "orphans",
     "psi",
+    "psi_from_histograms",
     "run_resumable",
     "salted_agg",
 ]

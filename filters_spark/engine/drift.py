@@ -104,6 +104,26 @@ def psi_from_dicts(p: dict, q: dict, eps: float = 1e-6) -> float:
     return out
 
 
+def psi_from_histograms(
+    current: list[int] | list[float],
+    baseline: list[int] | list[float],
+    eps: float = 1e-6,
+) -> float:
+    """PSI between two SAME-GRID count histograms — the drift check
+    over the exactly-mergeable histogram state ``run_resumable``
+    checkpoints (``hist_cols=``), so a resumed job can compute
+    text-length drift against a baseline snapshot's histogram without
+    any rescan.  Bins are the categories; counts normalise to mass."""
+    if len(current) != len(baseline):
+        raise ValueError(
+            f"histogram grids differ: {len(current)} vs {len(baseline)} bins"
+        )
+    cs, bs = float(sum(current)), float(sum(baseline))
+    p = {i: (x / cs if cs else 0.0) for i, x in enumerate(current)}
+    q = {i: (x / bs if bs else 0.0) for i, x in enumerate(baseline)}
+    return psi_from_dicts(p, q, eps)
+
+
 def kl_divergence(
     current: DataFrame, baseline: DataFrame, alias: str = "k", eps: float = 1e-9
 ) -> float:

@@ -315,6 +315,8 @@ def ivf_refine(
         for r in stats:
             # fixed op order (s / n / quant), mirrored by the oracle
             new[r["cell"]][r["pos"]] = float(r["s"]) / r["n"] / quant
+        if new == cur:
+            break  # converged: further rounds are identity
         cur = new
     return cur
 

@@ -416,3 +416,21 @@ def test_checkpoint_histogram_state_merges_exactly(tmp_path, tdf, baseline):
     assert got == whole  # exact, not approximate
     assert sum(got["text"]) == tdf.where(F.col("text").isNotNull()).count()
     assert all("histograms" in manifest.read(b) for b in manifest.completed())
+
+
+def test_psi_from_histograms_matches_dict_psi():
+    """PSI over checkpointed same-grid histograms equals psi_from_dicts
+    over the normalised masses; grid mismatch raises."""
+    import pytest as _pt
+
+    from filters_spark.engine.drift import psi_from_dicts, psi_from_histograms
+
+    cur, base = [10, 0, 5, 1], [8, 2, 5, 1]
+    want = psi_from_dicts(
+        {i: x / 16 for i, x in enumerate(cur)},
+        {i: x / 16 for i, x in enumerate(base)},
+    )
+    assert psi_from_histograms(cur, base) == _pt.approx(want)
+    assert psi_from_histograms(cur, cur) == _pt.approx(0.0, abs=1e-12)
+    with _pt.raises(ValueError, match="grids differ"):
+        psi_from_histograms([1, 2], [1, 2, 3])
