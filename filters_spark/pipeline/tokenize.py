@@ -128,7 +128,14 @@ def bpe_encode(
     """Apply trained BPE merges to a text column → ``array<string>``
     token column.  Pure projection (the merge-rank table rides in the
     UDF closure; a per-word memo amortises repeated types inside each
-    batch); no shuffle, stream-safe."""
+    batch); no shuffle, stream-safe.
+
+    The inner merge loop is per-word Python inside the Arrow batch —
+    which is what every real BPE encoder does (the memo makes repeated
+    word types O(1)); a vocabulary trie / aho-corasick pre-split à la
+    HuggingFace ``tokenizers`` is the production fast path if encode
+    CPU ever dominates, and would slot in here without touching the
+    plan shape (still a stateless ``mapInPandas`` projection)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
     out_field = T.StructField(out_col, T.ArrayType(T.StringType()))
     schema = T.StructType(list(df.schema.fields) + [out_field])
