@@ -250,3 +250,24 @@ def test_datetime_pytz_normalised_to_real_rules(spark):
             df, {"ts": fs.Datetime(timezone=kolkata, strict=strict)}
         )
         assert out.collect()[0]["ts"] == expect, f"strict={strict}"
+
+
+def test_json_decode_rejects_python_only_tokens(spark):
+    """DEVIATIONS #15: Python's json.loads accepts bare NaN / Infinity
+    / -Infinity (a CPython extension the reference inherits); the
+    engine is strict RFC 8259 and codes them not_json.  Standard JSON
+    both grammars accept must still parse."""
+    import filters_spark as fs
+
+    rows = [
+        ("NaN",), ("Infinity",), ("-Infinity",), ('{"a": NaN}',),
+        ('{"a": 1.5}',), ("[1, 2]",), ('"x"',),
+    ]
+    df = spark.createDataFrame(rows, "v string")
+    out = fs.validate(df, {"v": fs.JsonDecode()}).collect()
+    by_idx = [
+        (r["_violations"][0]["code"] if r["_violations"] else None)
+        for r in out
+    ]
+    assert by_idx[:4] == ["not_json"] * 4  # python-only tokens rejected
+    assert by_idx[4:] == [None, None, None]  # real JSON passes
