@@ -499,3 +499,108 @@ def test_fuzzed_base64_parity(spark, values):
         assert act_val == exp_val, (
             f"base64: value differs for {v!r}: {act_val!r} != {exp_val!r}"
         )
+
+
+# -- FilterMapper nested-record fuzz ----------------------------------------
+#
+# Random per-key chains, missing/extra-key policies, and None-bearing
+# records vs the live reference: exercises dotted violation keys, the
+# static missing-key model (key absent from the struct schema), extra
+# passthrough/drop, and None-pass inside mapped fields.  The golden
+# suite replays curated mapper cases; this generates fresh ones.
+
+MAPPER_CHAINS = [
+    ("none", None),
+    ("req", lambda m: m.Required()),
+    ("unicode", lambda m: m.Unicode()),
+    ("strip", lambda m: m.Strip()),
+    ("casefold", lambda m: m.CaseFold()),
+    ("maxchars", lambda m: m.MaxChars(5, truncate=True)),
+    ("choice", lambda m: m.Choice(("x", "y"))),
+    ("req_strip", lambda m: m.Required() | m.Strip()),
+]
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_fuzzed_mapper_parity(spark, data):
+    keys = ["a", "b", "c"]
+    fmap_idx = {
+        k: data.draw(
+            st.integers(0, len(MAPPER_CHAINS) - 1), label=f"chain_{k}"
+        )
+        for k in keys
+    }
+    allow_missing = data.draw(st.booleans(), label="allow_missing")
+    allow_extra = data.draw(st.booleans(), label="allow_extra")
+    present = sorted(
+        data.draw(
+            st.sets(st.sampled_from(keys + ["z"]), min_size=1),
+            label="present",
+        )
+    )
+    n_rows = data.draw(st.integers(1, 5), label="n_rows")
+    cell = st.one_of(st.none(), st.sampled_from(
+        ["", "x", "y", "  x ", "X", "héllo", "longer than five", " y"]
+    ))
+    rows = [
+        tuple(data.draw(cell, label=f"v{r}_{k}") for k in present)
+        for r in range(n_rows)
+    ]
+
+    def build(m):
+        fm = {}
+        for k in keys:
+            c = MAPPER_CHAINS[fmap_idx[k]][1]
+            fm[k] = None if c is None else c(m)
+        return m.FilterMapper(
+            fm,
+            allow_missing_keys=allow_missing,
+            allow_extra_keys=allow_extra,
+        )
+
+    expected = []
+    for r in rows:
+        d = dict(zip(present, r))
+        runner = ref.FilterRunner(build(ref), d)
+        codes = sorted(
+            (k2, c)
+            for k2, cs in runner.error_codes.items()
+            for c in cs
+        )
+        expected.append((runner.cleaned_data, codes))
+
+    import filters_spark as fs_mod
+    from pyspark.sql import functions as F
+
+    schema = "i int, " + ", ".join(f"`{k}` string" for k in present)
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)], schema
+    )
+    sdf = df.select(
+        "i", F.struct(*[F.col(k) for k in present]).alias("v")
+    )
+    out, val_col, viol_col = attach_chain(sdf, "v", build(fs_mod), key="")
+    got = {
+        r["i"]: (
+            r[val_col],
+            sorted((x["key"], x["code"]) for x in r[viol_col]),
+        )
+        for r in out.select("i", val_col, viol_col).collect()
+    }
+    label = (
+        f"fmap={[MAPPER_CHAINS[fmap_idx[k]][0] for k in keys]} "
+        f"missing_ok={allow_missing} extra_ok={allow_extra} "
+        f"present={present}"
+    )
+    for i, (exp_val, exp_codes) in enumerate(expected):
+        act_val, act_codes = got[i]
+        act_d = act_val.asDict() if act_val is not None else None
+        assert act_codes == exp_codes, (
+            f"{label}: codes for row {rows[i]!r}: "
+            f"{act_codes} != {exp_codes}"
+        )
+        assert act_d == exp_val, (
+            f"{label}: cleaned for row {rows[i]!r}: "
+            f"{act_d!r} != {exp_val!r}"
+        )
