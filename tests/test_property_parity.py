@@ -604,3 +604,71 @@ def test_fuzzed_mapper_parity(spark, data):
             f"{label}: cleaned for row {rows[i]!r}: "
             f"{act_d!r} != {exp_val!r}"
         )
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_fuzzed_repeater_parity(spark, data):
+    """FilterRepeater over arrays vs the live reference: per-element
+    chains, index-keyed violations, None elements, empty and null
+    arrays."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    import filters_spark as fs_mod
+
+    chain_i = data.draw(
+        st.integers(1, len(MAPPER_CHAINS) - 1), label="chain"
+    )
+    n_rows = data.draw(st.integers(1, 5), label="n_rows")
+    cell = st.one_of(st.none(), st.sampled_from(
+        ["", "x", "y", "  x ", "X", "héllo", "longer than five"]
+    ))
+    arr = st.one_of(
+        st.none(), st.lists(cell, min_size=0, max_size=4)
+    )
+    rows = [data.draw(arr, label=f"row{r}") for r in range(n_rows)]
+
+    def build(m):
+        return m.FilterRepeater(MAPPER_CHAINS[chain_i][1](m))
+
+    expected = []
+    for r in rows:
+        runner = ref.FilterRunner(build(ref), r)
+        codes = sorted(
+            (k2, c)
+            for k2, cs in runner.error_codes.items()
+            for c in cs
+        )
+        expected.append((runner.cleaned_data, codes))
+
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "i int, v array<string>"
+    )
+    # kernel-bearing chains inside a repeater route through the explode
+    # path, which the validate() surface picks automatically
+    out = fs_mod.validate(df, {"v": build(fs_mod)})
+    got = {
+        r["i"]: (
+            r["v"],
+            sorted(
+                # engine keys carry the column prefix ("v.0"); the
+                # scalar reference keys are bare element indices
+                (x["key"].removeprefix("v."), x["code"])
+                for x in r["_violations"]
+            ),
+        )
+        for r in out.collect()
+    }
+    name = MAPPER_CHAINS[chain_i][0]
+    for i, (exp_val, exp_codes) in enumerate(expected):
+        act_val, act_codes = got[i]
+        act_l = list(act_val) if act_val is not None else None
+        exp_l = list(exp_val) if exp_val is not None else None
+        assert act_codes == exp_codes, (
+            f"repeater[{name}]: codes for {rows[i]!r}: "
+            f"{act_codes} != {exp_codes}"
+        )
+        assert act_l == exp_l, (
+            f"repeater[{name}]: cleaned for {rows[i]!r}: "
+            f"{act_l!r} != {exp_l!r}"
+        )
