@@ -813,8 +813,11 @@ _IPV4_RE = f"^{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}$"
 class IpAddress(BaseSpec):
     """IPv4/IPv6 validation (``string.py:196-270``).  IPv4 is a strict
     dotted-quad regex (``inet_pton`` rejects leading zeros), JVM-side;
-    IPv6 goes through an ``ipaddress``-module kernel so the output is the
-    normalised (compressed) form like ``inet_ntop`` (:259-262)."""
+    IPv6 goes through a kernel running the SAME ``socket.inet_pton`` /
+    ``inet_ntop`` calls the reference makes (:245-262) — the
+    ``ipaddress`` module is a near-miss: it renders IPv4-mapped
+    addresses as pure hex (``::ffff:102:304``) where ``inet_ntop``
+    keeps the dotted form (``::ffff:1.2.3.4``); fuzz-found."""
 
     templates = {CODE_NOT_IP: "This value is not a valid {ip_type} address."}
 
@@ -829,18 +832,19 @@ class IpAddress(BaseSpec):
         )
 
     def _scalar6(self, x):
-        import ipaddress
+        import socket
 
         if self.ipv4:
             try:
-                ipaddress.IPv4Address(x)
-                return x, None
-            except ValueError:
+                socket.inet_pton(socket.AF_INET, x)
+                return x, None  # valid IPv4 passes through unchanged
+            except OSError:
                 pass
         if self.ipv6:
             try:
-                return str(ipaddress.IPv6Address(x)), None
-            except ValueError:
+                n = socket.inet_pton(socket.AF_INET6, x)
+                return socket.inet_ntop(socket.AF_INET6, n), None
+            except OSError:
                 pass
         return None, CODE_NOT_IP
 

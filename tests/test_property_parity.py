@@ -672,3 +672,89 @@ def test_fuzzed_repeater_parity(spark, data):
             f"repeater[{name}]: cleaned for {rows[i]!r}: "
             f"{act_l!r} != {exp_l!r}"
         )
+
+
+# -- Uuid / IpAddress targeted fuzz -----------------------------------------
+#
+# The generic text fuzz almost never generates well-formed UUIDs or IP
+# literals, so these surfaces get targeted generators: near-miss
+# shapes, alternative spellings Python's constructors accept, and both
+# families' canonicalisation.
+
+UUIDISH = st.one_of(
+    st.uuids().map(str),
+    st.uuids().map(lambda u: str(u).upper()),
+    st.uuids().map(lambda u: u.hex),                 # no hyphens
+    st.uuids().map(lambda u: "{" + str(u) + "}"),    # braced
+    st.uuids().map(lambda u: "urn:uuid:" + str(u)),  # URN form
+    st.uuids().map(lambda u: str(u)[:-1]),           # truncated
+    st.uuids().map(lambda u: str(u) + "0"),          # too long
+    st.sampled_from(["", "not-a-uuid", "123", "g" * 32, "-" * 36]),
+)
+
+
+@pytest.mark.parametrize("version", [None, 4])
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(values=st.lists(UUIDISH, min_size=1, max_size=20))
+def test_fuzzed_uuid_parity(spark, version, values):
+    import uuid as _uuid
+
+    expected = [
+        _ref_apply(ref.Uuid(version=version), v) for v in values
+    ]
+    got = _engine_apply_batch(
+        spark, fs.Uuid(version=version), values
+    )
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        if isinstance(exp_val, _uuid.UUID):
+            exp_val = str(exp_val)  # engine canonicalises to string
+        assert act_codes == exp_codes, (
+            f"uuid(v={version}): codes for {v!r}: "
+            f"{act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"uuid(v={version}): cleaned for {v!r}: "
+            f"{act_val!r} != {exp_val!r}"
+        )
+
+
+_IP_OCTET = st.integers(0, 299).map(str)
+IPISH = st.one_of(
+    st.tuples(_IP_OCTET, _IP_OCTET, _IP_OCTET, _IP_OCTET).map(
+        lambda t: ".".join(t)
+    ),
+    st.sampled_from(
+        [
+            "1.2.3.4", "01.2.3.4", "1.2.3", "1.2.3.4.5", "255.255.255.255",
+            "256.1.1.1", " 1.2.3.4", "1.2.3.4 ", "0.0.0.0",
+            "::1", "::", "2001:db8::1", "2001:DB8::1",
+            "2001:0db8:0000:0000:0000:0000:0000:0001",
+            "::ffff:1.2.3.4", "fe80::1", "1::2::3", "12345::", ":", "",
+            "abcd:ef01:2345:6789:abcd:ef01:2345:6789",
+        ]
+    ),
+)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [dict(ipv4=True, ipv6=False), dict(ipv4=False, ipv6=True),
+     dict(ipv4=True, ipv6=True)],
+    ids=["v4", "v6", "both"],
+)
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(values=st.lists(IPISH, min_size=1, max_size=20))
+def test_fuzzed_ipaddress_parity(spark, kw, values):
+    expected = [_ref_apply(ref.IpAddress(**kw), v) for v in values]
+    got = _engine_apply_batch(spark, fs.IpAddress(**kw), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        assert act_codes == exp_codes, (
+            f"ip{kw}: codes for {v!r}: {act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"ip{kw}: cleaned for {v!r}: {act_val!r} != {exp_val!r}"
+        )
