@@ -758,3 +758,76 @@ def test_fuzzed_ipaddress_parity(spark, kw, values):
         assert act_val == exp_val, (
             f"ip{kw}: cleaned for {v!r}: {act_val!r} != {exp_val!r}"
         )
+
+
+# -- ByteString / Split(keys=) fuzz ------------------------------------------
+
+BYTESTRING_CONFIGS = [
+    ("raw", dict(normalize=False)),
+    ("normalized", dict(normalize=True)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,kw", BYTESTRING_CONFIGS, ids=[c[0] for c in BYTESTRING_CONFIGS]
+)
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(values=st.lists(
+    st.one_of(TEXT, st.sampled_from(["a\r\nb", "x\rz", "​зж", "ﬁn"])),
+    min_size=1, max_size=20,
+))
+def test_fuzzed_bytestring_parity(spark, name, kw, values):
+    expected = [_ref_apply(ref.ByteString(**kw), v) for v in values]
+    got = _engine_apply_batch(spark, fs.ByteString(**kw), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        if isinstance(act_val, (bytearray, memoryview)):
+            act_val = bytes(act_val)
+        assert act_codes == exp_codes, (
+            f"bytestring[{name}]: codes for {v!r}: "
+            f"{act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"bytestring[{name}]: cleaned for {v!r}: "
+            f"{act_val!r} != {exp_val!r}"
+        )
+
+
+SPLIT_CONFIGS = [
+    ("ws_list", r"\s+", None),
+    ("comma_keys2", r",", ("a", "b")),
+    ("dash_keys4", r"[-:]", ("a", "b", "c", "d")),
+]
+
+
+@pytest.mark.parametrize(
+    "name,pattern,keys", SPLIT_CONFIGS, ids=[c[0] for c in SPLIT_CONFIGS]
+)
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(values=st.lists(
+    st.sampled_from(
+        ["a,b", "a,b,c", "a", "", "x-y:z", "p q  r", ",", "a,,b",
+         "one-two", " lead", "a,b,c,d,e"]
+    ),
+    min_size=1, max_size=12,
+))
+def test_fuzzed_split_parity(spark, name, pattern, keys, values):
+    expected = [
+        _ref_apply(ref.Split(pattern, keys=keys), v) for v in values
+    ]
+    got = _engine_apply_batch(spark, fs.Split(pattern, keys=keys), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        if act_val is not None and not isinstance(act_val, (dict, list)):
+            act_val = list(act_val)
+        if isinstance(exp_val, list) and isinstance(act_val, list):
+            pass
+        assert act_codes == exp_codes, (
+            f"split[{name}]: codes for {v!r}: {act_codes} != {exp_codes}"
+        )
+        assert act_val == exp_val, (
+            f"split[{name}]: cleaned for {v!r}: "
+            f"{act_val!r} != {exp_val!r}"
+        )
