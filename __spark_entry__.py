@@ -2380,8 +2380,12 @@ FROM p
 
 
 def q_decimal_quantize(spark, sf_dir):
-    """Decimal(max_precision=1): parse + quantize HALF_UP
-    (number.py:15-100, quantize :97-98); invalid strings → not_numeric."""
+    """Decimal(max_precision=1): parse + quantize with the decimal
+    context default ROUND_HALF_EVEN (number.py:15-100, quantize
+    :97-98); invalid strings → not_numeric.  The oracle replays the
+    banker's rounding with exact integer arithmetic (cents // 10 with
+    a parity-gated tie bump) — DuckDB's round_even returns DOUBLE,
+    whose 1-ulp tie drift would flip x.y5 cases."""
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "price_s",
         F.when(F.col("l_linenumber") == 7, F.lit("n/a")).otherwise(
@@ -2398,12 +2402,25 @@ def q_decimal_quantize(spark, sf_dir):
 
 
 SQL_DECIMAL = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,2))
+              * 100 AS BIGINT) AS cents
+  FROM lineitem
+), r AS (
+  SELECT l_orderkey, l_linenumber,
+         (cents // 10)
+         + CASE WHEN cents % 10 > 5 THEN 1
+                WHEN cents % 10 = 5 AND (cents // 10) % 2 != 0 THEN 1
+                ELSE 0 END AS tenths
+  FROM v
+)
 SELECT l_orderkey, l_linenumber,
        CASE WHEN l_linenumber = 7 THEN NULL
-            ELSE CAST(CAST(CAST(l_extendedprice AS VARCHAR)
-                           AS DECIMAL(38,1)) AS VARCHAR) END AS price_q,
+            ELSE printf('%d.%d', tenths // 10, tenths % 10)
+       END AS price_q,
        CASE WHEN l_linenumber = 7 THEN 'not_numeric' END AS err_code
-FROM lineitem
+FROM r
 """
 
 

@@ -42,6 +42,44 @@ def _decimal_type(scale: int = DEFAULT_SCALE) -> T.DecimalType:
     return T.DecimalType(38, scale)
 
 
+_ND_CACHE: tuple[str, str] | None = None
+
+
+def _nd_translation() -> tuple[str, str]:
+    """CPython's ``PyUnicode_TransformDecimalAndSpaceToASCII``
+    equivalent, as a (from, to) pair for ``F.translate``: every Unicode
+    decimal digit (category Nd, 660 codepoints) maps to its ASCII
+    value.  ``Decimal('１２３')`` is 123 in the reference because
+    CPython applies this transform before the ASCII numeric parse —
+    fuzz-found gap, now replicated JVM-side with one translate."""
+    global _ND_CACHE
+    if _ND_CACHE is None:
+        import sys as _sys
+        import unicodedata
+
+        src, dst = [], []
+        for cp in range(_sys.maxunicode + 1):
+            ch = chr(cp)
+            if unicodedata.category(ch) == "Nd":
+                src.append(ch)
+                dst.append(str(unicodedata.decimal(ch)))
+        _ND_CACHE = ("".join(src), "".join(dst))
+    return _ND_CACHE
+
+
+def _py_numeric_string(value: Column) -> Column:
+    """Normalise a string column the way CPython's numeric constructors
+    do before parsing: Unicode digits → ASCII (see
+    :func:`_nd_translation`), ALL underscores removed (``Decimal``
+    strips them regardless of position: ``Decimal('_1') == 1``),
+    Unicode whitespace stripped at both ends (``str.strip`` semantics,
+    which Spark's cast trim does not cover — e.g. NBSP)."""
+    src, dst = _nd_translation()
+    s = F.translate(value, src, dst)
+    s = F.replace(s, F.lit("_"), F.lit(""))
+    return F.regexp_replace(s, r"(?U)^\s+|\s+$", "")
+
+
 def coerce_decimal(
     value: Column, dtype: T.DataType, scale: int = DEFAULT_SCALE
 ) -> tuple[Column, Column, Column]:
@@ -63,8 +101,9 @@ def coerce_decimal(
             non_finite,
         )
     if isinstance(dtype, T.StringType):
-        casted = value.try_cast(target)
-        non_finite = F.lower(F.trim(value)).rlike(_NON_FINITE_RE)
+        s = _py_numeric_string(value)
+        casted = s.try_cast(target)
+        non_finite = F.lower(s).rlike(_NON_FINITE_RE)
         not_numeric = casted.isNull() & ~non_finite
         return casted, not_numeric, non_finite
     raise CompileError(f"cannot interpret column of type {dtype} as Decimal")
@@ -95,7 +134,13 @@ class Decimal(BaseSpec):
     def compile(self, value, dtype, ctx, key) -> Step:
         casted, not_numeric, non_finite = coerce_decimal(value, dtype, self.scale)
         out_scale = self._out_scale()
-        out = casted.cast(_decimal_type(out_scale))
+        out = casted
+        if self.max_precision is not None:
+            # the reference quantizes with the decimal-context default
+            # rounding (ROUND_HALF_EVEN, number.py:97-98); a bare
+            # decimal cast would round HALF_UP (fuzz-found on 1.005@2)
+            out = F.bround(out, out_scale)
+        out = out.cast(_decimal_type(out_scale))
         inv = not_numeric | non_finite
         return Step(
             value=out,

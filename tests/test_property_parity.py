@@ -831,3 +831,51 @@ def test_fuzzed_split_parity(spark, name, pattern, keys, values):
             f"split[{name}]: cleaned for {v!r}: "
             f"{act_val!r} != {exp_val!r}"
         )
+
+
+# -- Decimal fuzz (within the documented (38,18) bound) ----------------------
+
+DECIMALISH = st.one_of(
+    st.decimals(
+        min_value=-10**9, max_value=10**9,
+        allow_nan=False, allow_infinity=False, places=12,
+    ).map(str),
+    st.sampled_from(
+        ["nan", "NaN", "inf", "-Infinity", "1e3", "-0.00", "1.005",
+         "2.675", "abc", "", "+5", " 1 ", "0x10", "1_000", ".5", "5.",
+         "１２３", "4_2", "+_5", "\u00a042\u00a0", "１.５", "_1", "1_"]
+    ),
+)
+
+DECIMAL_CONFIGS = [("free", None), ("quantized2", 2)]
+
+
+@pytest.mark.parametrize(
+    "name,prec", DECIMAL_CONFIGS, ids=[c[0] for c in DECIMAL_CONFIGS]
+)
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(values=st.lists(DECIMALISH, min_size=1, max_size=20))
+def test_fuzzed_decimal_parity(spark, name, prec, values):
+    import decimal as _dec
+
+    expected = [
+        _ref_apply(ref.Decimal(max_precision=prec), v) for v in values
+    ]
+    got = _engine_apply_batch(
+        spark, fs.Decimal(max_precision=prec), values
+    )
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        assert act_codes == exp_codes, (
+            f"decimal[{name}]: codes for {v!r}: "
+            f"{act_codes} != {exp_codes}"
+        )
+        if exp_val is None:
+            assert act_val is None, f"decimal[{name}]: {v!r} -> {act_val!r}"
+        else:
+            # engine carries scale-18 decimals; compare numerically
+            assert act_val is not None and _dec.Decimal(act_val) == exp_val, (
+                f"decimal[{name}]: cleaned for {v!r}: "
+                f"{act_val!r} != {exp_val!r}"
+            )
