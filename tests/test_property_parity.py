@@ -879,3 +879,50 @@ def test_fuzzed_decimal_parity(spark, name, prec, values):
                 f"decimal[{name}]: cleaned for {v!r}: "
                 f"{act_val!r} != {exp_val!r}"
             )
+
+
+# -- Datetime fuzzy-format fuzz (the dateutil kernel path) -------------------
+
+FUZZY_DT = st.sampled_from(
+    [
+        # absolute spellings only: relative ones ("10:30", "noon")
+        # resolve against the current date in both parsers and would
+        # flake across a midnight boundary between the two evaluations
+        "Jan 5 2020", "5 Jan 2020 14:30", "May 5, 2020 1:02pm",
+        "2020/05/06", "05/06/2020", "6-May-2020", "20200506",
+        "Tue, 05 May 2020 10:00:00 GMT",
+        "2020-05-06 10:00:00.123456", "Q2 2020",
+        "5th of May 2020", "1588732800", "not a date at all",
+    ]
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(values=st.lists(FUZZY_DT, min_size=1, max_size=16))
+def test_fuzzed_datetime_fuzzy_formats(spark, values):
+    """Non-ISO spellings exercise the dateutil kernel path
+    (``strict=False`` — the default strict path is the JVM format
+    list, DEVIATIONS #16): the engine runs the SAME parser the
+    reference does, so every accepted format and every rejection must
+    agree."""
+    import datetime as _d
+
+    expected = [_ref_dt_apply(ref.Datetime(), v) for v in values]
+    got = _engine_apply_batch(spark, fs.Datetime(strict=False), values)
+    for v, exp, act in zip(values, expected, got):
+        exp_val, exp_codes = exp
+        act_val, act_codes = act
+        assert act_codes == exp_codes, (
+            f"fuzzy datetime codes differ for {v!r}: "
+            f"{act_codes} != {exp_codes}"
+        )
+        if exp_val is None:
+            assert act_val is None, (v, act_val)
+        else:
+            exp_naive = exp_val.astimezone(_d.timezone.utc).replace(
+                tzinfo=None
+            )
+            assert act_val == exp_naive, (
+                f"fuzzy datetime cleaned differs for {v!r}: "
+                f"{act_val!r} != {exp_naive!r}"
+            )
