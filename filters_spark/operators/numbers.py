@@ -8,6 +8,13 @@ Parity caveats vs the reference (documented, also in SURVEY.md §7):
   default (ROUND_HALF_EVEN) in the reference; here it maps to a decimal
   cast/round.  HALF_UP and HALF_EVEN are JVM-side; other modes are not
   supported (``Round`` covers the general grid case).
+- String inputs with more than 18 fractional digits are sticky-truncated
+  (:func:`_sticky_truncate`) before the bounded cast when a quantize at
+  scale ≤ 17 follows, so the HALF_EVEN result matches the reference's
+  single unbounded quantize exactly.  Residual edges: quantizing at
+  scale 18 itself (the cast's HALF_UP at digit 18 decides ties from
+  digit 19 information the bounded type cannot hold) and scientific
+  notation carrying ≥ 19 effective fractional digits.
 """
 
 from __future__ import annotations
@@ -80,12 +87,51 @@ def _py_numeric_string(value: Column) -> Column:
     return F.regexp_replace(s, r"(?U)^\s+|\s+$", "")
 
 
+def _sticky_truncate(s: Column) -> Column:
+    """Collapse fractional digits beyond the 18-digit working scale into
+    a *sticky* 18th digit so a later HALF_EVEN ``bround`` at scale ≤ 17
+    sees the same >/==/< relation to the rounding boundary as an
+    unbounded quantize of the original string would.
+
+    Plain-decimal strings with ≥ 19 fractional digits are rewritten to
+    exactly 18: digits 1–17 kept verbatim; digit 18 kept, except that a
+    nonzero dropped tail bumps ``0 → 1`` and ``5 → 6`` (any other digit
+    already decides the comparison on its own).  The rewritten string
+    casts to ``DecimalType(38, 18)`` exactly — no HALF_UP tie can be
+    manufactured by the bounded cast, so the double-rounding divergence
+    (e.g. ``'1.0149999999999999995' @2 → 1.02`` instead of the
+    reference's 1.01) is gone for every quantize scale ≤ 17.  Exponent
+    forms (``1.5e-20``) are left alone — a documented residual edge."""
+    m = r"^([+-]?\d*\.)(\d{17})(\d)(\d+)$"
+    intdot = F.regexp_extract(s, m, 1)
+    first17 = F.regexp_extract(s, m, 2)
+    d18 = F.regexp_extract(s, m, 3)
+    sticky = F.regexp_extract(s, m, 4).rlike("[1-9]")
+    d18_adj = (
+        F.when(sticky & (d18 == "0"), F.lit("1"))
+        .when(sticky & (d18 == "5"), F.lit("6"))
+        .otherwise(d18)
+    )
+    return F.when(
+        s.rlike(r"^[+-]?\d*\.\d{19,}$"),
+        F.concat(intdot, first17, d18_adj),
+    ).otherwise(s)
+
+
 def coerce_decimal(
-    value: Column, dtype: T.DataType, scale: int = DEFAULT_SCALE
+    value: Column,
+    dtype: T.DataType,
+    scale: int = DEFAULT_SCALE,
+    sticky_guard: bool = False,
 ) -> tuple[Column, Column, Column]:
     """Shared Decimal coercion: returns ``(casted, not_numeric_cond,
     not_finite_cond)``.  Mirrors ``number.py:63-95``: parse failure →
-    ``not_numeric``; NaN/±Inf → ``not_finite``."""
+    ``not_numeric``; NaN/±Inf → ``not_finite``.
+
+    ``sticky_guard`` applies :func:`_sticky_truncate` to string inputs —
+    set it when (and only when) the caller re-rounds HALF_EVEN at a
+    scale ≤ 17; without a downstream quantize, the bounded cast's own
+    nearest-value rounding at digit 18 is the better approximation."""
     target = _decimal_type(scale)
     if isinstance(dtype, T.DecimalType):
         return value.cast(target), F.lit(False), F.lit(False)
@@ -102,6 +148,8 @@ def coerce_decimal(
         )
     if isinstance(dtype, T.StringType):
         s = _py_numeric_string(value)
+        if sticky_guard:
+            s = _sticky_truncate(s)
         casted = s.try_cast(target)
         non_finite = F.lower(s).rlike(_NON_FINITE_RE)
         not_numeric = casted.isNull() & ~non_finite
@@ -132,8 +180,18 @@ class Decimal(BaseSpec):
         return max(0, -self.max_precision.as_tuple().exponent)
 
     def compile(self, value, dtype, ctx, key) -> Step:
-        casted, not_numeric, non_finite = coerce_decimal(value, dtype, self.scale)
         out_scale = self._out_scale()
+        # sticky_guard: string inputs with >18 fractional digits would
+        # otherwise HALF_UP into an exact tie at the working scale and
+        # the bround below would then double-round (advisor-found:
+        # '1.0149999999999999995' @2 → 1.02 vs reference 1.01); the
+        # sticky 18th digit makes the bround exact for out_scale ≤ 17.
+        casted, not_numeric, non_finite = coerce_decimal(
+            value,
+            dtype,
+            self.scale,
+            sticky_guard=self.max_precision is not None and out_scale <= 17,
+        )
         out = casted
         if self.max_precision is not None:
             # the reference quantizes with the decimal-context default

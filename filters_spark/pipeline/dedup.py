@@ -440,12 +440,21 @@ def dedup_groups(
     ``monotonically_increasing_id`` lookup table) and join back after.
     """
     _integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def _is_integral(dt: T.DataType) -> bool:
+        # Zero-scale decimals up to 18 digits cast to long losslessly
+        # (warehouse/Parquet sources often type ids DECIMAL(n,0)); wider
+        # or scaled decimals could silently truncate, so they still raise.
+        if isinstance(dt, T.DecimalType):
+            return dt.scale == 0 and dt.precision <= 18
+        return isinstance(dt, _integral)
+
     id_checks = [(pairs, a_col), (pairs, b_col)] + (
         [(df, id_col)] if df is not None else []
     )
     for frame, col_name in id_checks:
         dt = frame.schema[col_name].dataType
-        if not isinstance(dt, _integral):
+        if not _is_integral(dt):
             raise TypeError(
                 f"dedup_groups: id column {col_name!r} has type "
                 f"{dt.simpleString()}; ids must be integral (hash string "

@@ -427,21 +427,25 @@ def ivf_assign(
     )
     from pyspark.sql import Window
 
+    # Project '__v' into the scored relation only when the caller wants
+    # it back: the row_number window shuffles by id, and a wide embedding
+    # riding through that exchange for keep_vec=False is pure dead weight.
+    keep3 = [F.col("__v").alias("__kv")] if keep_vec else []
     scored = df.select(F.col(id_col), v.alias("__v")).join(
         F.broadcast(cent)
     ).select(
         id_col,
-        "__v",
+        *keep3,
         "cidx",
         cosine_sim(F.col("__v"), F.col("cvec")).alias("__s"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("cidx"))
-    keep3 = [F.col("__v").alias(vec_col)] if keep_vec else []
+    keep4 = [F.col("__kv").alias(vec_col)] if keep_vec else []
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select(
-            F.col(id_col), *keep3, F.col("cidx").cast("int").alias("cell")
+            F.col(id_col), *keep4, F.col("cidx").cast("int").alias("cell")
         )
     )
 

@@ -248,9 +248,13 @@ def interval_join(
     ``max(p90_len, max_len / (0.9 * max_buckets_per_interval))`` so a
     typical interval covers ~1-2 buckets and the fan-out guard can
     never trip.  The join RESULT is width-independent, so the
-    approximate percentile costs nothing in determinism.  Pass a number
-    to pin the width (e.g. when the interval frame is too expensive to
-    pre-scan or a domain bucket size is known).
+    approximate percentile costs nothing in determinism.  NOTE:
+    ``"auto"`` makes this call EAGER — the width aggregate is a Spark
+    action executed at plan-build time, scanning the interval frame
+    once more (projected to two columns, so pruned at the source).  If
+    ``intervals`` is an expensive derived frame, either ``.persist()``
+    it before calling or pass a numeric width (e.g. a known domain
+    bucket size) to keep the builder fully lazy.
 
     ``how="left"`` keeps unmatched points with null interval columns.
     When the point frame has a unique id column, pass ``point_id=`` —

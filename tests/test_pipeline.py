@@ -2310,6 +2310,82 @@ def test_dedup_groups_rejects_non_integral_ids(spark):
         dedup_groups(ipairs, df=scorpus)
 
 
+def test_dedup_groups_accepts_zero_scale_decimal_ids(spark):
+    """DECIMAL(n,0) ids (common from warehouse/Parquet sources) cast to
+    long losslessly and must be accepted (ADVICE r4); scaled or >18-digit
+    decimals still raise."""
+    from filters_spark.pipeline.dedup import dedup_groups
+
+    dpairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    ).selectExpr("cast(a as decimal(10,0)) a", "cast(b as decimal(10,0)) b")
+    got = {
+        r["id"]: r["group_id"] for r in dedup_groups(dpairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    scaled = spark.createDataFrame([(1, 2)], "a long, b long").selectExpr(
+        "cast(a as decimal(10,2)) a", "b"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        dedup_groups(scaled)
+    wide = spark.createDataFrame([(1, 2)], "a long, b long").selectExpr(
+        "cast(a as decimal(38,0)) a", "b"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        dedup_groups(wide)
+
+
+def test_ivf_assign_broadcast_path_sheds_vector_before_shuffle(emb):
+    """keep_vec=False on the >32-centroid broadcast-join path must not
+    carry the embedding through the row_number window Exchange — a wide
+    vector riding a shuffle it is never read from is pure dead weight
+    (ADVICE r4).  keep_vec=True still returns the vector intact."""
+    from filters_spark.pipeline.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_cells=5)
+    padded = cents + cents * 6  # 35 > 32 -> broadcast-join path
+
+    def _exchange_outputs(df):
+        def walk(node):
+            yield node
+            cs = node.children()
+            for i in range(cs.size()):
+                yield from walk(cs.apply(i))
+
+        # Exchanges are inserted by EnsureRequirements, so they exist
+        # neither in sparkPlan() nor in the (empty-children) adaptive
+        # root — walk the AdaptiveSparkPlanExec's initialPlan instead
+        root = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in root.nodeName():
+            root = root.initialPlan()
+        names = []
+        for n in walk(root):
+            if "Exchange" in n.nodeName():
+                out = n.output()
+                names.append(
+                    [out.apply(i).name() for i in range(out.size())]
+                )
+        return names
+
+    lean = ivf_assign(emb, padded)
+    ex_outs = _exchange_outputs(lean)
+    assert ex_outs, "expected a window Exchange on the join path"
+    for cols in ex_outs:
+        assert "__v" not in cols and "__kv" not in cols and (
+            "embedding" not in cols
+        ), f"vector rides the shuffle: {cols}"
+    kept = ivf_assign(emb, padded, keep_vec=True)
+    assert set(kept.columns) == {"vec_id", "embedding", "cell"}
+    lean_cells = {r["vec_id"]: r["cell"] for r in lean.collect()}
+    kept_rows = kept.collect()
+    assert {r["vec_id"]: r["cell"] for r in kept_rows} == lean_cells
+    src = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for r in kept_rows:
+        assert [float(x) for x in r["embedding"]] == [
+            float(x) for x in src[r["vec_id"]]
+        ]
+
+
 def test_ivf_refine_improves_recall_on_clustered_corpus(spark):
     """One–two Lloyd rounds (ivf_refine) move hash-init centroids to
     actual cluster means: with a bad init (two picks in one cluster,

@@ -881,6 +881,63 @@ def test_fuzzed_decimal_parity(spark, name, prec, values):
             )
 
 
+# -- Decimal long-fraction fuzz (sticky-truncation guard) --------------------
+#
+# Strings with >18 fractional digits used to double-round: the bounded
+# (38,18) cast HALF_UPs at digit 18 and can manufacture an exact tie the
+# HALF_EVEN bround then breaks the wrong way ('1.0149999999999999995'@2
+# → 1.02 vs the reference's single unbounded quantize → 1.01).  The
+# sticky 18th digit (_sticky_truncate) makes every quantize at scale ≤ 17
+# exact; this fuzz hammers tie-adjacent shapes specifically.
+
+_DIGITS = "0123456789"
+
+
+@st.composite
+def _long_fraction(draw):
+    sign = draw(st.sampled_from(["", "-", "+"]))
+    ipart = draw(st.text(alphabet=_DIGITS, min_size=0, max_size=3))
+    shape = draw(st.sampled_from(["tie", "near_tie", "random"]))
+    prec = draw(st.integers(min_value=0, max_value=17))
+    if shape == "random":
+        frac = draw(st.text(alphabet=_DIGITS, min_size=19, max_size=30))
+    else:
+        head = draw(st.text(alphabet=_DIGITS, min_size=prec, max_size=prec))
+        pad = draw(st.integers(min_value=17, max_value=28)) - prec
+        if shape == "tie":
+            frac = head + "5" + "0" * pad
+        else:  # near_tie: a 4/5 boundary digit then a sparse tail
+            frac = (
+                head
+                + draw(st.sampled_from("45"))
+                + "0" * pad
+                + draw(st.sampled_from(["", "1", "5", "9"]))
+            )
+    return sign + ipart + "." + frac, prec
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(case=_long_fraction())
+def test_fuzzed_decimal_long_fraction_parity(spark, case):
+    value, prec = case
+    import decimal as _dec
+
+    exp_val, exp_codes = _ref_apply(ref.Decimal(max_precision=prec), value)
+    (act_val, act_codes), = _engine_apply_batch(
+        spark, fs.Decimal(max_precision=prec), [value]
+    )
+    assert act_codes == exp_codes, (
+        f"decimal long-frac codes for {value!r}: {act_codes} != {exp_codes}"
+    )
+    if exp_val is None:
+        assert act_val is None
+    else:
+        assert act_val is not None and _dec.Decimal(act_val) == exp_val, (
+            f"decimal long-frac @{prec} for {value!r}: "
+            f"{act_val!r} != {exp_val!r}"
+        )
+
+
 # -- Datetime fuzzy-format fuzz (the dateutil kernel path) -------------------
 
 FUZZY_DT = st.sampled_from(
