@@ -3193,75 +3193,193 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 
 
 # ---------------------------------------------------------------------------
+# streaming twins, driven to completion (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+#
+# Each query runs a REAL Structured Streaming job — file source over the
+# events parquet, availableNow trigger, memory sink — to completion, then
+# returns the sink table.  The oracle is ordinary batch SQL: an append-
+# mode watermarked aggregate emits exactly the windows/sessions finalised
+# by the final watermark (max event time − delay), which the SQL
+# replicates with a max(ts) subquery.  Hour windows + a 1-hour delay keep
+# the finalisation boundary strictly between window ends (event
+# timestamps carry microseconds), so the < vs ≤ eviction edge can never
+# decide a row.
+
+
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """FileStreamSource wants a DIRECTORY; the testdata tables are single
+    read-only files.  Symlink the file into a temp dir (no copy)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"fs_stream_src_{table}_")
+    os.symlink(f"{sf_dir}/{table}.parquet", f"{d}/{table}.parquet")
+    return d
+
+
+def _run_availablenow(out, spark) -> DataFrame:
+    import uuid as _uuid
+
+    name = "fs_stream_" + _uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+def q_streaming_violation_counts(spark, sf_dir):
+    """Watermarked tumbling-window violation counts on a LIVE stream
+    (streaming/validation.py windowed_violation_counts): the same
+    compiled validation projection as batch, then an hour-window
+    append-mode aggregate whose state is evicted by the watermark.
+    Emitted rows = windows finalised by the end-of-stream watermark."""
+    from filters_spark.streaming import windowed_violation_counts
+
+    _utc(spark)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_dir(sf_dir, "events"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rules = {
+        "event_type": fs.Choice(("click", "view", "purchase", "signup")),
+        "value": fs.Max(400),
+    }
+    out = windowed_violation_counts(
+        stream, rules, ts_col="ts", window="1 hour", watermark="1 hour"
+    )
+    sink = _run_availablenow(out, spark)
+    return sink.select(
+        F.unix_micros("window_start").alias("ws_us"),
+        F.unix_micros("window_end").alias("we_us"),
+        "key",
+        "code",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+SQL_STREAMING_VIOLATION_COUNTS = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+viol AS (
+  SELECT date_trunc('hour', ts) AS ws, 'event_type' AS key,
+         'not_valid_choice' AS code
+  FROM events
+  WHERE event_type NOT IN ('click','view','purchase','signup')
+  UNION ALL
+  SELECT date_trunc('hour', ts), 'value', 'too_big'
+  FROM events WHERE value > 400
+)
+SELECT epoch_us(ws) AS ws_us,
+       epoch_us(ws + INTERVAL 1 HOUR) AS we_us,
+       key, code, count(*) AS n
+FROM viol, mx
+WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """session_window streaming aggregation driven to completion
+    (streaming/validation.py stream_sessionize): 30-minute dynamic-gap
+    sessions per user, state evicted as the watermark passes each
+    session's end.  Emitted rows = sessions whose end (last event +
+    gap) precedes the end-of-stream watermark (max ts − 1 hour)."""
+    from filters_spark.streaming import stream_sessionize
+
+    _utc(spark)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_dir(sf_dir, "events"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_sessionize(
+        stream,
+        entity_col="user_id",
+        ts_col="ts",
+        gap="30 minutes",
+        watermark="1 hour",
+    )
+    sink = _run_availablenow(out, spark)
+    return sink.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+flag AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > CAST(1800 * 1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+), agg AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT a.user_id, a.start_us, a.end_us, a.n_events
+FROM agg a, mx
+WHERE a.end_us <= epoch_us(m - INTERVAL 1 HOUR)
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 84 in dict
-# order).  r3's window covered the FIRST 50 names of the r3 ordering; the
-# 34 names below whose latest driver-green row is r2 (or, for
-# dedup_groups, judge-only) come FIRST so that r3 ∪ r4 driver rows cover
-# all 84 registered queries (VERDICT r3 item 2).  Cheap scans lead, the
-# heavy self-joins (incl. dedup_groups) sit inside the 50-window tail,
-# and the 50 r3-green names fill out the back.
+# Ordered for the driver's bounded correctness sweep (50 of 89 in dict
+# order).  r4's window covered the FIRST 50 names of the r4 ordering;
+# this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
+# changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
+# (b) the 2 brand-new streaming queries plus decimal_quantize /
+# ivf_ann_topk / dedup_groups / interval_join(_mixed), which changed
+# again in r5 (advisor fixes), then (c) the remaining 29 names whose
+# latest row is r3.  That is 39 distinct never/stale-checked names; the
+# 11 slots left in the 50-window are filled with the cheapest r4-green
+# scans.  r4-green heavy self-joins sit at the back.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- r3 complement: latest driver row is r2 --
-    "minlength": q_minlength,
-    "len_range": q_len_range,
-    "maxchars_truncate": q_maxchars_truncate,
-    "date_utc": q_date_utc,
-    "empty_notempty": q_empty_notempty,
+    # -- changed in r4/r5, latest driver row r3 (or none) --
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "time_rollup": q_time_rollup,
+    "sessionize": q_sessionize,
+    "curation_e2e": q_curation_e2e,
+    "multimodal_pixels": q_multimodal_pixels,
+    "pack_sequences": q_pack_sequences,
+    "pack_token_ids": q_pack_token_ids,
+    # -- new in r5: no driver row yet --
+    "streaming_violation_counts": q_streaming_violation_counts,
+    "streaming_sessionize": q_streaming_sessionize,
+    # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
-    "mapper_nested": q_mapper_nested,
-    "repeater_elements": q_repeater_elements,
-    "switch_dispatch": q_switch_dispatch,
-    "pick_item": q_pick_item,
-    "token_counts": q_token_counts,
-    "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "multimodal_bytestats": q_multimodal_bytestats,
-    "multimodal_decode": q_multimodal_decode,
-    "salted_agg": q_salted_agg,
-    "uniqueness": q_uniqueness,
-    "gapless": q_gapless,
-    "orphans": q_orphans,
-    "column_stats": q_column_stats,
-    "drift_frequencies": q_drift_frequencies,
-    "length_histogram": q_length_histogram,
-    "dedup_exact": q_dedup_exact,
-    "cosine_topk": q_cosine_topk,
-    # -- never driver-checked: judge-verified only in r3 --
     "dedup_groups": q_dedup_groups,
-    # -- r3 complement: heavy self-join / suite queries --
-    "suite_verdicts": q_suite_verdicts,
-    "dedup_simhash": q_dedup_simhash,
-    "simhash_pairs": q_simhash_pairs,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "embed_near_dups": q_embed_near_dups,
-    "embed_near_dups_srp": q_embed_near_dups_srp,
-    "srp_ann_topk": q_srp_ann_topk,
-    # -- new in r4 (no driver row yet): skew twins + auto-width --
-    "asof_join_skew": q_asof_join_skew,
-    "sessionize_skew": q_sessionize_skew,
     "interval_join_mixed": q_interval_join_mixed,
-    # -- r3 driver-green names below (cheap scans first) --
-    "flagship_validate": q_flagship_validate,
-    "required": q_required,
-    "choice_canonical": q_choice_canonical,
-    "min_max": q_min_max,
-    "int_parse": q_int_parse,
-    "round_quarter": q_round_quarter,
-    "strip": q_strip,
-    "casefold": q_casefold,
-    "regex_all_matches": q_regex_all_matches,
-    "split_tokens": q_split_tokens,
-    "maxbytes_truncate": q_maxbytes_truncate,
-    "base64_roundtrip": q_base64_roundtrip,
-    "uuid_canonical": q_uuid_canonical,
+    # -- latest driver row is r3 --
+    "datetime_utc": q_datetime_utc,
     "ipaddress": q_ipaddress,
     "json_decode": q_json_decode,
-    "datetime_utc": q_datetime_utc,
     "optional_default": q_optional_default,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
@@ -3285,17 +3403,58 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "span_clean": q_span_clean,
     "pack_plan": q_pack_plan,
-    "pack_sequences": q_pack_sequences,
-    "pack_token_ids": q_pack_token_ids,
-    "multimodal_pixels": q_multimodal_pixels,
     "multimodal_samples": q_multimodal_samples,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "asof_join": q_asof_join,
-    "interval_join": q_interval_join,
-    "time_rollup": q_time_rollup,
-    "sessionize": q_sessionize,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "curation_e2e": q_curation_e2e,
+    # -- r4-green fillers (cheap scans) to round out the 50-window --
+    "minlength": q_minlength,
+    "len_range": q_len_range,
+    "maxchars_truncate": q_maxchars_truncate,
+    "date_utc": q_date_utc,
+    "empty_notempty": q_empty_notempty,
+    "required": q_required,
+    "strip": q_strip,
+    "casefold": q_casefold,
+    # ---- 50-window boundary is around here ----
+    "choice_canonical": q_choice_canonical,
+    "min_max": q_min_max,
+    "int_parse": q_int_parse,
+    "round_quarter": q_round_quarter,
+    "regex_all_matches": q_regex_all_matches,
+    "split_tokens": q_split_tokens,
+    "maxbytes_truncate": q_maxbytes_truncate,
+    "base64_roundtrip": q_base64_roundtrip,
+    "uuid_canonical": q_uuid_canonical,
+    "flagship_validate": q_flagship_validate,
+    "mapper_nested": q_mapper_nested,
+    "repeater_elements": q_repeater_elements,
+    "switch_dispatch": q_switch_dispatch,
+    "pick_item": q_pick_item,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "multimodal_bytestats": q_multimodal_bytestats,
+    "multimodal_decode": q_multimodal_decode,
+    "salted_agg": q_salted_agg,
+    "uniqueness": q_uniqueness,
+    "gapless": q_gapless,
+    "orphans": q_orphans,
+    "column_stats": q_column_stats,
+    "drift_frequencies": q_drift_frequencies,
+    "length_histogram": q_length_histogram,
+    "dedup_exact": q_dedup_exact,
+    "cosine_topk": q_cosine_topk,
+    "asof_join_skew": q_asof_join_skew,
+    "sessionize_skew": q_sessionize_skew,
+    # -- r4-green heavy self-join / suite queries last --
+    "suite_verdicts": q_suite_verdicts,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "embed_near_dups": q_embed_near_dups,
+    "embed_near_dups_srp": q_embed_near_dups_srp,
+    "srp_ann_topk": q_srp_ann_topk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3386,6 +3545,8 @@ _ORACLES: dict[str, str] = {
     "asof_join_skew": SQL_ASOF_JOIN_SKEW,
     "sessionize_skew": SQL_SESSIONIZE_SKEW,
     "interval_join_mixed": SQL_INTERVAL_JOIN_MIXED,
+    "streaming_violation_counts": SQL_STREAMING_VIOLATION_COUNTS,
+    "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the
