@@ -114,22 +114,20 @@ def bench_suite(spark: SparkSession, n_convs: int) -> dict:
 
 
 def bench_queries(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cpus: int
 ) -> tuple[dict[str, float], dict[str, list[dict]]]:
     """Headline per-query timings from the driver contract at sf_dir.
 
-    Best-of-two per query with per-attempt hypervisor steal recorded
-    (same protocol as the suite): this Firecracker host intermittently
-    loses 25-300 CPU-s to steal in bursts, and a burst landing on one
-    heavy query masquerades as a 3x regression (r2's dedup_simhash
-    read 8.2s in one record and 2.9s isolated — identical code).
-    One bounded extra attempt is taken when both attempts look
-    contaminated — steal on the best attempt, or the two attempts
-    disagreeing by >1.8x (bursts can throttle the guest without moving
-    the steal counter: a burst window measured uuid_canonical at 11.4s
-    with 0.7 CPU-s attempt steal vs its 2.7s clean record).  Operator
-    caches are released after each attempt so a query's persisted
-    intermediates never pollute the next measurement.
+    Per query: attempts repeat (cap 4) until one is steal-CLEAN
+    (<5% of the window's CPU-seconds) and the two fastest agree within
+    1.5x; the KEPT number is the fastest clean attempt, falling back to
+    min-wall only when no attempt is clean (recorded as clean=false).
+    This Firecracker host intermittently loses 25-300 CPU-s to steal in
+    bursts, and a burst landing on one heavy query masquerades as a 3x
+    regression (r2's dedup_simhash read 8.2s in one record and 2.9s
+    isolated — identical code; r4's suite record was 25.0s vs 13.2s
+    reproduced).  Operator caches are released after each attempt so a
+    query's persisted intermediates never pollute the next measurement.
     """
     import __spark_entry__ as e
     from filters_spark.pipeline.dedup import release
@@ -177,22 +175,63 @@ def bench_queries(
             recs.append(
                 {"sec": dt, "steal_cpu_sec": round(read_steal_sec() - s0, 1)}
             )
-            if len(recs) >= 3 or (len(recs) == 2 and not _contaminated(recs)):
+            if _settled(recs, cpus, cap=4):
                 break
+            _wait_for_quiet(30.0)
+        kept, clean = _pick(recs, cpus)
         attempts[name] = recs
-        out[name] = min(r["sec"] for r in recs)
+        kept_i = recs.index(kept)
+        recs[kept_i] = dict(recs[kept_i], kept=True, clean=clean)
+        out[name] = kept["sec"]
     return out, attempts
 
 
-def _contaminated(recs: list[dict], steal_thresh: float = 5.0) -> bool:
-    """Both attempts suspect: the fastest one still saw steal, or the
-    attempts disagree by >1.8x (burst throttling is not always visible
-    in the steal counter)."""
-    best = min(recs, key=lambda r: r["sec"])
+def _attempt_clean(rec: dict, cpus: int) -> bool:
+    """An attempt is steal-clean when the steal accumulated in its window
+    is below 5% of the window's CPU-seconds (floor 3 CPU-s for very short
+    windows, where one stray tick dominates the ratio)."""
+    return rec["steal_cpu_sec"] <= max(3.0, 0.05 * rec["sec"] * cpus)
+
+
+def _pick(recs: list[dict], cpus: int) -> tuple[dict, bool]:
+    """Keep the fastest CLEAN attempt; only if no attempt is clean fall
+    back to the fastest overall (and say so).  r4's record kept a
+    min-wall attempt from two equally-contaminated runs and overstated
+    the suite cost 2x — preferring clean wall over min wall is the fix."""
+    clean = [r for r in recs if _attempt_clean(r, cpus)]
+    pool = clean or recs
+    return min(pool, key=lambda r: r["sec"]), bool(clean)
+
+
+def _settled(recs: list[dict], cpus: int, cap: int) -> bool:
+    """Stop retrying once a clean attempt exists AND the two fastest
+    attempts agree within 1.5x (bursts can throttle the guest without
+    moving the steal counter, so cleanliness alone is not enough) — or
+    at the attempt cap."""
+    if len(recs) >= cap:
+        return True
+    if len(recs) < 2:
+        return False
     secs = sorted(r["sec"] for r in recs)
-    return best["steal_cpu_sec"] > steal_thresh or (
-        secs[0] > 0 and secs[-1] / secs[0] > 1.8
-    )
+    agree = secs[0] > 0 and secs[1] / secs[0] <= 1.5
+    return agree and any(_attempt_clean(r, cpus) for r in recs)
+
+
+def _wait_for_quiet(max_wait_sec: float = 90.0) -> float:
+    """Between contaminated attempts, wait (bounded) for the hypervisor
+    burst to pass: probe the steal rate over 2 s and sleep while it
+    exceeds ~0.3 stolen cores.  Returns seconds waited."""
+    waited = 0.0
+    while waited < max_wait_sec:
+        s0 = read_steal_sec()
+        time.sleep(2.0)
+        rate = (read_steal_sec() - s0) / 2.0
+        waited += 2.0
+        if rate <= 0.3:
+            break
+        time.sleep(8.0)
+        waited += 8.0
+    return waited
 
 
 def main() -> None:
@@ -210,30 +249,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     steal0 = read_steal_sec()
-    # Suite: best of two attempts (fastest kept, all recorded), with a
-    # bounded third when both look contaminated — see _contaminated().
-    # This host intermittently loses 25-300 CPU-s/run to hypervisor
-    # steal; a single contaminated attempt would otherwise masquerade
-    # as a regression.  Matches the scaling harness's stated protocol.
+    # Suite: retry (cap 5, with bounded quiet-window waits between
+    # contaminated attempts) until an attempt is steal-CLEAN (<5% of the
+    # window's CPU-seconds) and the two fastest agree; keep the fastest
+    # CLEAN attempt.  r4's record kept min-wall over two attempts that
+    # were BOTH contaminated and published 25.0s for a 13.2s suite —
+    # the kept number must be a clean measurement, not a lucky minimum
+    # (VERDICT r4 item 2).
     attempts = []
     while True:
         s0 = read_steal_sec()
         d = bench_suite(spark, n_convs)
         d["steal_cpu_sec"] = round(read_steal_sec() - s0, 1)
         attempts.append(d)
-        if len(attempts) >= 3 or (
-            len(attempts) == 2
-            and not _contaminated(
-                [
-                    {"sec": a["suite_sec"], "steal_cpu_sec": a["steal_cpu_sec"]}
-                    for a in attempts
-                ],
-                steal_thresh=25.0,
-            )
-        ):
+        as_recs = [
+            {"sec": a["suite_sec"], "steal_cpu_sec": a["steal_cpu_sec"]}
+            for a in attempts
+        ]
+        if _settled(as_recs, cpus, cap=5):
             break
-    suite = min(attempts, key=lambda d: d["suite_sec"])
-    queries, query_attempts = bench_queries(spark, sf_dir)
+        _wait_for_quiet(90.0)
+    kept_rec, suite_clean = _pick(as_recs, cpus)
+    suite = attempts[as_recs.index(kept_rec)]
+    queries, query_attempts = bench_queries(spark, sf_dir, cpus)
     steal_sec = round(read_steal_sec() - steal0, 1)
     total = round(suite["suite_sec"] + sum(queries.values()), 3)
 
@@ -273,6 +311,14 @@ def main() -> None:
         "n_turns": suite["n_turns"],
         "turns_per_sec_full_chain": suite["turns_per_sec"],
         "hypervisor_steal_cpu_sec": steal_sec,
+        # record quality: the kept suite attempt's own steal window and
+        # whether every kept number came from a steal-clean attempt
+        "suite_kept_steal_cpu_sec": suite["steal_cpu_sec"],
+        "suite_kept_clean": suite_clean,
+        "all_queries_clean": all(
+            any(r.get("clean") for r in recs if r.get("kept"))
+            for recs in query_attempts.values()
+        ),
     }
     spark.stop()
     print(json.dumps(out))
