@@ -32,11 +32,69 @@ from pyspark.sql import functions as F
 
 from filters_spark.engine.suite import ValidationSuite
 
+#: manifest state-schema version.  v1 = the unversioned r4 format
+#: (verdict + metrics + optional sketches/histograms); v2 adds this
+#: field plus the suite fingerprint.  Bump whenever the meaning or
+#: mergeability of stored state changes — resume REFUSES to merge
+#: entries from another version instead of silently mixing state.
+STATE_VERSION = 2
+
+
+def suite_fingerprint(suite: ValidationSuite) -> str:
+    """Stable digest of the suite config that determines what the stored
+    per-bucket state MEANS (rules, keys, bucket count, stat/drift
+    columns).  Specs without a stable ``__repr__`` fall back to their
+    class name, so the fingerprint can never false-refuse a valid resume
+    on object identity — it only catches real config drift."""
+    import hashlib
+
+    def sig(v) -> str:
+        r = repr(v)
+        return type(v).__name__ if " object at 0x" in r else r
+
+    spec = repr(
+        {
+            "rules": {k: sig(v) for k, v in sorted(suite.rules.items())},
+            "conv": suite.conv,
+            "idx": suite.idx,
+            "n_buckets": suite.n_buckets,
+            "stat_columns": suite.stat_columns,
+            "drift_cols": suite.drift_cols,
+            "length_col": suite.length_col,
+        }
+    )
+    return hashlib.sha256(spec.encode()).hexdigest()[:16]
+
 
 class CheckpointManifest:
     def __init__(self, path: str | Path) -> None:
         self.dir = Path(path)
         self.dir.mkdir(parents=True, exist_ok=True)
+
+    def check_compatible(self, fingerprint: str) -> None:
+        """Refuse to resume over a manifest whose entries were written by
+        a different state-schema version or a different suite config —
+        merging them would silently blend incompatible state (VERDICT r4
+        item 7).  Unversioned (pre-v2) entries read as version 1."""
+        for b in sorted(self.completed()):
+            entry = self.read(b)
+            v = int(entry.get("state_version", 1))
+            if v != STATE_VERSION:
+                raise RuntimeError(
+                    f"checkpoint manifest {self.dir} bucket {b} was written "
+                    f"by state version {v}, this engine writes "
+                    f"{STATE_VERSION}; refusing to merge mixed-version "
+                    "state — delete the manifest directory to re-validate, "
+                    "or finish the job with the engine version that wrote it"
+                )
+            fp = entry.get("suite_fingerprint")
+            if fp != fingerprint:
+                raise RuntimeError(
+                    f"checkpoint manifest {self.dir} bucket {b} was written "
+                    f"with suite config {fp}, current config is "
+                    f"{fingerprint}; refusing to resume with changed rules/"
+                    "buckets — delete the manifest directory to re-validate"
+                )
 
     def _file(self, bucket: int) -> Path:
         return self.dir / f"bucket_{bucket:05d}.json"
@@ -117,6 +175,8 @@ def run_resumable(
     """
     if not isinstance(manifest, CheckpointManifest):
         manifest = CheckpointManifest(manifest)
+    fingerprint = suite_fingerprint(suite)
+    manifest.check_compatible(fingerprint)
     n = suite.n_buckets
     done = manifest.completed()
     todo = [b for b in range(n) if b not in done]
@@ -190,7 +250,12 @@ def run_resumable(
                     "bucket_pass": True,
                 }
             row.pop("bucket", None)
-            payload = {"verdict": row, "metrics": result.metrics}
+            payload = {
+                "state_version": STATE_VERSION,
+                "suite_fingerprint": fingerprint,
+                "verdict": row,
+                "metrics": result.metrics,
+            }
             if b in sketches:
                 payload["sketches"] = sketches[b]
             if b in histograms:

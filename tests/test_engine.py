@@ -324,6 +324,53 @@ def test_checkpoint_resume(tmp_path, tdf, baseline):
     assert final["passed"] is False
 
 
+def test_checkpoint_refuses_incompatible_state(tmp_path, tdf, baseline):
+    """Resume must REFUSE to merge manifest entries written by another
+    state-schema version or another suite config — silently blending
+    incompatible per-bucket state would corrupt the aggregate (VERDICT
+    r4 item 7)."""
+    import json as _json
+
+    from filters_spark.engine.checkpoint import STATE_VERSION
+
+    suite = ValidationSuite(RULES, n_buckets=8)
+    manifest = CheckpointManifest(tmp_path / "m")
+    partial = run_resumable(
+        tdf, suite, manifest, baseline=baseline, buckets_per_job=2,
+        fail_after_buckets=2,
+    )
+    assert partial["aborted"] and len(manifest.completed()) == 2
+
+    # changed rules -> different fingerprint -> refuse
+    changed = ValidationSuite(
+        {**RULES, "text": fs.Required() | fs.MaxLength(500)}, n_buckets=8
+    )
+    with pytest.raises(RuntimeError, match="suite config"):
+        run_resumable(tdf, changed, manifest, baseline=baseline)
+    # changed bucket count -> refuse
+    with pytest.raises(RuntimeError, match="suite config"):
+        run_resumable(
+            tdf, ValidationSuite(RULES, n_buckets=4), manifest,
+            baseline=baseline,
+        )
+    # entry doctored to a foreign state version (e.g. an r4-era
+    # unversioned manifest reads as v1) -> refuse
+    b = sorted(manifest.completed())[0]
+    p = manifest._file(b)
+    entry = _json.loads(p.read_text())
+    doctored = dict(entry, state_version=STATE_VERSION + 1)
+    p.write_text(_json.dumps(doctored))
+    with pytest.raises(RuntimeError, match="state version"):
+        run_resumable(tdf, suite, manifest, baseline=baseline)
+    p.write_text(_json.dumps(entry))
+
+    # identical config resumes cleanly and completes the table
+    final = run_resumable(tdf, suite, manifest, baseline=baseline,
+                          buckets_per_job=4)
+    assert not final["aborted"] and final["completed"] == 8
+    assert final["n_rows"] == tdf.count()
+
+
 def test_salted_agg_spreads_identical_duplicate_flood(spark):
     """A hot key whose rows are BYTE-IDENTICAL must still spread over the
     salt buckets (a value-derived salt would collapse them onto one
