@@ -3193,6 +3193,141 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 
 
 # ---------------------------------------------------------------------------
+# fastText language-ID over the real binary format (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+#
+# The fixture model is written in the PUBLIC fastText binary layout
+# (pipeline/fasttext_io.py) and predicted through the engine's
+# pure-Python fallback (the 'fasttext' wheel is absent here).  Word and
+# label vectors are md5-derived integers in [-32, 32] divided by 64 —
+# exact in float32 and float64 — so mean-of-words and the output dots
+# are bit-identical in Spark and DuckDB; only exp() can differ (≤ ulps),
+# absorbed by the 1e-6 confidence grid.
+
+_FT_DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+    "</s>",
+]
+_FT_LABELS = ["__label__en", "__label__xx", "__label__yy"]
+
+
+def _ft_ivec(token: str, dim: int = 4) -> list[int]:
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{token}|{i}".encode()).digest()[:4], "big"
+        ) % 65 - 32
+        for i in range(dim)
+    ]
+
+
+def _ft_fixture_path() -> str:
+    """Write the fixture model (atomically) to a stable temp path; in
+    cluster mode this file would ship via --files / addFile."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from filters_spark.pipeline.fasttext_io import write_supervised_model
+
+    path = os.path.join(tempfile.gettempdir(), "fs_ft_fixture_v1.bin")
+    if os.path.exists(path):
+        return path
+    inp = np.array([_ft_ivec(w) for w in _FT_DOC_VOCAB], dtype="f8") / 64.0
+    out = np.array([_ft_ivec("L" + lb) for lb in _FT_LABELS], dtype="f8") / 64.0
+    tmp = path + ".tmp"
+    write_supervised_model(
+        tmp, 4,
+        [(w, 100) for w in _FT_DOC_VOCAB],
+        [(lb, 50) for lb in _FT_LABELS],
+        inp, out,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def q_lang_id_fasttext(spark, sf_dir):
+    """fastText language ID through the REAL binary model format
+    (pipeline/textstats.py lang_id_fasttext + pipeline/fasttext_io.py):
+    Arrow-batched mapInPandas, model loaded once per worker, mean-of-
+    word-vectors → output dot → softmax."""
+    from filters_spark.pipeline.textstats import lang_id_fasttext
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = lang_id_fasttext(docs, _ft_fixture_path())
+    return out.select(
+        "id",
+        "lang_pred",
+        F.round(F.col("lang_conf") * 1e6).cast("long").alias("conf_e6"),
+    )
+
+
+def _sql_lang_id_fasttext() -> str:
+    wrows = ",\n    ".join(
+        "('{}', {}, {}, {}, {})".format(w, *_ft_ivec(w))
+        for w in _FT_DOC_VOCAB
+    )
+    lrows = ",\n    ".join(
+        "({}, '{}', {}, {}, {}, {})".format(
+            i, lb.replace("__label__", ""), *_ft_ivec("L" + lb)
+        )
+        for i, lb in enumerate(_FT_LABELS)
+    )
+    return f"""
+WITH wv(w, d0, d1, d2, d3) AS (VALUES
+    {wrows}),
+lv(lidx, lab, o0, o1, o2, o3) AS (VALUES
+    {lrows}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents
+  UNION ALL SELECT doc_id, '</s>' FROM documents
+),
+hit AS (
+  SELECT t.doc_id, v.d0 / 64.0 AS d0, v.d1 / 64.0 AS d1,
+         v.d2 / 64.0 AS d2, v.d3 / 64.0 AS d3
+  FROM toks t JOIN wv v ON t.w = v.w
+),
+hid AS (
+  SELECT doc_id, sum(d0) AS s0, sum(d1) AS s1, sum(d2) AS s2,
+         sum(d3) AS s3, count(*) AS n
+  FROM hit GROUP BY doc_id
+),
+sc AS (
+  SELECT h.doc_id, l.lidx, l.lab,
+         (h.s0 / h.n) * (l.o0 / 64.0) + (h.s1 / h.n) * (l.o1 / 64.0)
+         + (h.s2 / h.n) * (l.o2 / 64.0) + (h.s3 / h.n) * (l.o3 / 64.0)
+           AS s
+  FROM hid h CROSS JOIN lv l
+),
+ex AS (
+  SELECT doc_id, lidx, lab,
+         exp(s - max(s) OVER (PARTITION BY doc_id)) AS e
+  FROM sc
+),
+pr AS (
+  SELECT doc_id, lidx, lab,
+         e / sum(e) OVER (PARTITION BY doc_id) AS p
+  FROM ex
+),
+top AS (
+  SELECT doc_id, lab, p,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, lidx)
+           AS rn
+  FROM pr
+)
+SELECT doc_id AS id, lab AS lang_pred,
+       CAST(round(p * 1000000) AS BIGINT) AS conf_e6
+FROM top WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming twins, driven to completion (VERDICT r4 item 5)
 # ---------------------------------------------------------------------------
 #
@@ -3372,6 +3507,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5: no driver row yet --
     "streaming_violation_counts": q_streaming_violation_counts,
     "streaming_sessionize": q_streaming_sessionize,
+    "lang_id_fasttext": q_lang_id_fasttext,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -3547,6 +3683,7 @@ _ORACLES: dict[str, str] = {
     "interval_join_mixed": SQL_INTERVAL_JOIN_MIXED,
     "streaming_violation_counts": SQL_STREAMING_VIOLATION_COUNTS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
+    "lang_id_fasttext": _sql_lang_id_fasttext(),
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

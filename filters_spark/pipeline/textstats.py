@@ -184,11 +184,13 @@ def lang_id_fasttext(
     (ship it with ``spark.sparkContext.addFile`` / ``--files`` or a
     shared filesystem); it is loaded once per Python worker (module
     cache), and prediction runs one Arrow batch at a time through
-    ``mapInPandas`` — never per row.  Requires the ``fasttext`` package
-    on the executors; raises ``ModuleNotFoundError`` with guidance when
-    absent (the package is not in this build's environment, so this
-    path is wiring + contract, exercised by tests via the error path
-    and a stub model)."""
+    ``mapInPandas`` — never per row.  Uses the ``fasttext`` package when
+    installed; otherwise falls back to the engine's pure-Python reader
+    for the public fastText binary format
+    (:mod:`filters_spark.pipeline.fasttext_io` — non-quantized
+    supervised softmax models, word n-grams supported, character
+    n-grams/.ftz/hs-loss raise with guidance), so the operator works
+    out of the box for small classifiers and test fixtures."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -196,11 +198,8 @@ def lang_id_fasttext(
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         try:
             import fasttext
-        except ModuleNotFoundError as e:  # pragma: no cover - env-specific
-            raise ModuleNotFoundError(
-                "lang_id(model=...) needs the 'fasttext' package on the "
-                "executors; install it or use the stopword-profile default"
-            ) from e
+        except ModuleNotFoundError:
+            fasttext = None
         m = _ft_model(fasttext, model_path)
         for pdf in batches:
             texts = [
@@ -228,10 +227,21 @@ _FT_MODELS: dict = {}
 
 def _ft_model(fasttext_mod, path: str):
     """Per-worker model cache — fastText load is ~100 ms + model-size
-    RAM; one instance serves every batch the worker processes."""
-    m = _FT_MODELS.get(path)
+    RAM; one instance serves every batch the worker processes.  With no
+    ``fasttext`` package, the engine's pure-Python loader for the public
+    binary format takes over (same ``predict`` shape)."""
+    key = (fasttext_mod is not None, path)
+    m = _FT_MODELS.get(key)
     if m is None:
-        m = _FT_MODELS[path] = fasttext_mod.load_model(path)
+        if fasttext_mod is not None:
+            m = fasttext_mod.load_model(path)
+        else:
+            from filters_spark.pipeline.fasttext_io import (
+                FastTextSupervisedModel,
+            )
+
+            m = FastTextSupervisedModel.load(path)
+        _FT_MODELS[key] = m
     return m
 
 

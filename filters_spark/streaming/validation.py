@@ -57,10 +57,37 @@ def windowed_violation_counts(
     Watermark bounds the aggregation state (windows older than
     ``watermark`` are finalized and evicted); output is append-mode
     compatible: ``(window_start, window_end, key, code, n)``.
+
+    The watermark must advance with the WHOLE event stream, not just
+    its violating rows: a bare ``explode(_violations)`` lets Catalyst
+    infer ``size(_violations) > 0`` and push it below the
+    EventTimeWatermark node, so only violating rows would update the
+    max-event-time stats — a violation-free stretch would stall the
+    watermark and pin every open window's state forever (oracle-found
+    at sf0.001: the last hour-windows never finalised).  Exploding a
+    never-empty array (violations, or a single null placeholder for
+    valid rows) keeps the inferred filter vacuous; the placeholder is
+    dropped by a filter on the GENERATOR output, which cannot be pushed
+    below the Generate and therefore never below the watermark.
     """
     rows = validate_stream(stream_df, rules)
-    exploded = rows.withWatermark(ts_col, watermark).select(
-        F.col(ts_col), F.explode("_violations").alias("v")
+    placeholder = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("code"),
+            F.lit(None).cast("string").alias("message"),
+        )
+    )
+    exploded = (
+        rows.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                F.when(F.size("_violations") > 0, F.col("_violations"))
+                .otherwise(placeholder)
+            ).alias("v"),
+        )
+        .where(F.col("v.key").isNotNull())
     )
     return (
         exploded.groupBy(

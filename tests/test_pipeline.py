@@ -2168,23 +2168,156 @@ def test_embed_near_dups_dim_param_skips_driver_probe(spark, monkeypatch):
     monkeypatch.undo()
 
 
-def test_lang_id_fasttext_wiring(docs):
-    """lang_id(model=...) routes to the fastText mapInPandas path with
-    the documented schema; without the package the executor raises the
-    guidance error (the model lib is not in this environment — the
-    wiring and contract are what's under test)."""
+def _ft_fixture(tmp_path, words=None, bucket=0, word_ngrams=1):
+    """Deterministic tiny supervised model in the public fastText binary
+    layout: word/label vectors are md5-derived integers in [-32, 32]
+    divided by 64 — exact in float32 AND float64, so means and dots are
+    bit-reproducible across engines."""
+    import hashlib
+
+    import numpy as np
+
+    from filters_spark.pipeline.fasttext_io import write_supervised_model
+
+    def vec(token, dim=4):
+        return [
+            int.from_bytes(
+                hashlib.md5(f"{token}|{i}".encode()).digest()[:4], "big"
+            ) % 65 - 32
+            for i in range(dim)
+        ]
+
+    words = list(
+        words
+        or ["the", "a", "table", "row", "join", "spark", "data", "</s>"]
+    )
+    labels = ["__label__en", "__label__xx", "__label__yy"]
+    inp = np.array(
+        [vec(w) for w in words] + [vec(f"bucket{i}") for i in range(bucket)],
+        dtype="f8",
+    ) / 64.0
+    out = np.array([vec("L" + lb) for lb in labels], dtype="f8") / 64.0
+    path = str(tmp_path / "fixture.bin")
+    write_supervised_model(
+        path, 4, [(w, 100 - i) for i, w in enumerate(words)],
+        [(lb, 50) for lb in labels], inp, out,
+        bucket=bucket, word_ngrams=word_ngrams,
+    )
+    return path, words, labels, inp, out
+
+
+def test_fasttext_roundtrip_and_predict(tmp_path):
+    """Pure-Python fastText reader: writer → loader roundtrip preserves
+    args/dict/matrices, and predict reproduces mean → dot → softmax
+    computed independently here (double-entry check)."""
+    import numpy as np
+
+    from filters_spark.pipeline.fasttext_io import FastTextSupervisedModel
+
+    path, words, labels, inp, out = _ft_fixture(tmp_path)
+    m = FastTextSupervisedModel.load(path)
+    assert m.args["dim"] == 4 and m.args["loss"] == 3
+    assert list(m.words) == words and m.labels == labels
+    assert np.array_equal(m.input_mat, inp.astype("f4"))
+
+    text = "the table join join unknownword data"
+    ids = [words.index(w) for w in ["the", "table", "join", "join", "data"]]
+    ids.append(words.index("</s>"))
+    hidden = inp[ids].mean(axis=0)
+    scores = out @ hidden
+    e = np.exp(scores - scores.max())
+    probs = e / e.sum()
+    (got_labels,), (got_probs,) = m.predict([text], k=3)
+    assert list(got_labels) == [
+        labels[i] for i in np.argsort(-probs, kind="stable")
+    ]
+    assert np.allclose(np.sort(got_probs)[::-1], np.sort(probs)[::-1])
+    # empty / all-OOV lines still carry EOS, so they predict too
+    (l2,), (p2,) = m.predict([""], k=1)
+    assert len(l2) == 1 and 0.0 < p2[0] <= 1.0
+
+
+def test_fasttext_word_ngram_buckets(tmp_path):
+    """wordNgrams=2 with a hash bucket changes the hidden state via the
+    FNV-1a + 116049371-mix bucket rows; the bucket id math (incl. the
+    int32 sign extension) is recomputed here from the public spec."""
+    import numpy as np
+
+    from filters_spark.pipeline.fasttext_io import FastTextSupervisedModel
+
+    path, words, labels, inp, out = _ft_fixture(
+        tmp_path, bucket=7, word_ngrams=2
+    )
+    m = FastTextSupervisedModel.load(path)
+    text = "the table"
+
+    def fnv(s):
+        h = 2166136261
+        for b in s.encode():
+            h = (h ^ b) * 16777619 % 2**32
+        return h
+
+    def s64(h):
+        return h - 2**32 if h >= 2**31 else h
+
+    toks = ["the", "table", "</s>"]
+    ids = [words.index(t) for t in toks]
+    for i in range(len(toks) - 1):
+        hh = (s64(fnv(toks[i])) * 116049371 + s64(fnv(toks[i + 1]))) % 2**64
+        ids.append(len(words) + hh % 7)
+    hidden = inp[ids].mean(axis=0)
+    scores = out @ hidden
+    probs = np.exp(scores - scores.max())
+    probs /= probs.sum()
+    (got_labels,), (got_probs,) = m.predict([text], k=1)
+    assert got_labels[0] == labels[int(np.argmax(probs))]
+    assert got_probs[0] == pytest.approx(float(probs.max()))
+
+
+def test_fasttext_unsupported_features_raise(tmp_path):
+    """Out-of-scope models (quantized, hs loss, subword) refuse loudly
+    with install guidance instead of mis-predicting."""
+    import struct
+
+    from filters_spark.pipeline.fasttext_io import FastTextSupervisedModel
+
+    path, *_ = _ft_fixture(tmp_path)
+    raw = bytearray(open(path, "rb").read())
+    # loss field = 7th int32 of the args block (offset 8 + 6*4)
+    hs = bytearray(raw)
+    struct.pack_into("<i", hs, 8 + 24, 1)
+    (tmp_path / "hs.bin").write_bytes(hs)
+    with pytest.raises(ValueError, match="fasttext"):
+        FastTextSupervisedModel.load(str(tmp_path / "hs.bin"))
+    # maxn = 11th int32 (offset 8 + 10*4)
+    sub = bytearray(raw)
+    struct.pack_into("<i", sub, 8 + 40, 5)
+    (tmp_path / "sub.bin").write_bytes(sub)
+    with pytest.raises(ValueError, match="fasttext"):
+        FastTextSupervisedModel.load(str(tmp_path / "sub.bin"))
+    with pytest.raises(ValueError, match="magic|fastText"):
+        (tmp_path / "junk.bin").write_bytes(b"\x00" * 64)
+        FastTextSupervisedModel.load(str(tmp_path / "junk.bin"))
+
+
+def test_lang_id_fasttext_pure_python_fallback(docs, tmp_path):
+    """lang_id(model=...) now RUNS without the fasttext package: the
+    mapInPandas path loads the fixture through the pure-Python reader
+    and must agree with driver-side prediction on the same texts."""
+    from filters_spark.pipeline.fasttext_io import FastTextSupervisedModel
     from filters_spark.pipeline.textstats import lang_id
 
-    out = lang_id(docs, model="/nonexistent/lid.176.ftz")
+    path, *_ = _ft_fixture(tmp_path)
+    out = lang_id(docs, model=path)
     assert out.columns == ["id", "lang_pred", "lang_conf"]
-    try:
-        import fasttext  # noqa: F401
-
-        pytest.skip("fasttext present; error-path assertion not applicable")
-    except ModuleNotFoundError:
-        pass
-    with pytest.raises(Exception, match="fasttext"):
-        out.collect()
+    got = {r["id"]: (r["lang_pred"], r["lang_conf"]) for r in out.collect()}
+    m = FastTextSupervisedModel.load(path)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(src)
+    for i, text in src.items():
+        (labels,), (probs,) = m.predict([(text or "").replace("\n", " ")])
+        assert got[i][0] == labels[0].replace("__label__", "")
+        assert got[i][1] == pytest.approx(float(probs[0]))
 
 
 def test_pipeline_persist_release(docs, spark):

@@ -101,6 +101,44 @@ def test_windowed_violation_counts(spark, stream_input):
     assert all(r["window_start"].second == 0 for r in got)
 
 
+def test_windowed_counts_watermark_advances_past_last_violation(
+    spark, tmp_path
+):
+    """The watermark must track the WHOLE stream's event time: an early
+    violation followed by a long violation-free tail still finalises
+    (and emits, in append mode) the violation's window.  Before the fix,
+    Catalyst pushed the explode's inferred size>0 filter below the
+    EventTimeWatermark node, the watermark stalled at the LAST VIOLATION
+    minus the delay, and append mode emitted nothing."""
+    import datetime
+    import shutil
+
+    rows = [("c1", 0, "robot", "bad role", "2026-01-01 00:00:30")] + [
+        ("c1", i, "user", "ok", f"2026-01-01 00:{m:02d}:00")
+        for i, m in enumerate(range(1, 10), start=1)
+    ]
+    src = tmp_path / "wm_src"
+    spark.createDataFrame(
+        [
+            (c, i, r, t, datetime.datetime.fromisoformat(ts))
+            for c, i, r, t, ts in rows
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    out = windowed_violation_counts(
+        stream, RULES, ts_col="ts", window="1 minute", watermark="2 minutes"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    got = _run_stream(spark, out, name, mode="append").collect()
+    # final watermark = 00:09 - 2min = 00:07 > the violation window's
+    # end (00:01), so append mode must emit it — and nothing null-keyed
+    assert [(r["key"], r["code"], r["n"]) for r in got] == [
+        ("role", "not_valid_choice", 1)
+    ]
+    shutil.rmtree(src, ignore_errors=True)
+
+
 def test_conversation_monitor_stateful(spark, stream_input):
     stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
     out = conversation_monitor(stream)
