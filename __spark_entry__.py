@@ -3327,6 +3327,37 @@ FROM top WHERE rn = 1
 """
 
 
+def q_classify_fasttext(spark, sf_dir):
+    """Top-k supervised fastText classification (pipeline/textstats.py
+    classify_fasttext) — the web-data quality-classifier pattern: every
+    document scored against a small supervised model, top-2 labels with
+    confidences.  Same fixture model and exact-math contract as
+    lang_id_fasttext."""
+    from filters_spark.pipeline.textstats import classify_fasttext
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = classify_fasttext(docs, _ft_fixture_path(), k=2)
+    return out.select(
+        "id",
+        "rank",
+        "label",
+        F.round(F.col("conf") * 1e6).cast("long").alias("conf_e6"),
+    )
+
+
+def _sql_classify_fasttext() -> str:
+    """Same scoring pipeline as the lang_id oracle, top-2 by rank."""
+    base = _sql_lang_id_fasttext()
+    head, _, _ = base.rpartition("SELECT")
+    return (
+        head
+        + """SELECT doc_id AS id, CAST(rn AS INTEGER) AS rank, lab AS label,
+       CAST(round(p * 1000000) AS BIGINT) AS conf_e6
+FROM top WHERE rn <= 2
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming twins, driven to completion (VERDICT r4 item 5)
 # ---------------------------------------------------------------------------
@@ -3420,6 +3451,37 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup with bounded state
+    (streaming/validation.py stream_dedup →
+    ``dropDuplicatesWithinWatermark``): one surviving row per
+    (user_id, event_type) key within the watermark horizon.  Only the
+    KEY columns are returned: which duplicate survives depends on
+    micro-batch processing order (legitimately nondeterministic), the
+    set of surviving keys does not.  In a single availableNow batch the
+    initial watermark evicts nothing, so the emitted key set equals the
+    batch DISTINCT — the oracle."""
+    from filters_spark.streaming import stream_dedup
+
+    _utc(spark)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_dir(sf_dir, "events"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+    )
+    sink = _run_availablenow(out, spark)
+    return sink.select("user_id", "event_type")
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """session_window streaming aggregation driven to completion
     (streaming/validation.py stream_sessionize): 30-minute dynamic-gap
@@ -3483,15 +3545,15 @@ WHERE a.end_us <= epoch_us(m - INTERVAL 1 HOUR)
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 89 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 92 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 2 brand-new streaming queries plus decimal_quantize /
-# ivf_ann_topk / dedup_groups / interval_join(_mixed), which changed
+# (b) the 5 brand-new r5 queries (3 streaming + 2 fastText) plus
+# decimal_quantize / dedup_groups / interval_join_mixed, which changed
 # again in r5 (advisor fixes), then (c) the remaining 29 names whose
-# latest row is r3.  That is 39 distinct never/stale-checked names; the
-# 11 slots left in the 50-window are filled with the cheapest r4-green
+# latest row is r3.  That is 42 distinct never/stale-checked names, all
+# inside the 50-window; the 8 remaining slots are the cheapest r4-green
 # scans.  r4-green heavy self-joins sit at the back.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- changed in r4/r5, latest driver row r3 (or none) --
@@ -3507,7 +3569,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5: no driver row yet --
     "streaming_violation_counts": q_streaming_violation_counts,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup": q_streaming_dedup,
     "lang_id_fasttext": q_lang_id_fasttext,
+    "classify_fasttext": q_classify_fasttext,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -3547,10 +3611,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxchars_truncate": q_maxchars_truncate,
     "date_utc": q_date_utc,
     "empty_notempty": q_empty_notempty,
+    # ---- 50-window boundary is around here (42 never/stale-checked
+    # names above, all inside the window; r4-green fillers follow) ----
     "required": q_required,
     "strip": q_strip,
     "casefold": q_casefold,
-    # ---- 50-window boundary is around here ----
     "choice_canonical": q_choice_canonical,
     "min_max": q_min_max,
     "int_parse": q_int_parse,
@@ -3683,7 +3748,9 @@ _ORACLES: dict[str, str] = {
     "interval_join_mixed": SQL_INTERVAL_JOIN_MIXED,
     "streaming_violation_counts": SQL_STREAMING_VIOLATION_COUNTS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
     "lang_id_fasttext": _sql_lang_id_fasttext(),
+    "classify_fasttext": _sql_classify_fasttext(),
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

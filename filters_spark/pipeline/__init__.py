@@ -54,8 +54,10 @@ from filters_spark.pipeline.similarity import (
     srp_topk,
 )
 from filters_spark.pipeline.textstats import (
+    classify_fasttext,
     fingerprint,
     lang_id,
+    lang_id_fasttext,
     quality_score,
     tfidf_top_terms,
     token_counts,
@@ -100,6 +102,8 @@ __all__ = [
     "interval_join",
     "jaccard_pairs",
     "lang_id",
+    "lang_id_fasttext",
+    "classify_fasttext",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_overlap",

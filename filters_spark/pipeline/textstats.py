@@ -19,6 +19,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "lang_id_fasttext",
+    "classify_fasttext",
     "fingerprint",
     "tfidf_top_terms",
     "STOPWORDS",
@@ -219,6 +220,55 @@ def lang_id_fasttext(
 
     return df.select(id_col, text_col).mapInPandas(
         run, "id long, lang_pred string, lang_conf double"
+    )
+
+
+def classify_fasttext(
+    df: DataFrame,
+    model_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+) -> DataFrame:
+    """General supervised fastText classification — the web-data
+    QUALITY-CLASSIFIER pattern (GPT-3/CCNet-style: score every document
+    against a small supervised model, keep the high-scoring tail).
+
+    Returns ``(id, rank, label, conf)`` with the top-``k`` labels per
+    document, rank 1 = best.  Same execution shape as
+    :func:`lang_id_fasttext` (one model load per Python worker,
+    Arrow-batched ``mapInPandas``, never per row; the pure-Python
+    binary-format loader takes over when the ``fasttext`` package is
+    absent).  At 100 TB this is a stateless projection: no shuffle, the
+    model broadcast is the only distributed cost, and the scan fuses
+    with any downstream keep-filter on ``conf``.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        try:
+            import fasttext
+        except ModuleNotFoundError:
+            fasttext = None
+        m = _ft_model(fasttext, model_path)
+        for pdf in batches:
+            texts = [(t or "").replace("\n", " ") for t in pdf[text_col]]
+            labels, probs = m.predict(texts, k=k)
+            ids, ranks, labs, confs = [], [], [], []
+            for i, (ls, ps) in enumerate(zip(labels, probs)):
+                for r, (lb, p) in enumerate(zip(ls, ps), start=1):
+                    ids.append(int(pdf[id_col].iloc[i]))
+                    ranks.append(r)
+                    labs.append(lb.replace("__label__", ""))
+                    confs.append(float(p))
+            yield pd.DataFrame(
+                {"id": ids, "rank": ranks, "label": labs, "conf": confs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, rank int, label string, conf double"
     )
 
 

@@ -2300,6 +2300,38 @@ def test_fasttext_unsupported_features_raise(tmp_path):
         FastTextSupervisedModel.load(str(tmp_path / "junk.bin"))
 
 
+def test_classify_fasttext_topk(docs, tmp_path):
+    """classify_fasttext returns the top-k labels per document, rank 1
+    first, matching driver-side prediction — the quality-classifier
+    scoring pattern over the same fastText wire format."""
+    from filters_spark.pipeline import classify_fasttext
+    from filters_spark.pipeline.fasttext_io import FastTextSupervisedModel
+
+    path, *_ = _ft_fixture(tmp_path)
+    out = classify_fasttext(docs, path, k=2)
+    assert out.columns == ["id", "rank", "label", "conf"]
+    rows = out.collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    m = FastTextSupervisedModel.load(path)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_id) == set(src)
+    for i, text in src.items():
+        got = sorted(by_id[i], key=lambda r: r["rank"])
+        assert [r["rank"] for r in got] == [1, 2]
+        (labels,), (probs,) = m.predict(
+            [(text or "").replace("\n", " ")], k=2
+        )
+        assert [r["label"] for r in got] == [
+            lb.replace("__label__", "") for lb in labels
+        ]
+        # rank 1 conf >= rank 2 conf, and both match the local predict
+        assert got[0]["conf"] >= got[1]["conf"]
+        for r, p in zip(got, probs):
+            assert r["conf"] == pytest.approx(float(p))
+
+
 def test_lang_id_fasttext_pure_python_fallback(docs, tmp_path):
     """lang_id(model=...) now RUNS without the fasttext package: the
     mapInPandas path loads the fixture through the pure-Python reader
