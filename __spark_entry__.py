@@ -3327,6 +3327,60 @@ FROM top WHERE rn = 1
 """
 
 
+def q_violation_values(spark, sf_dir):
+    """Structured violation rows WITH the offending value (north rule:
+    "violation rows (filter code, chain path, offending value)"):
+    three-rule validation over documents, violations exploded and each
+    row carrying the ORIGINAL (pre-cleaning) value of its violating
+    column, stringified and truncated to 64 chars.  Same key→value map
+    projection `engine.violations_with_values` uses for the suite's
+    join-back path — here the originals ride the same row, so the plan
+    is one scan, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    raws = {c: F.col(c).cast("string") for c in ("text", "lang", "n_chars")}
+    out = fs.validate(
+        docs.withColumns({f"__raw_{c}": e for c, e in raws.items()}),
+        {
+            "text": fs.MaxChars(400),
+            "lang": fs.Choice(("en", "de", "fr", "es")),
+            "n_chars": fs.Min(50),
+        },
+    )
+    vals = F.create_map(
+        *[
+            x
+            for c in ("text", "lang", "n_chars")
+            for x in (F.lit(c), F.col(f"__raw_{c}"))
+        ]
+    )
+    v = F.explode("_violations").alias("v")
+    return out.select("doc_id", v, vals.alias("__vals")).select(
+        "doc_id",
+        F.col("v.key").alias("key"),
+        F.col("v.code").alias("code"),
+        F.substring(
+            F.element_at(F.col("__vals"), F.col("v.key")), 1, 64
+        ).alias("value"),
+    )
+
+
+SQL_VIOLATION_VALUES = """
+SELECT doc_id, key, code, value FROM (
+  SELECT doc_id, 'text' AS key, 'too_long' AS code,
+         substr(text, 1, 64) AS value
+  FROM documents WHERE length(text) > 400
+  UNION ALL
+  SELECT doc_id, 'lang', 'not_valid_choice', substr(lang, 1, 64)
+  FROM documents
+  WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr', 'es')
+  UNION ALL
+  SELECT doc_id, 'n_chars', 'too_small',
+         substr(CAST(n_chars AS VARCHAR), 1, 64)
+  FROM documents WHERE n_chars < 50
+)
+"""
+
+
 def q_classify_fasttext(spark, sf_dir):
     """Top-k supervised fastText classification (pipeline/textstats.py
     classify_fasttext) — the web-data quality-classifier pattern: every
@@ -3545,15 +3599,16 @@ WHERE a.end_us <= epoch_us(m - INTERVAL 1 HOUR)
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 92 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 93 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 5 brand-new r5 queries (3 streaming + 2 fastText) plus
+# (b) the 6 brand-new r5 queries (3 streaming + 2 fastText +
+# violation_values) plus
 # decimal_quantize / dedup_groups / interval_join_mixed, which changed
 # again in r5 (advisor fixes), then (c) the remaining 29 names whose
 # latest row is r3.  That is 42 distinct never/stale-checked names, all
-# inside the 50-window; the 8 remaining slots are the cheapest r4-green
+# inside the 50-window; the remaining slots are the cheapest r4-green
 # scans.  r4-green heavy self-joins sit at the back.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- changed in r4/r5, latest driver row r3 (or none) --
@@ -3572,6 +3627,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "lang_id_fasttext": q_lang_id_fasttext,
     "classify_fasttext": q_classify_fasttext,
+    "violation_values": q_violation_values,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -3751,6 +3807,7 @@ _ORACLES: dict[str, str] = {
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "lang_id_fasttext": _sql_lang_id_fasttext(),
     "classify_fasttext": _sql_classify_fasttext(),
+    "violation_values": SQL_VIOLATION_VALUES,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

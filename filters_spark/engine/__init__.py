@@ -12,7 +12,10 @@ from filters_spark.engine.drift import (
     psi_from_histograms,
 )
 from filters_spark.engine.explode import explode_validate
-from filters_spark.engine.suite import ValidationSuite
+from filters_spark.engine.suite import (
+    ValidationSuite,
+    violations_with_values,
+)
 from filters_spark.engine.checkpoint import CheckpointManifest, run_resumable
 from filters_spark.engine.handlers import (
     FilterError,
@@ -28,6 +31,7 @@ __all__ = [
     "CheckpointManifest",
     "FilterError",
     "ValidationSuite",
+    "violations_with_values",
     "column_stats",
     "duplicate_keys",
     "error_codes",

@@ -345,3 +345,42 @@ class ValidationSuite:
             metrics=metrics,
             keyed=keyed,
         )
+
+
+def violations_with_values(
+    violations: DataFrame,
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str = "turn_idx",
+    columns: list[str] | None = None,
+    max_chars: int = 256,
+) -> DataFrame:
+    """Attach the OFFENDING VALUE to each violation row (north rule:
+    violation rows carry filter code, chain path, offending value).
+
+    The violation struct itself stays narrow — ``(key, code, message)``
+    — so VALID rows never ship document text through the suite's
+    shuffles; the offending value is recovered after the fact by ONE
+    equi-join back to the input on the row key (on an Iceberg table
+    bucketed by ``conv_id`` both sides co-locate and the join is
+    shuffle-light) plus a key→value map lookup that projects only the
+    violating column.  Values are stringified and truncated to
+    ``max_chars`` so a pathological cell cannot widen the reporting
+    table.  Dotted chain paths (``FilterMapper`` sub-keys like
+    ``meta.tags.0``) resolve to their top-level column's value.
+
+    ``columns`` limits the map to the validated columns (default: every
+    input column except the join keys).
+    """
+    if columns is None:
+        columns = [c for c in df.columns if c not in (conv, idx)]
+    pairs: list = []
+    for c in columns:
+        pairs.append(F.lit(c))
+        pairs.append(F.substring(F.col(c).cast("string"), 1, max_chars))
+    src = df.select(conv, idx, F.create_map(*pairs).alias("__vals"))
+    top_key = F.split(F.col("key"), r"\.").getItem(0)
+    return violations.join(src, [conv, idx]).select(
+        *violations.columns,
+        F.element_at(F.col("__vals"), top_key).alias("value"),
+    )

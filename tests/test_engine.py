@@ -324,6 +324,35 @@ def test_checkpoint_resume(tmp_path, tdf, baseline):
     assert final["passed"] is False
 
 
+def test_violations_with_values_joins_back_offending_values(tdf):
+    """North rule: violation rows carry (filter code, chain path,
+    offending value).  The struct stays narrow in the suite's shuffles;
+    violations_with_values recovers the ORIGINAL input value with one
+    equi-join + key→value map lookup, truncated to max_chars."""
+    from filters_spark.engine import violations_with_values
+
+    suite = ValidationSuite(RULES, n_buckets=8)
+    result = suite.run(tdf)
+    got = violations_with_values(
+        result.violations, tdf, max_chars=16
+    ).collect()
+    result.unpersist()
+    assert got, "fixture generates violations"
+    src = {
+        (r["conv_id"], r["turn_idx"]): r.asDict() for r in tdf.collect()
+    }
+    for r in got:
+        orig = src[(r["conv_id"], r["turn_idx"])][r["key"]]
+        if orig is None:
+            assert r["value"] is None
+        else:
+            assert r["value"] == str(orig)[:16]
+    # every violation row got exactly one value column appended
+    assert set(got[0].asDict()) == {
+        "conv_id", "turn_idx", "bucket", "key", "code", "message", "value"
+    }
+
+
 def test_checkpoint_refuses_incompatible_state(tmp_path, tdf, baseline):
     """Resume must REFUSE to merge manifest entries written by another
     state-schema version or another suite config — silently blending
