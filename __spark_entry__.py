@@ -3327,6 +3327,49 @@ FROM top WHERE rn = 1
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-fit quality score (pipeline/textstats.py unigram_logprob):
+    mean unigram log-probability per document under the corpus's own
+    word-frequency table — the scale-honest core of CCNet/KenLM-style
+    perplexity filtering.  Per-token logprobs quantized to a 1e-6
+    integer grid and summed AS BIGINT, so the mean is partition-order-
+    independent and exactly replayable in DuckDB."""
+    from filters_spark.pipeline import unigram_logprob, word_freqs
+
+    docs = _t(spark, sf_dir, "documents")
+    freqs = word_freqs(docs)
+    return unigram_logprob(docs, freqs)
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH freqs AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+tot AS (SELECT sum(freq) AS total FROM freqs),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+),
+q AS (
+  SELECT t.id,
+         CAST(round(CASE WHEN f.freq IS NOT NULL
+              THEN ln(CAST(f.freq AS DOUBLE) / tot.total)
+              ELSE -20.0 END * 1000000) AS BIGINT) AS ql
+  FROM toks t LEFT JOIN freqs f USING (word) CROSS JOIN tot
+  WHERE t.word <> ''
+),
+agg AS (SELECT id, count(*) AS n_tokens, sum(ql) AS s FROM q GROUP BY id)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(a.s AS DOUBLE) / a.n_tokens / 1000000 AS avg_logp
+FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+"""
+
+
 def q_violation_values(spark, sf_dir):
     """Structured violation rows WITH the offending value (north rule:
     "violation rows (filter code, chain path, offending value)"):
@@ -3599,12 +3642,12 @@ WHERE a.end_us <= epoch_us(m - INTERVAL 1 HOUR)
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 93 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 94 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 6 brand-new r5 queries (3 streaming + 2 fastText +
-# violation_values) plus
+# (b) the 7 brand-new r5 queries (3 streaming + 2 fastText +
+# violation_values + unigram_logprob) plus
 # decimal_quantize / dedup_groups / interval_join_mixed, which changed
 # again in r5 (advisor fixes), then (c) the remaining 29 names whose
 # latest row is r3.  That is 42 distinct never/stale-checked names, all
@@ -3628,6 +3671,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_fasttext": q_lang_id_fasttext,
     "classify_fasttext": q_classify_fasttext,
     "violation_values": q_violation_values,
+    "unigram_logprob": q_unigram_logprob,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -3808,6 +3852,7 @@ _ORACLES: dict[str, str] = {
     "lang_id_fasttext": _sql_lang_id_fasttext(),
     "classify_fasttext": _sql_classify_fasttext(),
     "violation_values": SQL_VIOLATION_VALUES,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

@@ -60,6 +60,7 @@ from filters_spark.pipeline.textstats import (
     lang_id_fasttext,
     quality_score,
     tfidf_top_terms,
+    unigram_logprob,
     token_counts,
 )
 from filters_spark.pipeline.multimodal import (
@@ -130,6 +131,7 @@ __all__ = [
     "stratified_sample",
     "temperature_weights",
     "tfidf_top_terms",
+    "unigram_logprob",
     "time_rollup",
     "word_freqs",
     "srp_bucket",

@@ -20,6 +20,7 @@ __all__ = [
     "lang_id",
     "lang_id_fasttext",
     "classify_fasttext",
+    "unigram_logprob",
     "fingerprint",
     "tfidf_top_terms",
     "STOPWORDS",
@@ -220,6 +221,69 @@ def lang_id_fasttext(
 
     return df.select(id_col, text_col).mapInPandas(
         run, "id long, lang_pred string, lang_conf double"
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    freqs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float = -20.0,
+    grid: float = 1e6,
+) -> DataFrame:
+    """Corpus-fit quality score: mean unigram log-probability per
+    document — the scale-honest core of CCNet/KenLM-style perplexity
+    filtering (documents whose words are improbable under a reference
+    corpus's unigram LM score low and get filtered/downsampled).
+
+    ``freqs`` is a ``(word, freq)`` frame, e.g. from
+    :func:`filters_spark.pipeline.word_freqs` over the REFERENCE corpus
+    (persist it — it sits under two consumers: the total-count
+    aggregate and the token join).  Each token's
+    ``ln(freq / total)`` (OOV → ``oov_logp``) is quantized to a
+    ``1/grid`` integer grid and summed AS BIGINT, so the per-document
+    mean is partition-order-independent and bit-reproducible across
+    engines (the ivf_refine trick); the mean divides back in double
+    with fixed operation order (sum / n / grid).
+
+    Plan shape (100-TB honest): one token explode over the corpus, one
+    join against the vocab table (broadcast when the vocab is small —
+    ``word_freqs`` caps it at ``max_words``), one hash aggregation by
+    document id.  No Python, no window, no driver loop.
+
+    Output: ``(id, n_tokens, avg_logp)`` — one row per input document;
+    documents with no tokens keep ``n_tokens = 0`` and NULL
+    ``avg_logp``.
+    """
+    total_ljp = freqs.agg(F.sum("freq").alias("__total"))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    logp = F.when(
+        F.col("freq").isNotNull(),
+        F.log(F.col("freq").cast("double") / F.col("__total")),
+    ).otherwise(F.lit(float(oov_logp)))
+    q = F.round(logp * F.lit(grid)).cast("long")
+    scored = (
+        toks.join(F.broadcast(freqs), "word", "left")
+        .crossJoin(F.broadcast(total_ljp))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(q).alias("__s"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        (
+            F.col("__s").cast("double") / F.col("n_tokens") / F.lit(grid)
+        ).alias("avg_logp"),
     )
 
 

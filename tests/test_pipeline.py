@@ -2300,6 +2300,39 @@ def test_fasttext_unsupported_features_raise(tmp_path):
         FastTextSupervisedModel.load(str(tmp_path / "junk.bin"))
 
 
+def test_unigram_logprob_matches_hand_computation(spark):
+    """Mean unigram log-probability per doc: OOV floor, empty-doc NULL,
+    grid-summed BIGINT mean — checked against a by-hand computation."""
+    import math
+
+    from filters_spark.pipeline import unigram_logprob, word_freqs
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the the zzz"),  # zzz is OOV against freqs built from corpus?
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    freqs = word_freqs(df)
+    got = {r["id"]: r for r in unigram_logprob(df, freqs).collect()}
+    # corpus counts: the=3, cat=1, sat=1, zzz=1; total=6
+    def lp(f):
+        return round(math.log(f / 6.0) * 1e6)
+
+    exp1 = (lp(3) + lp(1) + lp(1)) / 3 / 1e6
+    exp2 = (lp(3) + lp(3) + lp(1)) / 3 / 1e6
+    assert got[1]["n_tokens"] == 3 and got[1]["avg_logp"] == exp1
+    assert got[2]["n_tokens"] == 3 and got[2]["avg_logp"] == exp2
+    for i in (3, 4):
+        assert got[i]["n_tokens"] == 0 and got[i]["avg_logp"] is None
+    # true OOV hits the floor: freqs from a DIFFERENT corpus
+    other = spark.createDataFrame([(9, "qqq www")], "doc_id long, text string")
+    got2 = unigram_logprob(other, freqs).collect()[0]
+    assert got2["n_tokens"] == 2
+    assert got2["avg_logp"] == round(-20.0 * 1e6) / 1e6
+
+
 def test_classify_fasttext_topk(docs, tmp_path):
     """classify_fasttext returns the top-k labels per document, rank 1
     first, matching driver-side prediction — the quality-classifier

@@ -206,6 +206,7 @@ def test_every_registered_query_avoids_unbounded_nested_loops(spark):
         "tfidf_top_terms",     # n_docs count
         "drift_frequencies",   # total-count normaliser
         "length_histogram",    # total-count normaliser
+        "unigram_logprob",     # vocab total-count normaliser
         # documented O(n^2) opt-in: the exact all-pairs baseline the
         # DuckDB oracle replays (default API path is SRP-bucketed)
         "embed_near_dups",
