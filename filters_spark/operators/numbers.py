@@ -166,7 +166,22 @@ class Decimal(BaseSpec):
 
     templates = {CODE_INVALID: MSG_NUMERIC, CODE_NON_FINITE: MSG_NUMERIC}
 
-    def __init__(self, max_precision=None, scale: int = DEFAULT_SCALE) -> None:
+    def __init__(
+        self,
+        max_precision=None,
+        allow_tuples: bool = False,
+        scale: int = DEFAULT_SCALE,
+    ) -> None:
+        if allow_tuples:
+            # reference number.py:63-68 accepts (sign, digits, exponent)
+            # tuples; a tuple-typed cell is not representable in a typed
+            # column (DEVIATIONS.md #5) — refuse at config time rather
+            # than mis-parse.  allow_tuples=False (the reference default)
+            # is accepted so ports passing it explicitly work unchanged.
+            raise CompileError(
+                "Decimal(allow_tuples=True) is not supported: tuple cells"
+                " have no columnar representation (DEVIATIONS.md #5)"
+            )
         if max_precision is not None and not isinstance(
             max_precision, py_decimal.Decimal
         ):
@@ -363,15 +378,47 @@ class Round(BaseSpec):
     ``ROUND_HALF_DOWN``, ``ROUND_CEILING``, ``ROUND_FLOOR``, ``ROUND_UP``,
     ``ROUND_DOWN``, ``ROUND_05UP``) — semantics mirror
     ``Decimal.quantize`` exactly (unit-tested against it).
-    """
 
-    def __init__(self, to_nearest=1, rounding: str = "ROUND_HALF_UP") -> None:
+    ``result_type`` mirrors ``number.py:264`` (the reference feeds the
+    rounded string to the given constructor): ``decimal.Decimal``
+    (default) keeps the exact decimal column, ``float`` casts to
+    ``double``, ``str`` to ``string``, and ``int`` to ``long`` —
+    ``int`` requires an integral ``to_nearest`` (a fractional grid
+    would make ``int(...)`` raise per value in the reference; here it
+    fails at compile time instead)."""
+
+    _RESULT_CASTS = {
+        py_decimal.Decimal: None,
+        float: "double",
+        str: "string",
+        int: "long",
+    }
+
+    def __init__(
+        self,
+        to_nearest=1,
+        rounding: str = "ROUND_HALF_UP",
+        result_type: type = py_decimal.Decimal,
+    ) -> None:
         self.to_nearest = py_decimal.Decimal(str(to_nearest))
         if self.to_nearest < 0:
             raise ValueError("Rounding to negative values isn't supported.")
         if rounding not in _ROUNDING_MODES:
             raise CompileError(f"unsupported rounding mode {rounding!r}")
         self.rounding = rounding
+        if result_type not in self._RESULT_CASTS:
+            raise CompileError(
+                f"Round: unsupported result_type {result_type!r} — one of "
+                "decimal.Decimal, float, int, str (arbitrary constructors "
+                "cannot run inside a column expression)"
+            )
+        if result_type is int and self.to_nearest % 1 != 0:
+            raise CompileError(
+                "Round: result_type=int needs an integral to_nearest "
+                f"(got {self.to_nearest}) — int('2.5') would raise per "
+                "value in the reference"
+            )
+        self.result_type = result_type
 
     def compile(self, value, dtype, ctx, key) -> Step:
         casted, not_numeric, non_finite = coerce_decimal(value, dtype)
@@ -381,8 +428,17 @@ class Round(BaseSpec):
         out_scale = max(0, -self.to_nearest.as_tuple().exponent)
         out_type = _decimal_type(out_scale)
         inv = not_numeric | non_finite
+        out = (rounded * n).cast(out_type)
+        final_cast = self._RESULT_CASTS[self.result_type]
+        if final_cast is not None:
+            out = out.cast(final_cast)
+            out_type = {
+                "double": T.DoubleType(),
+                "string": T.StringType(),
+                "long": T.LongType(),
+            }[final_cast]
         return Step(
-            value=(rounded * n).cast(out_type),
+            value=out,
             dtype=out_type,
             invalid=inv,
             violations=[

@@ -87,12 +87,34 @@ class Empty(BaseSpec):
 class Optional(BaseSpec):
     """Replace empty / null values with a default (``simple.py:784-869``).
 
-    Deviation from the reference: ``call_default`` / per-row factory
-    defaults make no sense in a columnar engine — the default is a single
-    literal evaluated at compile time.
+    ``call_default=True`` (the reference's per-value factory mode,
+    ``simple.py:824-838``) is honoured by calling the factory ONCE at
+    config time: the reference calls it per value solely to avoid
+    sharing one mutable default object (a fresh ``dict()``/``list()``
+    each time), a hazard that cannot exist for immutable column values —
+    so one call is semantically equivalent.  Factories with per-call
+    side effects or varying output would be nondeterministic across
+    executors and are therefore deliberately collapsed to their
+    config-time result (use ``Call`` for genuinely computed values).
     """
 
-    def __init__(self, default=None) -> None:
+    def __init__(self, default=None, call_default: bool | None = None) -> None:
+        # reference semantics: call_default=None -> auto (call when the
+        # default is callable); True -> must be callable; False -> never
+        if call_default and not callable(default):
+            raise TypeError(
+                "Optional: call_default=True requires a callable default"
+            )
+        if call_default is False and callable(default):
+            # the reference would use the FUNCTION OBJECT itself as the
+            # replacement value — not representable in a typed column
+            raise TypeError(
+                "Optional: a callable default with call_default=False has"
+                " no columnar representation; drop call_default or pass a"
+                " literal"
+            )
+        if (call_default is None and callable(default)) or call_default:
+            default = default()
         self.default = default
 
     def compile(self, value, dtype, ctx, key) -> Step:

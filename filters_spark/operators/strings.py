@@ -881,6 +881,16 @@ class JsonDecode(BaseSpec):
     templates = {CODE_NOT_JSON: "This value is not valid JSON."}
 
     def __init__(self, schema: str | T.DataType | None = None) -> None:
+        if callable(schema) and not isinstance(schema, T.DataType):
+            # a port passing the reference's `decoder=` callable
+            # positionally (string.py:282 JsonDecode(decoder=json.loads))
+            raise CompileError(
+                "JsonDecode takes a Spark schema (DDL string or DataType),"
+                " not a decoder callable — custom Python decoders cannot"
+                " run inside a column expression (DEVIATIONS.md #15);"
+                " the default VARIANT parse matches json.loads on all"
+                " RFC 8259 input"
+            )
         self.schema = schema
 
     def compile(self, value, dtype, ctx, key) -> Step:

@@ -166,10 +166,12 @@ class Type(BaseSpec):
 
 class Array(Type):
     """Non-string Sequence check (``simple.py:121-146``) — static: the
-    column must be an ``ArrayType``."""
+    column must be an ``ArrayType``.  ``aliases=`` mirrors the
+    reference's error-message type-name mapping (forwarded to
+    :class:`Type`)."""
 
-    def __init__(self) -> None:
-        super().__init__((list, tuple))
+    def __init__(self, aliases=None) -> None:
+        super().__init__((list, tuple), aliases=aliases)
 
 
 # -- projections ------------------------------------------------------------
@@ -379,7 +381,22 @@ class Call(BaseSpec):
     cleaned value; defaults to the input type.
     """
 
-    def __init__(self, fn, *args, out_type: T.DataType | None = None, **kwargs):
+    def __init__(
+        self,
+        fn=None,
+        *args,
+        out_type: T.DataType | None = None,
+        callable_=None,
+        **kwargs,
+    ):
+        # `callable_` mirrors the reference keyword (simple.py Call);
+        # `fn` is the engine-native name — either works, not both
+        if callable_ is not None:
+            if fn is not None:
+                raise TypeError("Call: pass fn or callable_, not both")
+            fn = callable_
+        if fn is None:
+            raise TypeError("Call: a callable is required")
         self.fn = fn
         self.args = args
         self.kwargs = kwargs
@@ -506,7 +523,16 @@ class FilterRepeater(BaseSpec):
 
     templates = {CODE_EXTRA_KEY: 'Unexpected key "{actual_key}".'}
 
-    def __init__(self, chain, restrict_keys=None) -> None:
+    def __init__(self, chain=None, restrict_keys=None, filter_chain=None) -> None:
+        # `filter_chain` mirrors the reference keyword (complex.py:110)
+        if filter_chain is not None:
+            if chain is not None:
+                raise TypeError(
+                    "FilterRepeater: pass chain or filter_chain, not both"
+                )
+            chain = filter_chain
+        if chain is None:
+            raise TypeError("FilterRepeater: a filter chain is required")
         self.chain = as_chain(chain)
         self.restrict_keys = set(restrict_keys) if restrict_keys else None
 
@@ -740,7 +766,22 @@ class NamedTuple(BaseSpec):
     ``FilterMapper`` (``complex.py:393-481``).  Field-set exactness is
     static here."""
 
-    def __init__(self, type_or_fields, filter_map: dict | None = None) -> None:
+    def __init__(
+        self,
+        type_or_fields=None,
+        filter_map: dict | None = None,
+        type_=None,
+    ) -> None:
+        # `type_` mirrors the reference keyword (complex.py NamedTuple)
+        if type_ is not None:
+            if type_or_fields is not None:
+                raise TypeError(
+                    "NamedTuple: pass type_or_fields or type_, not both"
+                )
+            type_or_fields = type_
+        if type_or_fields is None:
+            raise TypeError("NamedTuple: a namedtuple type or field list "
+                            "is required")
         if hasattr(type_or_fields, "_fields"):
             self.fields = list(type_or_fields._fields)
         else:
