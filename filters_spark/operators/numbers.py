@@ -80,11 +80,21 @@ def _py_numeric_string(value: Column) -> Column:
     :func:`_nd_translation`), ALL underscores removed (``Decimal``
     strips them regardless of position: ``Decimal('_1') == 1``),
     Unicode whitespace stripped at both ends (``str.strip`` semantics,
-    which Spark's cast trim does not cover — e.g. NBSP)."""
+    which Spark's cast trim does not cover — e.g. NBSP).
+
+    Residual boundary CONTROL characters poison the parse: Spark's
+    string→decimal cast trims every char ≤ 0x20 while CPython strips
+    only whitespace, so ``'7\\x00'`` parses in a bare cast but raises in
+    the reference (deep-fuzz-found r5 on ``'٧\\x00'``).  Controls that
+    are NOT Python whitespace (``\\x00–\\x08``, ``\\x0e–\\x1b``) left at
+    either end after the strip are rewritten to an unparseable sentinel
+    so ``try_cast`` fails → ``not_numeric``, matching CPython."""
     src, dst = _nd_translation()
     s = F.translate(value, src, dst)
     s = F.replace(s, F.lit("_"), F.lit(""))
-    return F.regexp_replace(s, r"(?U)^\s+|\s+$", "")
+    s = F.regexp_replace(s, r"(?U)^\s+|\s+$", "")
+    bad = s.rlike(r"^[\x00-\x08\x0e-\x1b]|[\x00-\x08\x0e-\x1b]$")
+    return F.when(bad, F.lit("?")).otherwise(s)
 
 
 def _sticky_truncate(s: Column) -> Column:
@@ -134,16 +144,30 @@ def coerce_decimal(
     nearest-value rounding at digit 18 is the better approximation."""
     target = _decimal_type(scale)
     if isinstance(dtype, T.DecimalType):
-        return value.cast(target), F.lit(False), F.lit(False)
+        # try_cast, NOT cast: a wider input decimal whose value exceeds
+        # the (38, scale) envelope must become INVALID, not an ANSI
+        # CAST_OVERFLOW that kills the job (deep-fuzz-found in r5 via
+        # the float branch; same hazard here)
+        casted = value.try_cast(target)
+        return (
+            casted,
+            value.isNotNull() & casted.isNull(),
+            F.lit(False),
+        )
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return value.cast(target), F.lit(False), F.lit(False)
     if isinstance(dtype, T.BooleanType):
         return value.cast("int").cast(target), F.lit(False), F.lit(False)
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
         non_finite = F.isnan(value) | (F.abs(value) == F.lit(float("inf")))
+        # try_cast: doubles beyond ~1e20 cannot fit DECIMAL(38, 18) —
+        # bounded-envelope INVALID (DEVIATIONS #4/#6), never a crash
+        casted = F.when(non_finite, F.lit(None)).otherwise(value).try_cast(
+            target
+        )
         return (
-            F.when(non_finite, F.lit(None)).otherwise(value).cast(target),
-            F.lit(False),
+            casted,
+            value.isNotNull() & ~non_finite & casted.isNull(),
             non_finite,
         )
     if isinstance(dtype, T.StringType):
@@ -229,12 +253,20 @@ class Decimal(BaseSpec):
         return f"Decimal(max_precision={self.max_precision!r})"
 
 
+_I64_MIN = py_decimal.Decimal(-(2**63))
+_I64_MAX = py_decimal.Decimal(2**63 - 1)
+
+
 class Int(BaseSpec):
     """Interpret the value as an int; floats with fractional parts are
     INVALID (``number.py:103-136``).
 
     Deviation: the reference's ints are unbounded; output here is
-    ``LongType`` (64-bit).  Values needing more than ~20 digits should use
+    ``LongType`` (64-bit).  Integral values outside the 64-bit range are
+    INVALID with ``too_big``/``too_small`` (the bounded-type principle
+    from DEVIATIONS #4/#6: invalid rather than silently wrong — and
+    never a job-killing ANSI cast overflow; deep-fuzz-found in r5 on a
+    21-digit id string).  Values needing more digits should use
     ``Decimal`` directly.
     """
 
@@ -242,6 +274,8 @@ class Int(BaseSpec):
         CODE_INVALID: MSG_NUMERIC,
         CODE_NON_FINITE: MSG_NUMERIC,
         CODE_NOT_INT: "Integer value expected.",
+        CODE_TOO_BIG: f"Value is too large (must be <= {2**63 - 1}).",
+        CODE_TOO_SMALL: f"Value is too small (must be >= {-(2**63)}).",
     }
 
     def compile(self, value, dtype, ctx, key) -> Step:
@@ -249,9 +283,42 @@ class Int(BaseSpec):
             dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         ):
             return Step(value=value.cast("long"), dtype=T.LongType())
-        casted, not_numeric, non_finite = coerce_decimal(value, dtype)
+        # sticky_guard: integer-ness is a scale-0 grid question, so the
+        # sticky 18th digit makes it exact for arbitrary-length strings
+        # ('5.' + 19 zeros + '1' must be not_int, not a false integral 5)
+        casted, not_numeric, non_finite = coerce_decimal(
+            value, dtype, sticky_guard=True
+        )
         fractional = (casted % 1) != 0
-        inv = not_numeric | non_finite | fractional
+        # Strings that failed the bounded cast but have plain numeric
+        # SYNTAX are envelope overflows, not junk: classify them the way
+        # the reference experiences the value — fractional syntax →
+        # not_int (exact reference parity); integral syntax → too_big /
+        # too_small by sign (the documented 64-bit deviation, DEVIATIONS
+        # #6).  Exponent forms that overflow stay not_numeric (residue).
+        if isinstance(dtype, T.StringType):
+            norm = _py_numeric_string(value)
+            int_syn = not_numeric & norm.rlike(r"^[+-]?\d+(\.0*)?$")
+            frac_syn = not_numeric & norm.rlike(
+                r"^[+-]?(\d+\.\d*[1-9]\d*|\.\d*[1-9]\d*)$"
+            )
+            neg = F.substring(norm, 1, 1) == "-"
+            over_syn = int_syn & ~neg
+            under_syn = int_syn & neg
+            not_numeric = not_numeric & ~int_syn & ~frac_syn
+        else:
+            over_syn = under_syn = frac_syn = F.lit(False)
+        numeric = ~not_numeric & ~non_finite
+        # fractional outranks the range check: the reference reports
+        # not_int for any fractional value regardless of magnitude
+        over = (
+            numeric & ~fractional & ~frac_syn & (casted > F.lit(_I64_MAX))
+        ) | over_syn
+        under = (
+            numeric & ~fractional & ~frac_syn & (casted < F.lit(_I64_MIN))
+        ) | under_syn
+        not_int = (numeric & fractional) | frac_syn
+        inv = not_numeric | non_finite | not_int | over | under
         return Step(
             value=F.when(inv, F.lit(None)).otherwise(casted).cast("long"),
             dtype=T.LongType(),
@@ -260,9 +327,17 @@ class Int(BaseSpec):
                 Violation(not_numeric, F.lit(CODE_INVALID), F.lit(MSG_NUMERIC)),
                 Violation(non_finite, F.lit(CODE_NON_FINITE), F.lit(MSG_NUMERIC)),
                 Violation(
-                    ~not_numeric & ~non_finite & fractional,
+                    not_int,
                     F.lit(CODE_NOT_INT),
                     F.lit(self.render(CODE_NOT_INT)),
+                ),
+                Violation(
+                    over, F.lit(CODE_TOO_BIG), F.lit(self.render(CODE_TOO_BIG))
+                ),
+                Violation(
+                    under,
+                    F.lit(CODE_TOO_SMALL),
+                    F.lit(self.render(CODE_TOO_SMALL)),
                 ),
             ],
         )

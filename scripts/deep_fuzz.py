@@ -1,0 +1,142 @@
+"""One-off deep-fuzz assurance pass: engine vs live reference on the
+intricate kernels, random seed, large batches. Not a committed test."""
+import random, string, sys, types
+sys.path.insert(0, "/root/repo")
+
+def load_ref():
+    sys.path.insert(0, "/root/reference/src")
+    _cr = types.ModuleType("class_registry"); _ep = types.ModuleType("class_registry.entry_points")
+    class _F:
+        def __init__(self, *a, **k): pass
+        def __class_getitem__(cls, item): return cls
+        def __iter__(self): return iter(())
+    _cr.ClassRegistry = _F; _ep.EntryPointClassRegistry = _F; _cr.entry_points = _ep
+    sys.modules.setdefault("class_registry", _cr); sys.modules.setdefault("class_registry.entry_points", _ep)
+    import filters as ref
+    return ref
+
+ref = load_ref()
+import filters_spark as fs
+from filters_spark.core.compiler import attach_chain
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.sql.shuffle.partitions","16")
+         .config("spark.sql.session.timeZone","UTC")
+         .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+SEED = random.SystemRandom().randint(0, 2**31)
+rng = random.Random(SEED)
+print("seed:", SEED, flush=True)
+
+def ref_apply(chain, value):
+    r = ref.FilterRunner(chain, value)
+    return r.cleaned_data, sorted(c for cs in r.error_codes.values() for c in cs)
+
+def engine_batch(chain_fn, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, v string")
+    out, val_col, viol_col = attach_chain(df, "v", chain_fn(), key="")
+    got = {r["i"]: (r[val_col], sorted(x["code"] for x in r[viol_col]))
+           for r in out.select("i", val_col, viol_col).collect()}
+    return [got[i] for i in range(len(values))]
+
+def rand_text(n):
+    pools = [
+        lambda: chr(rng.randint(32, 0x2FF)),
+        lambda: chr(rng.randint(0x2000, 0x206F)),   # punctuation/space block
+        lambda: chr(rng.randint(0x1F300, 0x1F64F)), # emoji (astral)
+        lambda: rng.choice("\x00\x01\t\n\r\x7f ​﻿"),
+        lambda: rng.choice(string.ascii_letters + string.digits + "+/=_.,-"),
+        lambda: chr(rng.randint(0x0660, 0x0669)),   # arabic digits
+        lambda: chr(rng.randint(0xFF10, 0xFF19)),   # fullwidth digits
+    ]
+    return "".join(rng.choice(pools)() for _ in range(rng.randint(0, n)))
+
+def numericish():
+    kind = rng.randint(0, 6)
+    if kind == 0: return str(rng.uniform(-1e12, 1e12))
+    if kind == 1: return ("-" if rng.random()<.5 else "") + "".join(rng.choice("0123456789") for _ in range(rng.randint(1,25))) + "." + "".join(rng.choice("0123456789") for _ in range(rng.randint(0,30)))
+    if kind == 2: return rand_text(8)
+    if kind == 3: return rng.choice(["nan","inf","-inf","1e3","1E-7","0x10",".5","5.","+5","_1","1_0"," 1 "])
+    if kind == 4: return "".join(rng.choice("０１２３４５６７８９") for _ in range(rng.randint(1,6)))
+    if kind == 5: return str(rng.randint(-2**70, 2**70))
+    return str(rng.uniform(-1, 1))
+
+def b64ish():
+    base = "".join(rng.choice(string.ascii_letters + string.digits + "+/=-_ \t\n") for _ in range(rng.randint(0, 24)))
+    return base
+
+CASES = [
+    ("unicode", lambda: ref.Unicode(), lambda: fs.Unicode(), lambda: rand_text(40)),
+    ("strip", lambda: ref.Strip(), lambda: fs.Strip(), lambda: rand_text(30)),
+    ("casefold", lambda: ref.CaseFold(), lambda: fs.CaseFold(), lambda: rand_text(30)),
+    ("maxbytes9", lambda: ref.MaxBytes(9, truncate=True), lambda: fs.MaxBytes(9, truncate=True), lambda: rand_text(20)),
+    ("maxbytes_sfx", lambda: ref.MaxBytes(11, truncate=True, suffix="…"), lambda: fs.MaxBytes(11, truncate=True, suffix="…"), lambda: rand_text(20)),
+    ("maxbytes_utf16", lambda: ref.MaxBytes(7, truncate=True, encoding="utf-16"), lambda: fs.MaxBytes(7, truncate=True, encoding="utf-16"), lambda: rand_text(16)),
+    # base64 excluded: the reference requires BYTES input (str -> wrong_type);
+    # engine byte-level parity is covered by 23 pinned probes in the CI suite
+    ("split_ws", lambda: ref.Split(r"\s+"), lambda: fs.Split(r"\s+"), lambda: rand_text(30)),
+    ("regex_d", lambda: ref.Regex(r"\d+"), lambda: fs.Regex(r"\d+"), lambda: rand_text(25)),
+    ("choice_cs", lambda: ref.Choice(("a","B","\xa0x"), case_sensitive=False), lambda: fs.Choice(("a","B","\xa0x"), case_sensitive=False), lambda: rng.choice(["a","A","b","B","\xa0x","\xa0X", rand_text(4)])),
+    ("decimal_q2", lambda: ref.Decimal(max_precision=2), lambda: fs.Decimal(max_precision=2), numericish),
+    ("decimal_free", lambda: ref.Decimal(), lambda: fs.Decimal(), lambda: numericish() if rng.random()<.7 else str(rng.uniform(-1e9,1e9))),
+    ("int", lambda: ref.Int(), lambda: fs.Int(), numericish),
+    ("round_05up", lambda: ref.Round(to_nearest="0.25", rounding="ROUND_05UP"), lambda: fs.Round(to_nearest="0.25", rounding="ROUND_05UP"), numericish),
+    ("uuid", lambda: ref.Uuid(), lambda: fs.Uuid(), lambda: rng.choice([rand_text(36), "{}-{}".format(rand_text(8), rand_text(4))])),
+]
+
+import decimal as _dec
+BATCH = 400
+mismatches = 0
+for name, mkref, mkeng, gen in CASES:
+    vals = [gen() for _ in range(BATCH)]
+    exp = []
+    for v in vals:
+        try:
+            exp.append(ref_apply(mkref(), v))
+        except Exception as e:
+            exp.append(("__REF_RAISED__", repr(e)[:60]))
+    got = engine_batch(mkeng, vals)
+    bad = 0
+    for v, e, g in zip(vals, exp, got):
+        if e[0] == "__REF_RAISED__":
+            continue
+        # documented bounded-envelope deviations (DEVIATIONS #4/#6):
+        # reference cleans unbounded ints/decimals the engine marks
+        # invalid; skip values outside the engine envelope
+        if name in ("int", "decimal_q2", "decimal_free", "round_05up"):
+            ev0 = e[0]
+            if name == "int" and isinstance(ev0, int) and abs(ev0) > 2**63 - 1:
+                continue  # documented 64-bit bound (DEVIATIONS #6)
+            if ev0 is not None and isinstance(ev0, _dec.Decimal):
+                if abs(ev0) > _dec.Decimal(10) ** 20:
+                    continue
+                if name == "int" and abs(ev0) > _dec.Decimal(2**63 - 1):
+                    continue
+                if name == "decimal_free" and ev0.as_tuple().exponent < -18:
+                    continue  # documented scale-18 bounding (DEVIATIONS #4)
+        ev, ec = e; gv, gc = g
+        if gv is not None and not isinstance(gv, (str, int, float, bool, _dec.Decimal, bytes, bytearray, dict)):
+            try: gv = list(gv)
+            except TypeError: pass
+        if isinstance(ev, bytes) and isinstance(gv, (bytes, bytearray)):
+            gv = bytes(gv)
+        ok_codes = (ec == gc)
+        if name.startswith("decimal") or name in ("int","round_05up"):
+            try:
+                ok_val = (ev is None and gv is None) or (ev is not None and gv is not None and _dec.Decimal(str(gv)) == _dec.Decimal(str(ev)))
+            except Exception:
+                ok_val = (str(ev) == str(gv))
+        elif name == "decimal_free" and ev is not None:
+            ok_val = gv is not None and _dec.Decimal(str(gv)) == _dec.Decimal(str(ev))
+        else:
+            ok_val = (ev == gv)
+        if not (ok_codes and ok_val):
+            bad += 1
+            if bad <= 3:
+                print(f"  MISMATCH {name}: {v!r} -> ref {e} vs eng {g}", flush=True)
+    mismatches += bad
+    print(f"{name}: {BATCH} cases, {bad} mismatches", flush=True)
+print("TOTAL mismatches:", mismatches)
+spark.stop()

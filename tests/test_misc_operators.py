@@ -271,3 +271,72 @@ def test_json_decode_rejects_python_only_tokens(spark):
     ]
     assert by_idx[:4] == ["not_json"] * 4  # python-only tokens rejected
     assert by_idx[4:] == [None, None, None]  # real JSON passes
+
+
+def test_int_and_decimal_overflow_is_invalid_not_crash(spark):
+    """Bounded-envelope principle (DEVIATIONS #4/#6): values outside the
+    engine's 64-bit / DECIMAL(38,18) envelopes become INVALID rows with
+    codes — never an ANSI CAST_OVERFLOW that kills the job (deep-fuzz
+    found r5: a 20-digit integral string crashed Int(); a 1e30 double
+    crashed the float coercion branch)."""
+    import filters_spark as fs
+    from filters_spark.core.compiler import attach_chain
+
+    cases = [
+        ("9223372036854775807", 9223372036854775807, []),       # i64 max
+        ("-9223372036854775808", -9223372036854775808, []),     # i64 min
+        ("9223372036854775808", None, ["too_big"]),             # max+1
+        ("-9223372036854775809", None, ["too_small"]),          # min-1
+        ("82827072928308621121", None, ["too_big"]),            # 20 digits
+        ("-82827072928308621121", None, ["too_small"]),
+        # fractional outranks range (reference: not_int)
+        ("82827072928308621121.5", None, ["not_int"]),
+        # beyond the DECIMAL(38,18) envelope: numeric SYNTAX classifies
+        # the overflow (integral -> too_big/too_small by sign,
+        # fractional -> not_int matching the reference exactly)
+        ("9" * 25, None, ["too_big"]),
+        ("-" + "9" * 25, None, ["too_small"]),
+        ("-" + "9" * 25 + ".25", None, ["not_int"]),
+        # >18 zeros then a digit must NOT round to a false integral
+        ("5." + "0" * 19 + "1", None, ["not_int"]),
+        ("5." + "0" * 25, 5, []),
+        # exponent overflow residue stays not_numeric (documented)
+        ("1e99", None, ["not_numeric"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _, _) in enumerate(cases)], "i int, v string"
+    )
+    out, val_col, viol_col = attach_chain(df, "v", fs.Int(), key="v")
+    got = {
+        r["i"]: (r[val_col], sorted(x["code"] for x in r[viol_col]))
+        for r in out.collect()
+    }
+    for i, (v, exp_val, exp_codes) in enumerate(cases):
+        assert got[i] == (exp_val, exp_codes), f"Int({v!r}) -> {got[i]}"
+
+    # float branch: 1e30 double cannot fit DECIMAL(38,18) -> invalid
+    fdf = spark.createDataFrame(
+        [(0, 1e30), (1, -1e30), (2, 12.0), (3, float("inf"))],
+        "i int, v double",
+    )
+    out2, val2, viol2 = attach_chain(fdf, "v", fs.Decimal(), key="v")
+    got2 = {
+        r["i"]: (r[val2], sorted(x["code"] for x in r[viol2]))
+        for r in out2.collect()
+    }
+    assert got2[0] == (None, ["not_numeric"])
+    assert got2[1] == (None, ["not_numeric"])
+    assert got2[2][1] == [] and float(got2[2][0]) == 12.0
+    assert got2[3] == (None, ["not_finite"])
+
+    # wider decimal input beyond the envelope -> invalid, not crash
+    ddf = spark.createDataFrame(
+        [(0, "9" * 30), (1, "5")], "i int, v string"
+    ).selectExpr("i", "cast(v as decimal(38,0)) v")
+    out3, val3, viol3 = attach_chain(ddf, "v", fs.Int(), key="v")
+    got3 = {
+        r["i"]: (r[val3], sorted(x["code"] for x in r[viol3]))
+        for r in out3.collect()
+    }
+    assert got3[0] == (None, ["not_numeric"])
+    assert got3[1] == (5, [])
