@@ -84,6 +84,31 @@ CASES = [
     ("int", lambda: ref.Int(), lambda: fs.Int(), numericish),
     ("round_05up", lambda: ref.Round(to_nearest="0.25", rounding="ROUND_05UP"), lambda: fs.Round(to_nearest="0.25", rounding="ROUND_05UP"), numericish),
     ("uuid", lambda: ref.Uuid(), lambda: fs.Uuid(), lambda: rng.choice([rand_text(36), "{}-{}".format(rand_text(8), rand_text(4))])),
+    ("len_minmax", lambda: ref.Len(min=2, max=6), lambda: fs.Len(min=2, max=6), lambda: rand_text(10)),
+    ("length_exact", lambda: ref.Length(4), lambda: fs.Length(4), lambda: rand_text(8)),
+    ("maxlength_trunc", lambda: ref.MaxLength(5, truncate=True), lambda: fs.MaxLength(5, truncate=True), lambda: rand_text(12)),
+    ("minlength", lambda: ref.MinLength(3), lambda: fs.MinLength(3), lambda: rand_text(7)),
+    ("bytestring", lambda: ref.ByteString(), lambda: fs.ByteString(), lambda: rand_text(20)),
+    ("unicode_nonorm", lambda: ref.Unicode(normalize=False), lambda: fs.Unicode(normalize=False), lambda: rand_text(30)),
+    ("ipaddress", lambda: ref.IpAddress(ipv4=True, ipv6=True), lambda: fs.IpAddress(ipv4=True, ipv6=True), lambda: rng.choice([
+        ".".join(str(rng.randint(0, 300)) for _ in range(rng.randint(2, 5))),
+        ":".join(format(rng.randint(0, 0xFFFF), "x") for _ in range(rng.randint(2, 9))),
+        "::" + format(rng.randint(0, 0xFFFF), "x"),
+        "::ffff:{}.{}.{}.{}".format(*[rng.randint(0, 255) for _ in range(4)]),
+        rand_text(12),
+        "0.0.0.0", "255.255.255.255", "01.2.3.4", "1.2.3.04",
+    ])),
+    ("split_keys", lambda: ref.Split(r",", keys=("a", "b", "c")), lambda: fs.Split(r",", keys=("a", "b", "c")), lambda: ",".join(rand_text(4) for _ in range(rng.randint(0, 5)))),
+    # strict=False: the reference always fuzzy-parses via dateutil
+    # (unicode-digit strings like '٨١٦٧' parse as year 8167); the
+    # engine default strict=True is the documented DEVIATIONS #16 —
+    # parity holds on the SAME kernel, i.e. strict=False
+    ("datetime_dateutil", lambda: ref.Datetime(), lambda: fs.Datetime(strict=False), lambda: rng.choice([
+        f"{rng.randint(1900, 2100):04d}-{rng.randint(1, 13):02d}-{rng.randint(1, 32):02d}",
+        f"{rng.randint(1990, 2030):04d}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}T{rng.randint(0, 24):02d}:{rng.randint(0, 60):02d}:{rng.randint(0, 61):02d}",
+        f"{rng.randint(1990, 2030):04d}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}.{rng.randint(0, 999999):06d}+{rng.randint(0, 14):02d}:00",
+        rand_text(12),
+    ])),
 ]
 
 import decimal as _dec
@@ -122,6 +147,13 @@ for name, mkref, mkeng, gen in CASES:
             except TypeError: pass
         if isinstance(ev, bytes) and isinstance(gv, (bytes, bytearray)):
             gv = bytes(gv)
+        import datetime as _dt
+        if isinstance(ev, _dt.datetime) and isinstance(gv, _dt.datetime):
+            # Spark timestamps collect NAIVE in a UTC session; the
+            # reference returns tz-aware UTC — same instant, compare it
+            if gv.tzinfo is None:
+                gv = gv.replace(tzinfo=_dt.timezone.utc)
+            ev = ev.astimezone(_dt.timezone.utc)
         ok_codes = (ec == gc)
         if name.startswith("decimal") or name in ("int","round_05up"):
             try:
