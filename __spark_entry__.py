@@ -1008,7 +1008,10 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, df=docs)
 
 
-SQL_DEDUP_GROUPS = (
+#: shared CTE chain: simhash fingerprints → near-dup edges → recursive
+#: reachability → min-label groups → `allg` (every doc with its group,
+#: singletons included); reused verbatim by the dedup_resolve oracle
+_SQL_GROUPS_CTES = (
     "WITH RECURSIVE fp AS ("
     + SQL_SIMHASH
     + """
@@ -1023,14 +1026,16 @@ SQL_DEDUP_GROUPS = (
   SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
 ), grouped AS (
   SELECT node AS id, min(r) AS group_id FROM reach GROUP BY node
+), allg AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(group_id AS BIGINT) AS group_id
+  FROM grouped
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
+  FROM documents WHERE doc_id NOT IN (SELECT id FROM grouped)
+)"""
 )
-SELECT CAST(id AS BIGINT) AS id, CAST(group_id AS BIGINT) AS group_id
-FROM grouped
-UNION ALL
-SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
-FROM documents WHERE doc_id NOT IN (SELECT id FROM grouped)
-"""
-)
+
+SQL_DEDUP_GROUPS = _SQL_GROUPS_CTES + "\nSELECT id, group_id FROM allg\n"
 
 
 def _query_vec(spark, sf_dir):
@@ -3639,20 +3644,326 @@ WHERE a.end_us <= epoch_us(m - INTERVAL 1 HOUR)
 
 
 # ---------------------------------------------------------------------------
+# round-5 web-curation additions: URL extraction / domain census /
+# blocklist filtering / HTML boilerplate stripping / robust outlier
+# verdicts / dedup survivor selection
+# ---------------------------------------------------------------------------
+
+
+def _url_docs(spark, sf_dir):
+    """documents with a deterministic URL-bearing text column (the
+    corpus itself is plain word soup, so URLs are injected from doc_id
+    the same way q_redact_pii injects PII): every doc gets one
+    https://www.siteK.example.com URL, every 3rd doc an extra
+    mixed-case http URL with userinfo + port, every 5th a host with a
+    trailing dot — covering each branch of the domain normaliser."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "url_text",
+        F.concat(
+            F.substring("text", 1, 24),
+            F.lit(" https://www.site"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" http://User:pw@Blog"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".Example.ORG:8080/x?q="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" see https://news.example.com./a."),
+            ).otherwise(F.lit(" end")),
+        ),
+    )
+
+
+#: DuckDB twin of _url_docs' synthesised column
+_SQL_URL_DOCS = """
+  SELECT doc_id,
+         substr(text, 1, 24) || ' https://www.site' || (doc_id % 23)
+           || '.example.com/p/' || doc_id
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' http://User:pw@Blog' || (doc_id % 7)
+                        || '.Example.ORG:8080/x?q=' || doc_id
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' see https://news.example.com./a.'
+                   ELSE ' end' END AS url_text
+  FROM documents
+"""
+
+#: DuckDB twin of curation._url_domain (same regex chain, RE2-safe)
+_SQL_URL_DOMAIN = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower(regexp_extract(url, 'https?://([^/?#]+)', 1)),"
+    " '^[^@]*@', ''), ':[0-9]+$', ''), '\\.$', ''), '^www\\.', '')"
+)
+
+
+def q_extract_urls(spark, sf_dir):
+    """URL span extraction + registrable-host normalisation
+    (pipeline/curation.py:extract_urls) — one row per occurrence with
+    its in-document position; pure regexp_extract_all + posexplode."""
+    from filters_spark.pipeline import extract_urls
+
+    return extract_urls(_url_docs(spark, sf_dir), text_col="url_text")
+
+
+SQL_EXTRACT_URLS = (
+    "WITH p AS ("
+    + _SQL_URL_DOCS
+    + """), u AS (
+  SELECT doc_id,
+         regexp_extract_all(url_text, 'https?://[^\\s<>"'']+') AS l
+  FROM p
+), e AS (
+  SELECT doc_id, i, l[i] AS url
+  FROM u, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) s
+)
+SELECT doc_id AS id, CAST(i - 1 AS INTEGER) AS pos, url,
+       """
+    + _SQL_URL_DOMAIN
+    + " AS domain\nFROM e\n"
+)
+
+
+def q_domain_counts(spark, sf_dir):
+    """Per-domain corpus census (pipeline/curation.py:domain_counts):
+    URL explode → two-level exact aggregation keyed by domain."""
+    from filters_spark.pipeline import domain_counts
+
+    return domain_counts(_url_docs(spark, sf_dir), text_col="url_text")
+
+
+SQL_DOMAIN_COUNTS = (
+    "WITH p AS ("
+    + _SQL_URL_DOCS
+    + """), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(url_text, 'https?://[^\\s<>"'']+'))
+           AS url
+  FROM p
+)
+SELECT """
+    + _SQL_URL_DOMAIN
+    + """ AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY 1
+"""
+)
+
+#: blocklist for the driver query: a registrable domain (blocks its
+#: whole subtree, so every BlogK.Example.ORG URL), one exact site, and
+#: the trailing-dot host
+_BLOCKED_DOMAINS = ("example.org", "site7.example.com", "news.example.com")
+
+
+def q_domain_filter(spark, sf_dir):
+    """Blocklist verdicts by URL-domain dot-suffix
+    (pipeline/curation.py:domain_filter): broadcast semi-join of the
+    suffix explosion against the blocklist, one agg keyed by doc."""
+    from filters_spark.pipeline import domain_filter
+
+    return domain_filter(
+        _url_docs(spark, sf_dir), list(_BLOCKED_DOMAINS), text_col="url_text"
+    )
+
+
+SQL_DOMAIN_FILTER = (
+    "WITH p AS ("
+    + _SQL_URL_DOCS
+    + """), u AS (
+  SELECT doc_id,
+         regexp_extract_all(url_text, 'https?://[^\\s<>"'']+') AS l
+  FROM p
+), e AS (
+  SELECT doc_id, i, """
+    + _SQL_URL_DOMAIN.replace("(url,", "(l[i],")
+    + """ AS domain
+  FROM u, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) s
+), b AS (
+  SELECT unnest(['"""
+    + "', '".join(_BLOCKED_DOMAINS)
+    + """']) AS bl
+), hits AS (
+  SELECT doc_id, count(*) AS n_blocked
+  FROM (SELECT DISTINCT e.doc_id, e.i
+        FROM e JOIN b ON e.domain = b.bl OR e.domain LIKE '%.' || b.bl)
+  GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_urls FROM e GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(t.n_urls, 0) AS BIGINT) AS n_urls,
+       CAST(coalesce(h.n_blocked, 0) AS BIGINT) AS n_blocked,
+       coalesce(h.n_blocked, 0) > 0 AS blocked
+FROM documents d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+)
+
+
+def q_html_strip(spark, sf_dir):
+    """C4-style HTML boilerplate removal
+    (pipeline/curation.py:html_strip) over deterministically synthesised
+    markup: script/style/comment blocks, attribute-bearing tags, and all
+    six universal entities (incl. the &amp;lt; one-level-decode order)."""
+    from filters_spark.pipeline import html_strip
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "html_text",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style><script>var i="),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script></head><body><!-- hdr --><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</h1><p class="b">'),
+            F.substring("text", 1, 40),
+            F.lit(" &amp;lt; &quot;q&quot; &#39;s&#39; &nbsp;x &gt;</p>"),
+            F.lit("\n<div>tail</div></body></html>"),
+        ),
+    )
+    return html_strip(docs, text_col="html_text")
+
+
+SQL_HTML_STRIP = r"""
+WITH p AS (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style><script>var i=' || doc_id
+           || ';</script></head><body><!-- hdr --><h1>Doc ' || doc_id
+           || '</h1><p class="b">' || substr(text, 1, 40)
+           || ' &amp;lt; &quot;q&quot; &#39;s&#39; &nbsp;x &gt;</p>'
+           || chr(10) || '<div>tail</div></body></html>' AS h
+  FROM p0
+), s AS (
+  SELECT doc_id, h,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+           '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g'),
+           '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM p
+), ent AS (
+  SELECT doc_id, h,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+  FROM s
+)
+SELECT doc_id AS id,
+       trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+       CAST(len(regexp_extract_all(h, '(?s)<[^>]*>')) AS BIGINT) AS n_tags
+FROM ent
+""".replace(
+    "FROM p0", "FROM documents"
+)
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier verdicts per event_type
+    (engine/stats.py:robust_outliers): exact interpolated percentile
+    (Spark `percentile` = DuckDB `quantile_cont`, both type R-7), the
+    Iglewicz-Hoaglin modified z-score, |z| > 3.5 cut."""
+    from filters_spark.engine import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_outliers(
+        ev, "value", group_cols=["event_type"], id_cols=["event_id"], k=3.5
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        _round9("value").alias("value"),
+        _round9("med").alias("med"),
+        _round9("mad").alias("mad"),
+        _round9("robust_z").alias("robust_z"),
+        "is_outlier",
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+), z AS (
+  SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS v,
+         m.med, d.mad,
+         CASE WHEN d.mad > 0
+              THEN 0.6745 * (CAST(e.value AS DOUBLE) - m.med) / d.mad
+         END AS rz
+  FROM events e
+  JOIN med m USING (event_type) JOIN mad d USING (event_type)
+)
+SELECT event_id, event_type,
+       round(v * 1e9) / 1e9 AS value,
+       round(med * 1e9) / 1e9 AS med,
+       round(mad * 1e9) / 1e9 AS mad,
+       round(rz * 1e9) / 1e9 AS robust_z,
+       coalesce(abs(rz) > 3.5, false) AS is_outlier
+FROM z
+"""
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """Survivor selection after connected-component grouping
+    (pipeline/dedup.py:dedup_resolve): keep the LONGEST doc per group
+    (rank by n_chars desc, smallest id tiebreak) — exactly one
+    keep=true row per group."""
+    from filters_spark.pipeline import dedup_resolve
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3, bands=4)
+    groups = dedup_groups(pairs, df=docs)
+    return dedup_resolve(groups, docs, rank_col="n_chars", descending=True)
+
+
+SQL_DEDUP_RESOLVE = (
+    _SQL_GROUPS_CTES
+    + """
+, r AS (
+  SELECT a.id, a.group_id,
+         row_number() OVER (PARTITION BY a.group_id
+                            ORDER BY d.n_chars DESC NULLS LAST,
+                                     a.id ASC) AS rn
+  FROM allg a LEFT JOIN documents d ON d.doc_id = a.id
+)
+SELECT id, group_id, rn = 1 AS keep FROM r
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 94 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 100 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 7 brand-new r5 queries (3 streaming + 2 fastText +
-# violation_values + unigram_logprob) plus
+# (b) the 13 brand-new r5 queries (3 streaming + 2 fastText +
+# violation_values + unigram_logprob + the 6 web-curation ops:
+# extract_urls / domain_counts / domain_filter / html_strip /
+# robust_outliers / dedup_resolve) plus
 # decimal_quantize / dedup_groups / interval_join_mixed, which changed
-# again in r5 (advisor fixes), then (c) the remaining 29 names whose
-# latest row is r3.  That is 42 distinct never/stale-checked names, all
-# inside the 50-window; the remaining slots are the cheapest r4-green
-# scans.  r4-green heavy self-joins sit at the back.
+# again in r5 (advisor fixes), then (c) the remaining names whose
+# latest row is r3.  That is 25 changed/new names at the front, then 28
+# r3-stale names; the 50-window covers through span_clean, leaving only
+# pack_plan / multimodal_samples / tfidf_top_terms (r3-green, unchanged
+# since, two of them judge-re-verified in the r4 session) plus the
+# r4-green scans outside it.  r4-green heavy self-joins sit at the back.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- changed in r4/r5, latest driver row r3 (or none) --
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -3672,6 +3983,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classify_fasttext": q_classify_fasttext,
     "violation_values": q_violation_values,
     "unigram_logprob": q_unigram_logprob,
+    "extract_urls": q_extract_urls,
+    "domain_counts": q_domain_counts,
+    "domain_filter": q_domain_filter,
+    "html_strip": q_html_strip,
+    "robust_outliers": q_robust_outliers,
+    "dedup_resolve": q_dedup_resolve,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -3702,17 +4019,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "det_topn": q_det_topn,
     "span_dedup": q_span_dedup,
     "span_clean": q_span_clean,
+    # ---- 50-window boundary: span_clean is name #50; everything below
+    # has an r3 or r4 green driver row and is unchanged since ----
     "pack_plan": q_pack_plan,
     "multimodal_samples": q_multimodal_samples,
     "tfidf_top_terms": q_tfidf_top_terms,
-    # -- r4-green fillers (cheap scans) to round out the 50-window --
     "minlength": q_minlength,
     "len_range": q_len_range,
     "maxchars_truncate": q_maxchars_truncate,
     "date_utc": q_date_utc,
     "empty_notempty": q_empty_notempty,
-    # ---- 50-window boundary is around here (42 never/stale-checked
-    # names above, all inside the window; r4-green fillers follow) ----
     "required": q_required,
     "strip": q_strip,
     "casefold": q_casefold,
@@ -3853,6 +4169,12 @@ _ORACLES: dict[str, str] = {
     "classify_fasttext": _sql_classify_fasttext(),
     "violation_values": SQL_VIOLATION_VALUES,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "extract_urls": SQL_EXTRACT_URLS,
+    "domain_counts": SQL_DOMAIN_COUNTS,
+    "domain_filter": SQL_DOMAIN_FILTER,
+    "html_strip": SQL_HTML_STRIP,
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "dedup_resolve": SQL_DEDUP_RESOLVE,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

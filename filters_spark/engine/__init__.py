@@ -1,4 +1,4 @@
-from filters_spark.engine.stats import column_stats
+from filters_spark.engine.stats import column_stats, robust_outliers
 from filters_spark.engine.uniqueness import duplicate_keys, salted_agg
 from filters_spark.engine.referential import (
     gapless_by_agg,
@@ -33,6 +33,7 @@ __all__ = [
     "ValidationSuite",
     "violations_with_values",
     "column_stats",
+    "robust_outliers",
     "duplicate_keys",
     "error_codes",
     "errors_by_key",

@@ -284,3 +284,72 @@ def column_stats(
     return wide.select(
         F.explode(F.array(*row_exprs)).alias("s")
     ).select("s.column", "s.metric", "s.value", "s.value_str")
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+    id_cols: tuple[str, ...] | list[str] = (),
+    k: float = 3.5,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Median/MAD outlier detection per group — the robust counterpart of
+    a z-score check, the standard way a validation suite flags numeric
+    anomalies without letting the anomalies themselves poison the
+    threshold (mean/stddev break down under the very outliers being
+    hunted; median/MAD have a 50% breakdown point).
+
+    Returns one row per input row: ``(*id_cols, *group_cols, value,
+    med, mad, robust_z, is_outlier)`` where ``robust_z`` is the
+    Iglewicz-Hoaglin modified z-score ``0.6745 * (x - median) / MAD``
+    (null when MAD = 0) and ``is_outlier`` is ``|robust_z| > k``
+    (``k = 3.5`` is their recommended cut).
+
+    Scale shape: two hash aggregations keyed by the group columns (one
+    for the median, one for the MAD — the MAD *needs* the median first,
+    so two passes is the exact algorithm's floor), each with map-side
+    combine; the per-group stats frame has #groups rows and broadcasts
+    back onto the corpus (set ``broadcast_stats=False`` for
+    pathological group cardinality and Catalyst plans an ordinary
+    shuffle join).  Exact ``percentile`` (interpolated, type R-7 — the
+    same definition as DuckDB/Postgres ``quantile_cont``) keeps the
+    verdicts engine-portable; swap ``percentile_approx`` in for a
+    sketch-mergeable single-digit-error variant at extreme scale.
+    """
+    groups = list(group_cols)
+    ids = list(id_cols)
+    x = F.col(value_col).cast("double")
+    gb = [F.col(g) for g in groups]
+
+    med = df.groupBy(*gb).agg(
+        F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("med")
+    )
+    med_b = F.broadcast(med) if broadcast_stats else med
+    with_med = (
+        df.join(med_b, groups) if groups else df.crossJoin(med_b)
+    )
+    mad = with_med.groupBy(*gb).agg(
+        F.expr(
+            f"percentile(abs(cast({value_col} as double) - med), 0.5)"
+        ).alias("mad")
+    )
+    stats = med.join(mad, groups) if groups else med.crossJoin(mad)
+    stats_b = F.broadcast(stats) if broadcast_stats else stats
+    joined = df.join(stats_b, groups) if groups else df.crossJoin(stats_b)
+
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (x - F.col("med")) / F.col("mad"),
+    )
+    return joined.select(
+        *[F.col(c) for c in ids],
+        *[F.col(c) for c in groups],
+        x.alias("value"),
+        F.col("med"),
+        F.col("mad"),
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > F.lit(float(k)), F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )

@@ -11,6 +11,10 @@ md5-derived so results are portable across engines (the DuckDB oracle in
 """
 
 from filters_spark.pipeline.curation import (
+    domain_counts,
+    domain_filter,
+    extract_urls,
+    html_strip,
     ngram_overlap,
     redact_pii,
     repetition_stats,
@@ -18,6 +22,7 @@ from filters_spark.pipeline.curation import (
 from filters_spark.pipeline.dedup import (
     release,
     dedup_groups,
+    dedup_resolve,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -94,7 +99,12 @@ __all__ = [
     "cosine_topk",
     "decode_media",
     "dedup_groups",
+    "dedup_resolve",
     "deterministic_sample",
+    "domain_counts",
+    "domain_filter",
+    "extract_urls",
+    "html_strip",
     "deterministic_topn",
     "auto_planes",
     "embedding_near_dups",

@@ -20,10 +20,17 @@ from pyspark.sql import functions as F
 from filters_spark.pipeline.dedup import word_shingles
 
 __all__ = [
+    "domain_counts",
+    "domain_filter",
+    "extract_urls",
+    "html_strip",
     "ngram_overlap",
     "redact_pii",
     "repetition_stats",
+    "HTML_BLOCK_PATTERNS",
+    "HTML_ENTITIES",
     "PII_PATTERNS",
+    "URL_PATTERN",
 ]
 
 
@@ -135,6 +142,187 @@ def ngram_overlap(
                 "contaminated"
             ),
         )
+    )
+
+
+#: URL shape in RE2/Java-common syntax (no lookaround, no backrefs) so
+#: the DuckDB oracle extracts the exact same spans
+URL_PATTERN: str = r"""https?://[^\s<>"']+"""
+
+
+def _url_domain(url: Column) -> Column:
+    """Registrable-host normalisation of a matched URL: the authority
+    component lowered, with userinfo, port, a trailing dot, and a
+    leading ``www.`` stripped.  Pure regex chain — identical in RE2 and
+    Java regex."""
+    host = F.lower(F.regexp_extract(url, r"https?://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"\.$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per URL occurrence: ``(id, pos, url, domain)`` where
+    ``pos`` is the occurrence index within the document (the same URL
+    string appearing twice yields two rows) and ``domain`` is the
+    normalised host (see :func:`_url_domain`).
+
+    Scale shape: a single ``regexp_extract_all`` + ``posexplode``
+    projection — no shuffle at all; output volume is the corpus's URL
+    count, and the regex runs JVM-side at scan speed.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    return (
+        df.select(F.col(id_col).alias("id"), F.posexplode(urls))
+        .withColumnRenamed("col", "url")
+        .select(
+            "id",
+            F.col("pos").cast("int").alias("pos"),
+            "url",
+            _url_domain(F.col("url")).alias("domain"),
+        )
+    )
+
+
+def domain_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus statistics: ``(domain, n_urls, n_docs)`` —
+    the source-quality census every web pipeline starts from (rank
+    domains, then decide crawl/block lists from the head of this
+    table).
+
+    Scale shape: explode → ONE hash aggregation keyed by domain with
+    map-side combine; the shuffle carries (domain, partial count,
+    partial HLL-free distinct via (domain, id) pre-agg).  Distinct
+    doc counts use an exact two-level aggregation rather than
+    ``countDistinct`` over the raw explode so the wide shuffle row is
+    (domain, id) once per pair, not once per URL occurrence.
+    """
+    u = extract_urls(df, text_col, id_col)
+    per_pair = u.groupBy("domain", "id").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    return per_pair.groupBy("domain").agg(
+        F.sum("n_in_doc").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def _domain_suffixes(domain: Column) -> Column:
+    """All dot-suffixes of a host (``a.b.c`` → [``a.b.c``, ``b.c``,
+    ``c``]) so a blocklist entry blocks its whole subtree, the way
+    adblock/URL-category lists are interpreted."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocked,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist filtering by URL domain: ``(id, n_urls, n_blocked,
+    blocked)`` where a URL is blocked when any dot-suffix of its
+    normalised domain appears in ``blocked`` (a list of domain strings,
+    or a DataFrame with a ``domain`` column).
+
+    Scale shape: blocklists are tiny next to a web corpus, so the
+    blocklist side always broadcasts; the corpus side is one URL
+    explode → bounded suffix explode (≤ label count per URL) →
+    broadcast-hash semi-join, then ONE aggregation keyed by doc id.
+    The corpus is never shuffled by domain.
+    """
+    spark = df.sparkSession
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(F.col("domain").alias("__bl"))
+    else:
+        bl = spark.createDataFrame(
+            [(d,) for d in blocked], "`__bl` string"
+        )
+    u = extract_urls(df, text_col, id_col)
+    hits = (
+        u.select(
+            "id", "pos", F.explode(_domain_suffixes(F.col("domain"))).alias("suf")
+        )
+        .join(F.broadcast(bl), F.col("suf") == F.col("__bl"))
+        .select("id", "pos")
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_blocked"))
+    )
+    totals = u.groupBy("id").agg(F.count(F.lit(1)).alias("n_urls"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_urls", F.lit(0)).cast("long").alias("n_urls"),
+            F.coalesce("n_blocked", F.lit(0)).cast("long").alias("n_blocked"),
+            (F.coalesce("n_blocked", F.lit(0)) > 0).alias("blocked"),
+        )
+    )
+
+
+#: block-level HTML removals, applied before tag stripping; RE2/Java
+#: common (inline flags + lazy quantifiers, NO backreferences — RE2 has
+#: none, so script/style are separate patterns)
+HTML_BLOCK_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+
+#: literal entity decodes applied after tag stripping; ``&amp;`` is
+#: deliberately LAST so ``&amp;lt;`` decodes to ``&lt;`` (one level),
+#: matching a single-pass HTML entity decoder
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_strip(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style HTML boilerplate removal: ``(id, clean_text, n_tags)``.
+    Drops ``<script>``/``<style>`` blocks and comments, strips remaining
+    tags to spaces, decodes the six universal entities, and collapses
+    whitespace; ``n_tags`` counts tags in the ORIGINAL text (a useful
+    markup-density quality signal — pages that are mostly tags are
+    boilerplate).
+
+    Pure ``regexp_replace``/``replace`` projection — scan speed, no
+    shuffle, JVM-side; every pattern is RE2-compatible so the DuckDB
+    oracle (and any RE2-based scrubber) byte-matches.
+    """
+    text = F.col(text_col)
+    cleaned = text
+    for pat in HTML_BLOCK_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    cleaned = F.regexp_replace(cleaned, r"(?s)<[^>]*>", " ")
+    for ent, repl in HTML_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(repl))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("clean_text"),
+        F.size(F.regexp_extract_all(text, F.lit(r"(?s)<[^>]*>"), 0))
+        .cast("long")
+        .alias("n_tags"),
     )
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "dedup_groups",
+    "dedup_resolve",
     "release",
     "remove_repeated_spans",
     "repeated_spans",
@@ -522,6 +523,65 @@ def dedup_groups(
         )
         out = out.union(singles)
     return _track_persisted(out, [prev])
+
+
+def dedup_resolve(
+    groups: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Survivor selection after grouping: ``(id, group_id, keep)`` —
+    exactly one ``keep = true`` row per dedup group, the final step that
+    turns :func:`dedup_groups` output into a retention decision the
+    writer can filter on.
+
+    The keeper is the group's best row by ``rank_col`` (``descending``
+    by default — e.g. keep the LONGEST text or the highest quality
+    score), with the smallest id as a total tiebreak so the choice is
+    deterministic under any partitioning.  With ``rank_col=None`` the
+    keeper is simply the smallest id (which for
+    :func:`dedup_groups` output equals ``group_id``, making that case a
+    pure projection — no shuffle at all).
+
+    Scale shape (ranked case): one shuffle keyed by ``group_id`` for the
+    ``row_number`` window — the same key cardinality the grouping step
+    already shuffled on; ranks ride as a narrow (id, group, rank)
+    projection, never the document text.
+    """
+    if rank_col is None:
+        return groups.select(
+            "id",
+            "group_id",
+            (F.col("id") == F.col("group_id")).alias("keep"),
+        )
+    from pyspark.sql.window import Window
+
+    # nulls (docs absent from ``df``) always rank WORST, spelled out
+    # because engines disagree on default null order (Spark: last on
+    # DESC; DuckDB/Postgres: first on DESC)
+    rank = (
+        F.col("__rank").desc_nulls_last()
+        if descending
+        else F.col("__rank").asc_nulls_last()
+    )
+    ranked = groups.join(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(rank_col).alias("__rank"),
+        ),
+        "id",
+        "left",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        rank, F.col("id").asc()
+    )
+    return ranked.select(
+        "id",
+        "group_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
 
 
 def repeated_spans(
