@@ -3917,6 +3917,119 @@ FROM z
 """
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic
+    (engine/drift.py:ks_statistic) between the even- and odd-id halves
+    of the events table's value column — exact (ONE hash agg to
+    distinct values + running-CDF window over the aggregated table),
+    never sampled."""
+    from filters_spark.engine import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    out = ks_statistic(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+    )
+    return out.select(
+        _round9("ks_stat").alias("ks_stat"), "n_current", "n_baseline"
+    )
+
+
+SQL_KS_DRIFT = """
+WITH counts AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT sum(nc) OVER (ORDER BY v) AS cc,
+         sum(nb) OVER (ORDER BY v) AS cb
+  FROM counts
+), tot AS (SELECT sum(nc) AS tc, sum(nb) AS tb FROM counts)
+SELECT round(max(abs(CAST(cc AS DOUBLE) / tc
+                     - CAST(cb AS DOUBLE) / tb)) * 1e9) / 1e9 AS ks_stat,
+       CAST(max(tc) AS BIGINT) AS n_current,
+       CAST(max(tb) AS BIGINT) AS n_baseline
+FROM cum, tot
+"""
+
+#: dialogue-shape contract for the transition queries: orders rows are
+#: "turns" (o_custkey = conversation, o_orderkey = globally UNIQUE turn
+#: idx — sequence checks need a TOTAL order within the conversation or
+#: lag is engine-dependent; the synthetic lineitem has duplicate
+#: (l_orderkey, l_linenumber) keys so it can NOT serve here —
+#: o_orderstatus ∈ {F,O,P} = role)
+_ALLOWED_TRANSITIONS = {
+    "__start__": ["O", "P"],
+    "O": ["O", "F"],
+    "F": ["F"],
+    "P": ["P", "O"],
+}
+
+
+def q_transition_counts(spark, sf_dir):
+    """Per-transition census over conversation sequences
+    (engine/referential.py:transition_counts): lag window keyed by the
+    conversation, hash agg on the tiny (prev, next) domain."""
+    from filters_spark.engine import transition_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    return transition_counts(
+        orders, conv="o_custkey", idx="o_orderkey", col="o_orderstatus"
+    )
+
+
+SQL_TRANSITION_COUNTS = """
+WITH pairs AS (
+  SELECT coalesce(lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderkey),
+                  '__start__') AS prev,
+         o_orderstatus AS "next"
+  FROM orders
+)
+SELECT prev, "next", CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def q_transition_violations(spark, sf_dir):
+    """Sequence-shape validation
+    (engine/referential.py:transition_violations): structured violation
+    rows (prev, value, bad_start/bad_transition code) for turns whose
+    transition the literal allowed-map does not permit."""
+    from filters_spark.engine import transition_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    return transition_violations(
+        orders,
+        _ALLOWED_TRANSITIONS,
+        conv="o_custkey",
+        idx="o_orderkey",
+        col="o_orderstatus",
+    )
+
+
+SQL_TRANSITION_VIOLATIONS = """
+WITH lagged AS (
+  SELECT o_custkey, o_orderkey,
+         coalesce(lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderkey),
+                  '__start__') AS prev,
+         o_orderstatus AS value
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, prev, value,
+       CASE WHEN prev = '__start__' THEN 'bad_start'
+            ELSE 'bad_transition' END AS code
+FROM lagged
+WHERE NOT ((prev = '__start__' AND value IN ('O', 'P'))
+        OR (prev = 'O' AND value IN ('O', 'F'))
+        OR (prev = 'F' AND value IN ('F'))
+        OR (prev = 'P' AND value IN ('P', 'O')))
+"""
+
+
 def q_dedup_resolve(spark, sf_dir):
     """Survivor selection after connected-component grouping
     (pipeline/dedup.py:dedup_resolve): keep the LONGEST doc per group
@@ -3949,21 +4062,21 @@ SELECT id, group_id, rn = 1 AS keep FROM r
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 100 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 103 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 13 brand-new r5 queries (3 streaming + 2 fastText +
-# violation_values + unigram_logprob + the 6 web-curation ops:
-# extract_urls / domain_counts / domain_filter / html_strip /
-# robust_outliers / dedup_resolve) plus
-# decimal_quantize / dedup_groups / interval_join_mixed, which changed
-# again in r5 (advisor fixes), then (c) the remaining names whose
-# latest row is r3.  That is 25 changed/new names at the front, then 28
-# r3-stale names; the 50-window covers through span_clean, leaving only
+# (b) the 16 brand-new r5 queries (3 streaming + 2 fastText +
+# violation_values + unigram_logprob + the 6 web-curation ops + the 3
+# validation additions ks_drift / transition_counts /
+# transition_violations) plus decimal_quantize / dedup_groups /
+# interval_join_mixed, which changed again in r5 (advisor fixes), then
+# (c) the remaining names whose latest row is r3.  That is 28
+# changed/new names at the front, then the r3-stale names; the
+# 50-window covers through det_topn, leaving only span_clean /
 # pack_plan / multimodal_samples / tfidf_top_terms (r3-green, unchanged
-# since, two of them judge-re-verified in the r4 session) plus the
-# r4-green scans outside it.  r4-green heavy self-joins sit at the back.
+# since, two judge-re-verified in the r4 session) plus r4-green names
+# outside it.  r4-green heavy self-joins sit at the back.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- changed in r4/r5, latest driver row r3 (or none) --
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -3989,6 +4102,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_strip": q_html_strip,
     "robust_outliers": q_robust_outliers,
     "dedup_resolve": q_dedup_resolve,
+    "ks_drift": q_ks_drift,
+    "transition_counts": q_transition_counts,
+    "transition_violations": q_transition_violations,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4017,10 +4133,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "det_sample": q_det_sample,
     "stratified_sample": q_stratified_sample,
     "det_topn": q_det_topn,
+    # ---- 50-window boundary: det_topn is name #50; everything below
+    # has an r3 or r4 green driver row and is unchanged since
+    # (span_dedup is r4-green, which is why it yields its slot to the
+    # r3-only names above) ----
     "span_dedup": q_span_dedup,
     "span_clean": q_span_clean,
-    # ---- 50-window boundary: span_clean is name #50; everything below
-    # has an r3 or r4 green driver row and is unchanged since ----
     "pack_plan": q_pack_plan,
     "multimodal_samples": q_multimodal_samples,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4175,6 +4293,9 @@ _ORACLES: dict[str, str] = {
     "html_strip": SQL_HTML_STRIP,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "dedup_resolve": SQL_DEDUP_RESOLVE,
+    "ks_drift": SQL_KS_DRIFT,
+    "transition_counts": SQL_TRANSITION_COUNTS,
+    "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 
 #: every registered query now has a SQL oracle (SRP ops included — the

@@ -168,6 +168,19 @@ def bench_queries(
         "unigram_logprob",
         "violation_values",
         "streaming_sessionize",
+        # late-r5 web-curation surface: URL blocklist verdicts
+        # (explode + broadcast semi-join + per-doc agg), HTML
+        # boilerplate strip (pure regexp projection — should be
+        # scan-speed), robust median/MAD outlier verdicts (two
+        # percentile aggs + broadcast join-back)
+        "domain_filter",
+        "html_strip",
+        "robust_outliers",
+        # validation-tier drift/sequence checks: exact two-sample KS
+        # (agg-to-distinct + CDF window) and transition validation
+        # (one conversation-keyed window pass)
+        "ks_drift",
+        "transition_violations",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -4,10 +4,13 @@ from filters_spark.engine.referential import (
     gapless_by_agg,
     gaps_by_window,
     orphans,
+    transition_counts,
+    transition_violations,
 )
 from filters_spark.engine.drift import (
     frequencies,
     kl_divergence,
+    ks_statistic,
     psi,
     psi_from_histograms,
 )
@@ -46,9 +49,12 @@ __all__ = [
     "gapless_by_agg",
     "gaps_by_window",
     "kl_divergence",
+    "ks_statistic",
     "orphans",
     "psi",
     "psi_from_histograms",
     "run_resumable",
     "salted_agg",
+    "transition_counts",
+    "transition_violations",
 ]

@@ -242,3 +242,75 @@ def psi(
     p = {r[alias]: r["p"] for r in current.collect()}
     q = {r[alias]: r["p"] for r in baseline.collect()}
     return psi_from_dicts(p, q, eps)
+
+
+def ks_statistic(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    grid: float | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between a numeric
+    column's distribution in ``current`` and ``baseline`` — the
+    nonparametric drift check for CONTINUOUS columns, complementing KL
+    (categorical) and PSI (binned): ``D = sup_v |F_cur(v) - F_base(v)|``
+    needs no binning choice and is sensitive to location AND shape
+    shifts.  Returns ONE row ``(ks_stat, n_current, n_baseline)``;
+    compare ``ks_stat`` against ``c(α)·sqrt((n+m)/(n·m))``
+    (c(0.05)=1.358) for a significance gate.  Nulls are dropped (they
+    are presence drift, ``frequencies``' job).
+
+    Scale shape: EXACT, not sampled — both sides tag-union and feed ONE
+    hash aggregation keyed by the value (map-side combine collapses
+    10^12 rows to #distinct-values rows); the running-CDF window then
+    sorts only that aggregated table.  The window is a single sorted
+    run by construction (a CDF is a global order), so bound the
+    distinct-value count when the column is truly continuous:
+    ``grid=0.01`` snaps values to a fixed lattice first (the KS error
+    introduced is at most the mass of one lattice cell).  Totals ride a
+    broadcast 1-row cross join — no driver action anywhere.
+    """
+    def side(df: DataFrame, nc: int, nb: int) -> DataFrame:
+        v = F.col(col).cast("double")
+        if grid is not None:
+            v = F.round(v / F.lit(float(grid)), 0) * F.lit(float(grid))
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(
+                v.alias("v"),
+                F.lit(nc).alias("nc"),
+                F.lit(nb).alias("nb"),
+            )
+        )
+
+    counts = (
+        side(current, 1, 0)
+        .unionAll(side(baseline, 0, 1))
+        .groupBy("v")
+        .agg(F.sum("nc").alias("nc"), F.sum("nb").alias("nb"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        F.sum("nc").over(w).alias("cc"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("nc").alias("tc"), F.sum("nb").alias("tb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cc") / F.col("tc") - F.col("cb") / F.col("tb")
+                )
+            ).alias("ks_stat"),
+            F.max("tc").cast("long").alias("n_current"),
+            F.max("tb").cast("long").alias("n_baseline"),
+        )
+    )

@@ -90,3 +90,110 @@ def monotone_ts_violations(
     w = Window.partitionBy(conv).orderBy(idx)
     lagged = df.select(conv, idx, ts).withColumn("prev_ts", F.lag(ts).over(w))
     return lagged.where(F.col(ts) < F.col("prev_ts"))
+
+
+def _order_cols(idx: str | list[str]) -> list:
+    """Sequence checks need a TOTAL order within the conversation
+    (ties make ``lag`` engine/partition-dependent); pass a composite
+    list when one column does not order turns uniquely."""
+    return [F.col(c) for c in ([idx] if isinstance(idx, str) else idx)]
+
+
+def transition_counts(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str | list[str] = "turn_idx",
+    col: str = "role",
+) -> DataFrame:
+    """Per-transition census over conversation sequences:
+    ``(prev, next, n)`` where ``prev`` is the previous turn's ``col``
+    within the conversation (the literal ``'__start__'`` for each
+    conversation's first turn) — the dialogue-structure fingerprint a
+    drift check compares against a baseline snapshot (feed both sides
+    through :func:`filters_spark.engine.drift.psi_from_dicts` keyed by
+    ``prev || '>' || next``).
+
+    Scale shape: ONE shuffle keyed by the conversation (the ``lag``
+    window sort), then a hash aggregation on the tiny (prev, next)
+    domain with map-side combine.  Null values count as the literal
+    ``'__null__'`` so presence drift is visible, mirroring
+    ``drift.frequencies``.
+    """
+    w = Window.partitionBy(conv).orderBy(*_order_cols(idx))
+    val = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    pairs = df.select(
+        F.coalesce(F.lag(val).over(w), F.lit("__start__")).alias("prev"),
+        val.alias("next"),
+    )
+    return pairs.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def transition_violations(
+    df: DataFrame,
+    allowed: dict[str, list[str]] | list[tuple[str, str]],
+    conv: str = "conv_id",
+    idx: str | list[str] = "turn_idx",
+    col: str = "role",
+) -> DataFrame:
+    """Sequence-shape validation: rows whose ``col`` transition is not
+    in the ``allowed`` map — e.g. agent transcripts where a ``tool``
+    turn may only follow ``assistant``, and a conversation must open
+    with ``system`` or ``user``.
+
+    ``allowed`` maps each previous value to its permitted successors
+    (``{'__start__': ['system', 'user'], 'user': ['assistant'], ...}``),
+    or equivalently a list of ``(prev, next)`` pairs.  Returns one
+    violation row per offending turn: ``(conv, idx, prev, value,
+    code)`` with ``code = 'bad_transition'`` (unknown successor) or
+    ``'bad_start'`` (conversation opens on a value ``'__start__'``
+    does not allow) — the north-star structured-violation shape
+    (filter code + offending value), same contract as the scalar
+    chains' ``_violations`` rows.
+
+    Scale shape: the same single conversation-keyed window shuffle as
+    :func:`transition_counts`; the allowed set is a literal map baked
+    into the plan (codegen-friendly, no join), so violations stream out
+    of the window pass with no further exchange.
+    """
+    if isinstance(allowed, dict):
+        items = [(p, n) for p, ns in allowed.items() for n in ns]
+    else:
+        items = list(allowed)
+    if not items:
+        raise ValueError("allowed transition set must not be empty")
+    by_prev: dict[str, list[str]] = {}
+    for p, n in items:
+        by_prev.setdefault(p, []).append(n)
+    # literal map prev -> array of permitted successors; absent prev =>
+    # nothing permitted after it
+    map_args = []
+    for p, ns in sorted(by_prev.items()):
+        map_args.append(F.lit(p))
+        map_args.append(F.array(*[F.lit(n) for n in sorted(set(ns))]))
+    allowed_map = F.create_map(*map_args)
+
+    order = _order_cols(idx)
+    w = Window.partitionBy(conv).orderBy(*order)
+    val = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    idx_names = [idx] if isinstance(idx, str) else list(idx)
+    lagged = df.select(
+        F.col(conv),
+        *[F.col(c) for c in idx_names],
+        F.coalesce(F.lag(val).over(w), F.lit("__start__")).alias("prev"),
+        val.alias("value"),
+    )
+    ok = F.coalesce(
+        F.array_contains(allowed_map[F.col("prev")], F.col("value")),
+        F.lit(False),
+    )
+    return lagged.where(~ok).select(
+        conv,
+        *idx_names,
+        "prev",
+        "value",
+        F.when(F.col("prev") == "__start__", F.lit("bad_start"))
+        .otherwise(F.lit("bad_transition"))
+        .alias("code"),
+    )

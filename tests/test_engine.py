@@ -510,3 +510,109 @@ def test_psi_from_histograms_matches_dict_psi():
     assert psi_from_histograms(cur, cur) == _pt.approx(0.0, abs=1e-12)
     with _pt.raises(ValueError, match="grids differ"):
         psi_from_histograms([1, 2], [1, 2, 3])
+
+
+def test_ks_statistic_known_values(spark):
+    from filters_spark.engine import ks_statistic
+
+    cur = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    base = spark.createDataFrame([(2.0,), (3.0,)], ["v"])
+    row = ks_statistic(cur, base, "v").first()
+    # CDFs at v=1: (.5, 0); v=2: (1, .5); v=3: (1, 1) -> D = 0.5
+    assert row.ks_stat == pytest.approx(0.5)
+    assert (row.n_current, row.n_baseline) == (2, 2)
+    # identical samples -> 0; disjoint -> 1
+    assert ks_statistic(cur, cur, "v").first().ks_stat == pytest.approx(0.0)
+    far = spark.createDataFrame([(10.0,), (11.0,)], ["v"])
+    assert ks_statistic(cur, far, "v").first().ks_stat == pytest.approx(1.0)
+
+
+def test_ks_statistic_grid_and_nulls(spark):
+    from filters_spark.engine import ks_statistic
+
+    cur = spark.createDataFrame([(0.1001,), (None,)], ["v"])
+    base = spark.createDataFrame([(0.1002,), (None,)], ["v"])
+    # exact: distinct values -> D = 1; grid snaps both to 0.10 -> D = 0
+    assert ks_statistic(cur, base, "v").first().ks_stat == pytest.approx(1.0)
+    row = ks_statistic(cur, base, "v", grid=0.01).first()
+    assert row.ks_stat == pytest.approx(0.0)
+    # nulls dropped from the counts, not treated as a value
+    assert (row.n_current, row.n_baseline) == (1, 1)
+
+
+TURNS = [
+    # conv a: system -> user -> assistant -> tool (tool after assistant ok)
+    ("a", 0, "system"), ("a", 1, "user"), ("a", 2, "assistant"),
+    ("a", 3, "tool"),
+    # conv b: opens on assistant (bad start), then tool after user (bad)
+    ("b", 0, "assistant"), ("b", 1, "user"), ("b", 2, "tool"),
+    # conv c: null role
+    ("c", 0, "user"), ("c", 1, None),
+]
+
+ALLOWED = {
+    "__start__": ["system", "user"],
+    "system": ["user"],
+    "user": ["assistant"],
+    "assistant": ["user", "tool"],
+    "tool": ["assistant"],
+}
+
+
+def test_transition_counts(spark):
+    from filters_spark.engine import transition_counts
+
+    df = spark.createDataFrame(TURNS, ["conv_id", "turn_idx", "role"])
+    got = {
+        (r.prev, r["next"]): r.n
+        for r in transition_counts(df).collect()
+    }
+    assert got[("__start__", "system")] == 1
+    assert got[("__start__", "assistant")] == 1
+    assert got[("__start__", "user")] == 1
+    assert got[("user", "assistant")] == 1
+    assert got[("assistant", "tool")] == 1
+    assert got[("user", "__null__")] == 1  # null role is visible
+    assert sum(got.values()) == len(TURNS)
+
+
+def test_transition_violations(spark):
+    from filters_spark.engine import transition_violations
+
+    df = spark.createDataFrame(TURNS, ["conv_id", "turn_idx", "role"])
+    rows = {
+        (r.conv_id, r.turn_idx): (r.prev, r.value, r.code)
+        for r in transition_violations(df, ALLOWED).collect()
+    }
+    # conv b opens on assistant -> bad_start
+    assert rows[("b", 0)] == ("__start__", "assistant", "bad_start")
+    # tool after user -> bad_transition
+    assert rows[("b", 2)] == ("user", "tool", "bad_transition")
+    # null role after user -> bad_transition (as '__null__')
+    assert rows[("c", 1)] == ("user", "__null__", "bad_transition")
+    # nothing else flagged
+    assert len(rows) == 3
+    # list-of-pairs form is equivalent to the dict form
+    pairs = [(p, n) for p, ns in ALLOWED.items() for n in ns]
+    rows2 = {
+        (r.conv_id, r.turn_idx)
+        for r in transition_violations(df, pairs).collect()
+    }
+    assert rows2 == set(rows)
+    with pytest.raises(ValueError, match="must not be empty"):
+        transition_violations(df, [])
+
+
+def test_transition_composite_idx(spark):
+    from filters_spark.engine import transition_violations
+
+    # duplicate turn_idx disambiguated by a second order column
+    df = spark.createDataFrame(
+        [("a", 0, 0, "user"), ("a", 0, 1, "assistant"), ("a", 1, 0, "user")],
+        ["conv_id", "turn_idx", "sub", "role"],
+    )
+    out = transition_violations(
+        df, ALLOWED, idx=["turn_idx", "sub"]
+    )
+    assert out.count() == 0  # user -> assistant -> user is legal
+    assert set(out.columns) == {"conv_id", "turn_idx", "sub", "prev", "value", "code"}
