@@ -293,6 +293,8 @@ def robust_outliers(
     id_cols: tuple[str, ...] | list[str] = (),
     k: float = 3.5,
     broadcast_stats: bool = True,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Median/MAD outlier detection per group — the robust counterpart of
     a z-score check, the standard way a validation suite flags numeric
@@ -314,16 +316,24 @@ def robust_outliers(
     pathological group cardinality and Catalyst plans an ordinary
     shuffle join).  Exact ``percentile`` (interpolated, type R-7 — the
     same definition as DuckDB/Postgres ``quantile_cont``) keeps the
-    verdicts engine-portable; swap ``percentile_approx`` in for a
-    sketch-mergeable single-digit-error variant at extreme scale.
+    verdicts engine-portable; ``exact=False`` swaps in
+    ``percentile_approx`` (Greenwald-Khanna sketch, error ≤ 1/accuracy
+    of rank, partial-aggregable map-side) — the extreme-scale path when
+    a group's exact sort-based percentile buffer would not fit an
+    executor, at the cost of oracle bit-parity.
     """
     groups = list(group_cols)
     ids = list(id_cols)
     x = F.col(value_col).cast("double")
     gb = [F.col(g) for g in groups]
+    pct = (
+        "percentile({0}, 0.5)"
+        if exact
+        else "percentile_approx({0}, 0.5, %d)" % int(accuracy)
+    )
 
     med = df.groupBy(*gb).agg(
-        F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("med")
+        F.expr(pct.format(f"cast({value_col} as double)")).alias("med")
     )
     med_b = F.broadcast(med) if broadcast_stats else med
     with_med = (
@@ -331,7 +341,7 @@ def robust_outliers(
     )
     mad = with_med.groupBy(*gb).agg(
         F.expr(
-            f"percentile(abs(cast({value_col} as double) - med), 0.5)"
+            pct.format(f"abs(cast({value_col} as double) - med)")
         ).alias("mad")
     )
     stats = med.join(mad, groups) if groups else med.crossJoin(mad)

@@ -165,6 +165,17 @@ def test_robust_outliers_zero_mad_and_global(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in out2.items()
     }
+    # the sketch path (exact=False, percentile_approx) returns a DATA
+    # ELEMENT rather than the interpolated midpoint, but the verdict on
+    # a clear outlier is the same
+    out3 = {
+        r.id: r
+        for r in robust_outliers(
+            df2, "v", id_cols=["id"], exact=False
+        ).collect()
+    }
+    assert out3[3].med in (2.0, 3.0) and out3[3].is_outlier
+    assert not out3[0].is_outlier
 
 
 @pytest.fixture(scope="module")
