@@ -4073,10 +4073,11 @@ SELECT id, group_id, rn = 1 AS keep FROM r
 # interval_join_mixed, which changed again in r5 (advisor fixes), then
 # (c) the remaining names whose latest row is r3.  That is 28
 # changed/new names at the front, then the r3-stale names; the
-# 50-window covers through det_topn, leaving only span_clean /
-# pack_plan / multimodal_samples / tfidf_top_terms (r3-green, unchanged
-# since, two judge-re-verified in the r4 session) plus r4-green names
-# outside it.  r4-green heavy self-joins sit at the back.
+# 50-window covers through stratified_sample (#50), leaving only
+# det_topn / span_clean / pack_plan / multimodal_samples /
+# tfidf_top_terms (r3-green, unchanged since, two judge-re-verified in
+# the r4 session) plus r4-green names outside it.  r4-green heavy
+# self-joins sit at the back.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- changed in r4/r5, latest driver row r3 (or none) --
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -4132,11 +4133,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "det_sample": q_det_sample,
     "stratified_sample": q_stratified_sample,
+    # ---- 50-window boundary: stratified_sample is name #50;
+    # everything below has an r3 or r4 green driver row and is
+    # unchanged since (span_dedup is r4-green, which is why it yields
+    # its slot to the r3-only names above) ----
     "det_topn": q_det_topn,
-    # ---- 50-window boundary: det_topn is name #50; everything below
-    # has an r3 or r4 green driver row and is unchanged since
-    # (span_dedup is r4-green, which is why it yields its slot to the
-    # r3-only names above) ----
     "span_dedup": q_span_dedup,
     "span_clean": q_span_clean,
     "pack_plan": q_pack_plan,

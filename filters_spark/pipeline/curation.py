@@ -236,10 +236,13 @@ def domain_filter(
     or a DataFrame with a ``domain`` column).
 
     Scale shape: blocklists are tiny next to a web corpus, so the
-    blocklist side always broadcasts; the corpus side is one URL
-    explode → bounded suffix explode (≤ label count per URL) →
-    broadcast-hash semi-join, then ONE aggregation keyed by doc id.
-    The corpus is never shuffled by domain.
+    blocklist side always broadcasts; the corpus side is ONE pass —
+    URL explode → bounded suffix explode (≤ label count per URL) →
+    broadcast-hash LEFT join → per-(doc, url) verdict agg → per-doc
+    agg (totals and hits in the same aggregation, so the corpus text
+    is scanned once, not once per statistic), plus one narrow id-only
+    scan to give url-free docs their verdict row.  The corpus is never
+    shuffled by domain.
     """
     spark = df.sparkSession
     if isinstance(blocked, DataFrame):
@@ -249,21 +252,23 @@ def domain_filter(
             [(d,) for d in blocked], "`__bl` string"
         )
     u = extract_urls(df, text_col, id_col)
-    hits = (
+    per_url = (
         u.select(
-            "id", "pos", F.explode(_domain_suffixes(F.col("domain"))).alias("suf")
+            "id",
+            "pos",
+            F.explode(_domain_suffixes(F.col("domain"))).alias("suf"),
         )
-        .join(F.broadcast(bl), F.col("suf") == F.col("__bl"))
-        .select("id", "pos")
-        .distinct()
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_blocked"))
+        .join(F.broadcast(bl), F.col("suf") == F.col("__bl"), "left")
+        .groupBy("id", "pos")
+        .agg(F.max(F.col("__bl").isNotNull()).alias("hit"))
     )
-    totals = u.groupBy("id").agg(F.count(F.lit(1)).alias("n_urls"))
+    per_doc = per_url.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("hit").cast("long")).alias("n_blocked"),
+    )
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(hits, "id", "left")
+        .join(per_doc, "id", "left")
         .select(
             "id",
             F.coalesce("n_urls", F.lit(0)).cast("long").alias("n_urls"),
