@@ -4,12 +4,14 @@ from filters_spark.engine.referential import (
     gapless_by_agg,
     gaps_by_window,
     orphans,
+    monotone_ts_violations,
     transition_counts,
     transition_violations,
 )
 from filters_spark.engine.drift import (
     frequencies,
     kl_divergence,
+    chi2_statistic,
     ks_statistic,
     psi,
     psi_from_histograms,
@@ -49,12 +51,14 @@ __all__ = [
     "gapless_by_agg",
     "gaps_by_window",
     "kl_divergence",
+    "chi2_statistic",
     "ks_statistic",
     "orphans",
     "psi",
     "psi_from_histograms",
     "run_resumable",
     "salted_agg",
+    "monotone_ts_violations",
     "transition_counts",
     "transition_violations",
 ]

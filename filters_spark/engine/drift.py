@@ -314,3 +314,107 @@ def ks_statistic(
             F.max("tb").cast("long").alias("n_baseline"),
         )
     )
+
+
+def chi2_statistic(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    max_categories: int | None = None,
+) -> DataFrame:
+    """Pearson chi-squared homogeneity test between a CATEGORICAL
+    column's distribution in ``current`` and ``baseline`` — the
+    significance-testable counterpart to :func:`kl_divergence` (KL says
+    how far apart two frequency profiles are, chi-squared says whether
+    the gap is explainable by sampling noise given the sample sizes).
+    Returns ONE row ``(chi2, dof, cramers_v, n_current, n_baseline)``
+    over the 2×K contingency table (sides × categories):
+
+    - ``chi2 = Σ_cells (observed − expected)² / expected`` with
+      ``expected = row_total · col_total / grand_total``;
+    - ``dof = K − 1`` (2 rows ⇒ (2−1)·(K−1));
+    - ``cramers_v = sqrt(chi2 / (n · min(1, K−1)))`` — the [0,1]
+      effect size, comparable across sample sizes (chi2 itself grows
+      with n, so at 10^12 rows everything is "significant"; gate drift
+      alerts on V, not on the p-value).
+
+    Nulls count as the literal ``'__null__'`` (presence drift stays
+    visible, mirroring :func:`frequencies`).  Categories with zero
+    total never arise (every key comes from an observed row), so no
+    expected-count division by zero.
+
+    Scale shape: both sides tag-union into ONE hash aggregation keyed
+    by the category (map-side combine collapses 10^12 rows to K rows);
+    totals ride a broadcast 1-row cross join; the cell sum is a second
+    K-row aggregation.  No window, no sort, no driver action.  For
+    unbounded-cardinality columns set ``max_categories``: category
+    ranks beyond it fold into ``'__other__'`` (rank by combined count,
+    ties broken by category value, so both engines fold identically).
+    """
+    def side(df: DataFrame, nc: int, nb: int) -> DataFrame:
+        k = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+        return df.select(
+            k.alias("k"),
+            F.lit(nc).alias("nc"),
+            F.lit(nb).alias("nb"),
+        )
+
+    counts = (
+        side(current, 1, 0)
+        .unionAll(side(baseline, 0, 1))
+        .groupBy("k")
+        .agg(F.sum("nc").alias("nc"), F.sum("nb").alias("nb"))
+    )
+    if max_categories is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            (F.col("nc") + F.col("nb")).desc(), F.col("k").asc()
+        )
+        counts = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .select(
+                F.when(F.col("__rk") <= max_categories, F.col("k"))
+                .otherwise(F.lit("__other__"))
+                .alias("k"),
+                "nc",
+                "nb",
+            )
+            .groupBy("k")
+            .agg(F.sum("nc").alias("nc"), F.sum("nb").alias("nb"))
+        )
+    totals = counts.agg(
+        F.sum("nc").alias("tc"), F.sum("nb").alias("tb")
+    )
+    row = F.col("nc") + F.col("nb")
+    grand = (F.col("tc") + F.col("tb")).cast("double")
+    ec = row * F.col("tc") / grand
+    eb = row * F.col("tb") / grand
+    cell = (F.col("nc") - ec) * (F.col("nc") - ec) / ec + (
+        F.col("nb") - eb
+    ) * (F.col("nb") - eb) / eb
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(cell).alias("chi2"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+            F.max("tc").cast("long").alias("n_current"),
+            F.max("tb").cast("long").alias("n_baseline"),
+            F.sum(row).cast("double").alias("__n"),
+            F.least(
+                F.count(F.lit(1)) - F.lit(1), F.lit(1)
+            ).cast("double").alias("__mindim"),
+        )
+        .select(
+            "chi2",
+            "dof",
+            F.when(
+                F.col("__mindim") > 0,
+                F.sqrt(F.col("chi2") / (F.col("__n") * F.col("__mindim"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cramers_v"),
+            "n_current",
+            "n_baseline",
+        )
+    )

@@ -67,6 +67,7 @@ from filters_spark.pipeline.textstats import (
     tfidf_top_terms,
     unigram_logprob,
     token_counts,
+    token_entropy,
 )
 from filters_spark.pipeline.multimodal import (
     MEDIA_META_SCHEMA,
@@ -147,6 +148,7 @@ __all__ = [
     "srp_bucket",
     "srp_topk",
     "token_counts",
+    "token_entropy",
     "write_training_shards",
     "word_shingles",
 ]

@@ -16,6 +16,7 @@ from filters_spark.pipeline.dedup import portable_hash60, word_shingles
 
 __all__ = [
     "token_counts",
+    "token_entropy",
     "quality_score",
     "lang_id",
     "lang_id_fasttext",
@@ -57,6 +58,56 @@ def token_counts(
         F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-level Shannon entropy (bits) — the
+    within-document lexical-diversity quality signal (low entropy =
+    repetitive/boilerplate text, the failure mode ``repetition_stats``
+    measures via n-gram fractions; entropy summarises it in one number
+    that composes with the quality-score rule stack).
+
+    Returns ``(id, n_tokens, n_distinct_tokens, entropy)`` where
+    ``entropy = −Σ_t (c_t/n)·log2(c_t/n) = log2(n) − (Σ_t c_t·log2 c_t)/n``
+    over whitespace tokens (the same tokenizer as ``token_counts``).
+    Documents with zero tokens are dropped (they have no distribution;
+    ``Empty``/``NotEmpty`` chains own presence).
+
+    Scale shape: Generate (explode — no shuffle) → hash aggregation on
+    ``(id, token)`` with map-side combine (a document's tokens are
+    row-contiguous, so duplicate tokens collapse before the shuffle) →
+    second hash aggregation on ``id``.  All whole-stage codegen; the
+    log2 identity avoids carrying per-token probabilities through the
+    shuffle.
+    """
+    toks = _tokens(F.col(text_col))
+    per_token = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+        )
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c").cast("double")
+    return (
+        per_token.groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.sum(c * F.log2(c)).alias("__clogc"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_distinct_tokens",
+            (
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("__clogc") / F.col("n_tokens").cast("double")
+            ).alias("entropy"),
+        )
     )
 
 

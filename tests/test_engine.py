@@ -616,3 +616,73 @@ def test_transition_composite_idx(spark):
     )
     assert out.count() == 0  # user -> assistant -> user is legal
     assert set(out.columns) == {"conv_id", "turn_idx", "sub", "prev", "value", "code"}
+
+
+def test_chi2_statistic_known_values(spark):
+    from filters_spark.engine import chi2_statistic
+
+    # 2x2 table: cur = 10 a / 20 b, base = 20 a / 10 b
+    cur = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 20, ["k"]
+    )
+    base = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 10, ["k"]
+    )
+    row = chi2_statistic(cur, base, "k").first()
+    # expected = 15 per cell -> chi2 = 4 * 25/15 = 20/3
+    assert row.chi2 == pytest.approx(20.0 / 3.0)
+    assert row.dof == 1
+    # 2x2: V = sqrt(chi2 / n) = sqrt((20/3)/60)
+    assert row.cramers_v == pytest.approx((20.0 / 3.0 / 60.0) ** 0.5)
+    assert (row.n_current, row.n_baseline) == (30, 30)
+    # identical distributions -> chi2 0, V 0
+    same = chi2_statistic(cur, cur, "k").first()
+    assert same.chi2 == pytest.approx(0.0)
+    assert same.cramers_v == pytest.approx(0.0)
+
+
+def test_chi2_statistic_nulls_and_single_category(spark):
+    from filters_spark.engine import chi2_statistic
+
+    # nulls count as the '__null__' category (presence drift visible)
+    cur = spark.createDataFrame([("a",), (None,)], ["k"])
+    base = spark.createDataFrame([("a",), ("a",)], ["k"])
+    row = chi2_statistic(cur, base, "k").first()
+    assert row.dof == 1  # categories: a, __null__
+    assert row.chi2 > 0
+    # one shared category -> dof 0, chi2 0, V defined as 0 (no dimension)
+    one = spark.createDataFrame([("a",), ("a",)], ["k"])
+    row1 = chi2_statistic(one, one, "k").first()
+    assert (row1.chi2, row1.dof, row1.cramers_v) == (0.0, 0, 0.0)
+
+
+def test_chi2_statistic_max_categories_folds_tail(spark):
+    from filters_spark.engine import chi2_statistic
+
+    cur = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",), ("d",)], ["k"]
+    )
+    base = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",), ("d",)], ["k"]
+    )
+    row = chi2_statistic(cur, base, "k", max_categories=2).first()
+    # a, b kept; c+d fold into __other__ -> 3 categories, dof 2
+    assert row.dof == 2
+    assert row.chi2 == pytest.approx(0.0)
+
+
+def test_monotone_ts_violations(spark):
+    from filters_spark.engine import monotone_ts_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 100), ("a", 1, 200), ("a", 2, 150),  # 2: ts dips
+            ("b", 0, 50), ("b", 1, 50),                   # equal ts ok
+            ("c", 0, 9),
+        ],
+        ["conv_id", "turn_idx", "ts"],
+    )
+    rows = monotone_ts_violations(df).collect()
+    assert [(r.conv_id, r.turn_idx, r.ts, r.prev_ts) for r in rows] == [
+        ("a", 2, 150, 200)
+    ]

@@ -266,6 +266,29 @@ def test_token_counts(docs):
     assert rows[0]["n_bpe_tokens"] == 9  # no punctuation in fixture
 
 
+def test_token_entropy(spark):
+    from filters_spark.pipeline import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),       # uniform over 4 -> log2(4) = 2 bits
+            (1, "a a a a"),       # single token -> 0 bits
+            (2, "a a b b"),       # uniform over 2 -> 1 bit
+            (3, "  spam   ham "), # tokenizer ignores extra whitespace
+            (4, ""),              # no tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in token_entropy(df).collect()}
+    assert rows[0]["entropy"] == pytest.approx(2.0)
+    assert rows[0]["n_tokens"] == 4 and rows[0]["n_distinct_tokens"] == 4
+    assert rows[1]["entropy"] == pytest.approx(0.0)
+    assert rows[2]["entropy"] == pytest.approx(1.0)
+    assert rows[3]["entropy"] == pytest.approx(1.0)
+    assert rows[3]["n_tokens"] == 2
+    assert 4 not in rows
+
+
 def test_quality_score_components(docs):
     rows = {r["id"]: r for r in quality_score(docs).collect()}
     r0 = rows[0]

@@ -208,6 +208,7 @@ def test_every_registered_query_avoids_unbounded_nested_loops(spark):
         "length_histogram",    # total-count normaliser
         "unigram_logprob",     # vocab total-count normaliser
         "ks_drift",            # 1-row (n_cur, n_base) totals onto the CDF
+        "chi2_drift",          # 1-row (tc, tb) totals onto the K-row census
         # documented O(n^2) opt-in: the exact all-pairs baseline the
         # DuckDB oracle replays (default API path is SRP-bucketed)
         "embed_near_dups",
