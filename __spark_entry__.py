@@ -4172,23 +4172,57 @@ FROM per_tok GROUP BY 1
 """
 
 
+def q_conv_profile(spark, sf_dir):
+    """Per-conversation shape census + agent-loop detection
+    (engine/referential.py:conv_profile): highest within-conversation
+    verbatim-text repeat count — the stuck-agent signature no per-turn
+    chain or corpus-level dedup flags.  events rows are turns
+    (user_id=conversation, props=turn payload, ts=timestamp)."""
+    from filters_spark.engine import conv_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return conv_profile(
+        ev, conv="user_id", text="props", ts="ts", loop_threshold=3
+    )
+
+
+SQL_CONV_PROFILE = """
+WITH per_text AS (
+  SELECT user_id, props, count(*) AS n,
+         min(ts) AS min_ts, max(ts) AS max_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_distinct_texts,
+       CAST(max(n) AS BIGINT) AS max_text_repeat,
+       min(min_ts) AS first_ts,
+       max(max_ts) AS last_ts,
+       CAST(floor(epoch(max(max_ts))) - floor(epoch(min(min_ts)))
+            AS BIGINT) AS duration_sec,
+       max(n) >= 3 AS loop_suspect
+FROM per_text GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 106 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 107 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 19 brand-new r5 queries (3 streaming + 2 fastText +
+# (b) the 20 brand-new r5 queries (3 streaming + 2 fastText +
 # violation_values + unigram_logprob + the 6 web-curation ops + the 6
 # validation additions ks_drift / transition_counts /
-# transition_violations / ts_monotonic / chi2_drift / token_entropy)
+# transition_violations / ts_monotonic / chi2_drift / token_entropy /
+# conv_profile)
 # plus decimal_quantize / dedup_groups / interval_join_mixed, which
 # changed again in r5 (advisor fixes), then (c) the remaining names
-# whose latest row is r3.  That is 31 changed/new names at the front,
-# then the r3-stale names; the 50-window covers through redact_pii
-# (#50), leaving only split_assign / det_sample / stratified_sample /
+# whose latest row is r3.  That is 32 changed/new names at the front,
+# then the r3-stale names; the 50-window covers through ngram_overlap
+# (#50), leaving only redact_pii / split_assign / det_sample / stratified_sample /
 # det_topn / span_clean / pack_plan / multimodal_samples /
 # tfidf_top_terms outside it (all r3-green, unchanged since, and all
 # green in the round-5 local tri-scale sweep; two judge-re-verified in
@@ -4225,6 +4259,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_monotonic": q_ts_monotonic,
     "chi2_drift": q_chi2_drift,
     "token_entropy": q_token_entropy,
+    "conv_profile": q_conv_profile,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4418,6 +4453,7 @@ _ORACLES: dict[str, str] = {
     "ts_monotonic": SQL_TS_MONOTONIC,
     "chi2_drift": SQL_CHI2_DRIFT,
     "token_entropy": SQL_TOKEN_ENTROPY,
+    "conv_profile": SQL_CONV_PROFILE,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

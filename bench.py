@@ -181,6 +181,17 @@ def bench_queries(
         # (one conversation-keyed window pass)
         "ks_drift",
         "transition_violations",
+        # final-r5 additions: chi-squared categorical drift (hash agg
+        # on the tiny category domain — should be near scan-speed),
+        # timestamp-monotonicity violations (one conversation-keyed
+        # window pass), per-doc token entropy (explode + two
+        # map-side-combining hash aggs)
+        "chi2_drift",
+        "ts_monotonic",
+        "token_entropy",
+        # per-conversation census + agent-loop detection (two-level
+        # agg cascade; map-side combine collapses the loop spam)
+        "conv_profile",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

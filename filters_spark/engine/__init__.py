@@ -4,6 +4,7 @@ from filters_spark.engine.referential import (
     gapless_by_agg,
     gaps_by_window,
     orphans,
+    conv_profile,
     monotone_ts_violations,
     transition_counts,
     transition_violations,
@@ -58,6 +59,7 @@ __all__ = [
     "psi_from_histograms",
     "run_resumable",
     "salted_agg",
+    "conv_profile",
     "monotone_ts_violations",
     "transition_counts",
     "transition_violations",

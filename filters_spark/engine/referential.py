@@ -92,6 +92,69 @@ def monotone_ts_violations(
     return lagged.where(F.col(ts) < F.col("prev_ts"))
 
 
+def conv_profile(
+    df: DataFrame,
+    conv: str = "conv_id",
+    text: str = "text",
+    ts: str = "ts",
+    loop_threshold: int = 5,
+) -> DataFrame:
+    """Per-conversation shape census + agent-loop detection:
+    ``(conv, n_turns, n_distinct_texts, max_text_repeat, first_ts,
+    last_ts, duration_sec, loop_suspect)``.
+
+    ``max_text_repeat`` is the highest count of any one verbatim text
+    within the conversation — the stuck-agent signature (a looping
+    agent emits the same turn over and over, which no per-turn chain
+    and no corpus-level dedup flags: the text is valid and the
+    conversation is unique, it is the WITHIN-conversation repetition
+    that is broken).  ``loop_suspect = max_text_repeat >=
+    loop_threshold``.  Null texts group like a value (a run of null
+    turns is also a loop).  ``duration_sec`` is whole seconds between
+    the first and last turn timestamps (floor-of-epoch difference,
+    engine-portable).
+
+    Scale shape: one two-level aggregation cascade, no join and no
+    window — pre-agg keyed by ``(conv, text)`` (map-side combine
+    collapses the loop spam itself, so the hotter the loop the LESS
+    it shuffles), then a hash agg keyed by ``conv`` combining counts
+    and timestamp extremes.  A 10^8-turn hot conversation arrives at
+    the second stage as one row per distinct text, not per turn.
+    """
+    per_text = df.groupBy(conv, text).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(ts).alias("__min_ts"),
+        F.max(ts).alias("__max_ts"),
+    )
+    return (
+        per_text.groupBy(conv)
+        .agg(
+            F.sum("__n").cast("long").alias("n_turns"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
+            F.max("__n").cast("long").alias("max_text_repeat"),
+            F.min("__min_ts").alias("first_ts"),
+            F.max("__max_ts").alias("last_ts"),
+        )
+        .select(
+            F.col(conv),
+            "n_turns",
+            "n_distinct_texts",
+            "max_text_repeat",
+            "first_ts",
+            "last_ts",
+            (
+                # NTZ has no direct long cast; via timestamp is exact
+                # under the suite's pinned UTC session timezone
+                F.col("last_ts").cast("timestamp").cast("long")
+                - F.col("first_ts").cast("timestamp").cast("long")
+            ).alias("duration_sec"),
+            (F.col("max_text_repeat") >= F.lit(int(loop_threshold))).alias(
+                "loop_suspect"
+            ),
+        )
+    )
+
+
 def _order_cols(idx: str | list[str]) -> list:
     """Sequence checks need a TOTAL order within the conversation
     (ties make ``lag`` engine/partition-dependent); pass a composite

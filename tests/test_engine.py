@@ -686,3 +686,36 @@ def test_monotone_ts_violations(spark):
     assert [(r.conv_id, r.turn_idx, r.ts, r.prev_ts) for r in rows] == [
         ("a", 2, 150, 200)
     ]
+
+
+def test_conv_profile_loop_detection(spark):
+    from datetime import datetime
+
+    from filters_spark.engine import conv_profile
+
+    t = datetime
+    df = spark.createDataFrame(
+        [
+            # conv a: healthy — distinct texts
+            ("a", "hi", t(2026, 1, 1, 0, 0, 0)),
+            ("a", "there", t(2026, 1, 1, 0, 0, 30)),
+            # conv b: stuck agent — same text 3x, plus one distinct
+            ("b", "retrying...", t(2026, 1, 1, 1, 0, 0)),
+            ("b", "retrying...", t(2026, 1, 1, 1, 0, 10)),
+            ("b", "retrying...", t(2026, 1, 1, 1, 0, 20)),
+            ("b", "done", t(2026, 1, 1, 1, 1, 0)),
+            # conv c: null-text loop (nulls group like a value)
+            ("c", None, t(2026, 1, 1, 2, 0, 0)),
+            ("c", None, t(2026, 1, 1, 2, 0, 5)),
+            ("c", None, t(2026, 1, 1, 2, 0, 9)),
+        ],
+        ["conv_id", "text", "ts"],
+    )
+    rows = {r.conv_id: r for r in conv_profile(df, loop_threshold=3).collect()}
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert (a.n_turns, a.n_distinct_texts, a.max_text_repeat) == (2, 2, 1)
+    assert not a.loop_suspect and a.duration_sec == 30
+    assert (b.n_turns, b.n_distinct_texts, b.max_text_repeat) == (4, 2, 3)
+    assert b.loop_suspect and b.duration_sec == 60
+    assert (c.n_turns, c.n_distinct_texts, c.max_text_repeat) == (3, 1, 3)
+    assert c.loop_suspect and c.duration_sec == 9
