@@ -4205,6 +4205,91 @@ FROM per_text GROUP BY 1
 """
 
 
+def q_wasserstein_drift(spark, sf_dir):
+    """First Wasserstein (earth-mover) drift distance
+    (engine/drift.py:wasserstein_distance) between the even- and
+    odd-id halves of the events table's value column — the
+    magnitude-in-column-units drift gate complementing ks_drift's
+    sup-norm (KS saturates once one quantile shifts; W1 reports HOW
+    FAR the distribution moved).  Same exact hash-agg + running-CDF
+    window shape as ks_drift, plus a lead() for the support gaps."""
+    from filters_spark.engine import wasserstein_distance
+
+    ev = _t(spark, sf_dir, "events")
+    out = wasserstein_distance(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+    )
+    return out.select(
+        _round9("w1").alias("w1"), "n_current", "n_baseline"
+    )
+
+
+SQL_WASSERSTEIN_DRIFT = """
+WITH counts AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT sum(nc) OVER (ORDER BY v) AS cc,
+         sum(nb) OVER (ORDER BY v) AS cb,
+         lead(v) OVER (ORDER BY v) - v AS dv
+  FROM counts
+), tot AS (SELECT sum(nc) AS tc, sum(nb) AS tb FROM counts)
+SELECT round(coalesce(sum(abs(CAST(cc AS DOUBLE) / tc
+                              - CAST(cb AS DOUBLE) / tb) * dv), 0.0)
+             * 1e9) / 1e9 AS w1,
+       CAST(max(tc) AS BIGINT) AS n_current,
+       CAST(max(tb) AS BIGINT) AS n_baseline
+FROM cum, tot
+"""
+
+
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon divergence drift (engine/drift.py:js_divergence)
+    between the even- and odd-id halves of the events table's
+    event_type distribution — the bounded symmetric categorical gate
+    ([0, ln 2], no epsilon floor, finite on one-sided categories)
+    complementing kl_divergence and chi2_drift.  ONE category-keyed
+    hash agg + broadcast 1-row totals, no window, no sort."""
+    from filters_spark.engine import js_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    out = js_divergence(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+    return out.select(
+        _round9("jsd").alias("jsd"), "n_current", "n_baseline"
+    )
+
+
+SQL_JS_DRIFT = """
+WITH counts AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS k,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(nc) AS tc, sum(nb) AS tb FROM counts),
+cells AS (
+  SELECT CAST(nc AS DOUBLE) / tc AS p,
+         CAST(nb AS DOUBLE) / tb AS q,
+         tc, tb
+  FROM counts, tot
+)
+SELECT round(sum((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                       ELSE 0 END
+                + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                       ELSE 0 END) / 2) * 1e9) / 1e9 AS jsd,
+       CAST(max(tc) AS BIGINT) AS n_current,
+       CAST(max(tb) AS BIGINT) AS n_baseline
+FROM cells
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -4260,6 +4345,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_drift": q_chi2_drift,
     "token_entropy": q_token_entropy,
     "conv_profile": q_conv_profile,
+    "wasserstein_drift": q_wasserstein_drift,
+    "js_drift": q_js_drift,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4454,6 +4541,8 @@ _ORACLES: dict[str, str] = {
     "chi2_drift": SQL_CHI2_DRIFT,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "conv_profile": SQL_CONV_PROFILE,
+    "wasserstein_drift": SQL_WASSERSTEIN_DRIFT,
+    "js_drift": SQL_JS_DRIFT,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

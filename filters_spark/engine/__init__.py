@@ -11,11 +11,13 @@ from filters_spark.engine.referential import (
 )
 from filters_spark.engine.drift import (
     frequencies,
+    js_divergence,
     kl_divergence,
     chi2_statistic,
     ks_statistic,
     psi,
     psi_from_histograms,
+    wasserstein_distance,
 )
 from filters_spark.engine.explode import explode_validate
 from filters_spark.engine.suite import (
@@ -51,9 +53,11 @@ __all__ = [
     "frequencies",
     "gapless_by_agg",
     "gaps_by_window",
+    "js_divergence",
     "kl_divergence",
     "chi2_statistic",
     "ks_statistic",
+    "wasserstein_distance",
     "orphans",
     "psi",
     "psi_from_histograms",

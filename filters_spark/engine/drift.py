@@ -418,3 +418,157 @@ def chi2_statistic(
             "n_baseline",
         )
     )
+
+
+def wasserstein_distance(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    grid: float | None = None,
+) -> DataFrame:
+    """First Wasserstein (earth-mover) distance between a numeric
+    column's distribution in ``current`` and ``baseline`` — the
+    integral counterpart to :func:`ks_statistic`:
+    ``W1 = ∫ |F_cur(v) − F_base(v)| dv``.  KS reports the single worst
+    CDF gap (sup-norm) and so saturates once any one quantile has
+    shifted; W1 accumulates the gap over the whole support (L1 norm),
+    measuring drift in the COLUMN'S OWN UNITS — "the text lengths moved
+    by ~37 characters on average" — which makes it the right alerting
+    number for magnitude-thresholded gates where KS is the right one
+    for significance gates.  Returns ONE row
+    ``(w1, n_current, n_baseline)``.  Nulls are dropped (presence drift
+    is ``frequencies``' job).
+
+    Scale shape: identical to :func:`ks_statistic` — EXACT, never
+    sampled.  Both sides tag-union into ONE hash aggregation keyed by
+    the value (map-side combine collapses 10^12 rows to
+    #distinct-values rows); one window over the AGGREGATED table
+    produces the running CDFs plus each value's gap to its successor
+    (``lead``), and ``Σ |ΔCDF| · Δv`` is a final 1-row aggregation.
+    Totals ride a broadcast 1-row cross join — no driver action.  For
+    truly continuous columns bound the distinct-value count with
+    ``grid=`` (fixed lattice; the W1 error introduced is at most half a
+    lattice step).
+    """
+    def side(df: DataFrame, nc: int, nb: int) -> DataFrame:
+        v = F.col(col).cast("double")
+        if grid is not None:
+            v = F.round(v / F.lit(float(grid)), 0) * F.lit(float(grid))
+        return df.where(F.col(col).isNotNull()).select(
+            v.alias("v"), F.lit(nc).alias("nc"), F.lit(nb).alias("nb")
+        )
+
+    counts = (
+        side(current, 1, 0)
+        .unionAll(side(baseline, 0, 1))
+        .groupBy("v")
+        .agg(F.sum("nc").alias("nc"), F.sum("nb").alias("nb"))
+    )
+    from pyspark.sql import Window
+
+    order = Window.orderBy("v")
+    cum = counts.select(
+        F.sum("nc")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cc"),
+        F.sum("nb")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cb"),
+        (F.lead("v").over(order) - F.col("v")).alias("dv"),
+    )
+    totals = counts.agg(F.sum("nc").alias("tc"), F.sum("nb").alias("tb"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.abs(
+                        F.col("cc") / F.col("tc") - F.col("cb") / F.col("tb")
+                    )
+                    * F.col("dv")
+                ),
+                F.lit(0.0),
+            ).alias("w1"),
+            F.max("tc").cast("long").alias("n_current"),
+            F.max("tb").cast("long").alias("n_baseline"),
+        )
+    )
+
+
+def js_divergence(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    max_categories: int | None = None,
+    base: float | None = None,
+) -> DataFrame:
+    """Jensen-Shannon divergence between a CATEGORICAL column's
+    distribution in ``current`` and ``baseline`` — the bounded,
+    symmetric companion to :func:`kl_divergence`:
+    ``JSD = ½·KL(P‖M) + ½·KL(Q‖M)`` with ``M = (P+Q)/2``.  Unlike KL it
+    needs no epsilon floor (a category present on only one side
+    contributes ``½·ln 2`` of its mass, never infinity), it is
+    symmetric (no "which snapshot is the baseline" asymmetry), and it
+    is bounded — ``[0, ln 2]`` in nats, ``[0, 1]`` with ``base=2`` —
+    so one alert threshold works across columns of any cardinality.
+    Returns ONE row ``(jsd, n_current, n_baseline)``.  Nulls count as
+    the literal ``'__null__'`` (presence drift stays visible).
+
+    Scale shape: identical to :func:`chi2_statistic` — both sides
+    tag-union into ONE hash aggregation keyed by the category
+    (map-side combine collapses 10^12 rows to K rows); totals ride a
+    broadcast 1-row cross join; the divergence is a second K-row
+    aggregation.  No window, no sort, no driver action.
+    ``max_categories=`` folds the cardinality tail into ``'__other__'``
+    exactly as chi2 does (rank by combined count, category-value
+    tiebreak — both engines fold identically).
+    """
+    def side(df: DataFrame, nc: int, nb: int) -> DataFrame:
+        k = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+        return df.select(
+            k.alias("k"), F.lit(nc).alias("nc"), F.lit(nb).alias("nb")
+        )
+
+    counts = (
+        side(current, 1, 0)
+        .unionAll(side(baseline, 0, 1))
+        .groupBy("k")
+        .agg(F.sum("nc").alias("nc"), F.sum("nb").alias("nb"))
+    )
+    if max_categories is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            (F.col("nc") + F.col("nb")).desc(), F.col("k").asc()
+        )
+        counts = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .select(
+                F.when(F.col("__rk") <= max_categories, F.col("k"))
+                .otherwise(F.lit("__other__"))
+                .alias("k"),
+                "nc",
+                "nb",
+            )
+            .groupBy("k")
+            .agg(F.sum("nc").alias("nc"), F.sum("nb").alias("nb"))
+        )
+    totals = counts.agg(F.sum("nc").alias("tc"), F.sum("nb").alias("tb"))
+    p = F.col("nc") / F.col("tc")
+    q = F.col("nb") / F.col("tb")
+    m = (p + q) / F.lit(2.0)
+    # p=0 or q=0 terms contribute 0 by the 0·ln(0) = 0 convention;
+    # m > 0 always holds on observed categories, so ln(m) is safe.
+    cell = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    scale = F.lit(1.0 / math.log(base)) if base is not None else F.lit(1.0)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            (F.sum(cell) * scale).alias("jsd"),
+            F.max("tc").cast("long").alias("n_current"),
+            F.max("tb").cast("long").alias("n_baseline"),
+        )
+    )

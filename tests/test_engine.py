@@ -719,3 +719,91 @@ def test_conv_profile_loop_detection(spark):
     assert b.loop_suspect and b.duration_sec == 60
     assert (c.n_turns, c.n_distinct_texts, c.max_text_repeat) == (3, 1, 3)
     assert c.loop_suspect and c.duration_sec == 9
+
+
+def test_wasserstein_known_values(spark):
+    import math
+
+    from filters_spark.engine import wasserstein_distance
+
+    cur = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    # pure location shift by d -> W1 = d (KS would saturate at 1.0)
+    shifted = spark.createDataFrame([(4.0,), (5.0,)], ["v"])
+    row = wasserstein_distance(cur, shifted, "v").first()
+    assert row.w1 == pytest.approx(3.0)
+    assert (row.n_current, row.n_baseline) == (2, 2)
+    # identical samples -> 0 (also exercises the all-dv-null coalesce
+    # when the union has a single distinct value)
+    assert wasserstein_distance(cur, cur, "v").first().w1 == pytest.approx(0.0)
+    one = spark.createDataFrame([(7.0,)], ["v"])
+    assert wasserstein_distance(one, one, "v").first().w1 == pytest.approx(0.0)
+    # hand-computed non-uniform case: P={1:.5, 2:.5}, Q={1:.5, 3:.5}
+    # |dCDF|: [1,2): 0, [2,3): .5 -> W1 = 0.5
+    base = spark.createDataFrame([(1.0,), (3.0,)], ["v"])
+    assert wasserstein_distance(cur, base, "v").first().w1 == pytest.approx(0.5)
+    # scipy cross-check (closed form, weighted duplicates)
+    cur2 = spark.createDataFrame([(0.0,), (0.0,), (4.0,)], ["v"])
+    base2 = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    # CDFs: v=0: (2/3, 0) dv=1 -> 2/3; v=1: (2/3, 1/2) dv=1 -> 1/6;
+    # v=2: (2/3, 1) dv=2 -> 2/3; total = 3/2
+    assert wasserstein_distance(cur2, base2, "v").first().w1 == pytest.approx(
+        1.5
+    )
+    assert math.isfinite(row.w1)
+
+
+def test_wasserstein_grid_and_nulls(spark):
+    from filters_spark.engine import wasserstein_distance
+
+    cur = spark.createDataFrame([(0.1001,), (None,)], ["v"])
+    base = spark.createDataFrame([(0.1002,), (None,)], ["v"])
+    exact = wasserstein_distance(cur, base, "v").first()
+    assert exact.w1 == pytest.approx(0.0001)
+    snapped = wasserstein_distance(cur, base, "v", grid=0.01).first()
+    assert snapped.w1 == pytest.approx(0.0)
+    assert (snapped.n_current, snapped.n_baseline) == (1, 1)
+
+
+def test_js_divergence_known_values(spark):
+    import math
+
+    from filters_spark.engine import js_divergence
+
+    cur = spark.createDataFrame([("a",), ("a",), ("b",), ("b",)], ["k"])
+    # identical -> 0
+    assert js_divergence(cur, cur, "k").first().jsd == pytest.approx(0.0)
+    # disjoint supports -> ln 2 (the JSD maximum), finite where KL blows up
+    other = spark.createDataFrame([("c",), ("d",)], ["k"])
+    row = js_divergence(cur, other, "k").first()
+    assert row.jsd == pytest.approx(math.log(2.0))
+    assert (row.n_current, row.n_baseline) == (4, 2)
+    # base=2 normalises to [0, 1]
+    assert js_divergence(cur, other, "k", base=2).first().jsd == pytest.approx(
+        1.0
+    )
+    # hand-computed: P={a:.5,b:.5}, Q={a:1} -> M={a:.75,b:.25}
+    # JSD = .5*(.5 ln(.5/.75) + .5 ln(.5/.25)) + .5*(1 ln(1/.75))
+    alla = spark.createDataFrame([("a",), ("a",)], ["k"])
+    expected = 0.5 * (
+        0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    ) + 0.5 * math.log(1 / 0.75)
+    assert js_divergence(cur, alla, "k").first().jsd == pytest.approx(expected)
+
+
+def test_js_divergence_symmetry_nulls_and_fold(spark):
+    from filters_spark.engine import js_divergence
+
+    cur = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("c",), ("d",)], ["k"]
+    )
+    base = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], ["k"])
+    j1 = js_divergence(cur, base, "k").first().jsd
+    j2 = js_divergence(base, cur, "k").first().jsd
+    assert j1 == pytest.approx(j2)  # symmetric, unlike KL
+    assert j1 > 0
+    # max_categories folds the tail identically on both sides: keeping
+    # the top-2 combined categories (a, b) folds c/d/__null__ together
+    folded = js_divergence(cur, base, "k", max_categories=2).first()
+    full = js_divergence(cur, base, "k").first()
+    assert 0 < folded.jsd <= full.jsd + 1e-12
+    assert (folded.n_current, folded.n_baseline) == (5, 4)
