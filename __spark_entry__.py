@@ -4290,6 +4290,130 @@ FROM cells
 """
 
 
+#: declarative table-level rule set for the rules queries — cross-field
+#: and business-bound invariants no per-column chain can express
+#: (engine/rules.py; reference chains validate one value at a time,
+#: src/filters/base.py FilterChain._apply).  NULL predicate = violation
+#: (strict default).
+_ORDER_RULES = {
+    "status_known": "o_orderstatus IN ('F', 'O', 'P')",
+    "price_cap_400k": "o_totalprice <= 400000",
+    "date_window": "o_orderdate >= timestamp'1995-06-01 00:00:00'",
+    "urgent_not_final": "o_orderpriority <> '1-URGENT' "
+                        "OR o_orderstatus <> 'F'",
+}
+
+
+def q_rules_summary(spark, sf_dir):
+    """Declarative rule-set verdicts (engine/rules.py:rule_summary):
+    every rule evaluated in ONE aggregation over the corpus — one
+    conditional sum per rule inside a single Aggregate node, then an
+    explode of the single aggregated row into per-rule long form."""
+    from filters_spark.engine import rule_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    out = rule_summary(orders, _ORDER_RULES)
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_fail",
+        _round9("fail_rate").alias("fail_rate"),
+        "ok",
+    )
+
+
+SQL_RULES_SUMMARY = """
+WITH agg AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+             THEN 1 ELSE 0 END) AS f_status,
+    sum(CASE WHEN NOT coalesce(o_totalprice <= 400000, FALSE)
+             THEN 1 ELSE 0 END) AS f_price,
+    sum(CASE WHEN NOT coalesce(
+               o_orderdate >= TIMESTAMP '1995-06-01', FALSE)
+             THEN 1 ELSE 0 END) AS f_date,
+    sum(CASE WHEN NOT coalesce(o_orderpriority <> '1-URGENT'
+                               OR o_orderstatus <> 'F', FALSE)
+             THEN 1 ELSE 0 END) AS f_urgent
+  FROM orders
+), long AS (
+  SELECT 'status_known' AS rule, n, f_status AS f FROM agg
+  UNION ALL SELECT 'price_cap_400k', n, f_price FROM agg
+  UNION ALL SELECT 'date_window', n, f_date FROM agg
+  UNION ALL SELECT 'urgent_not_final', n, f_urgent FROM agg
+)
+SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(f AS BIGINT) AS n_fail,
+       round(CAST(f AS DOUBLE) / n * 1e9) / 1e9 AS fail_rate,
+       f = 0 AS ok
+FROM long
+"""
+
+
+def q_rules_violations(spark, sf_dir):
+    """Structured rule-violation rows
+    (engine/rules.py:rule_violations): (key, rule, offending value) per
+    failed (row, rule) — the north-rule reporting shape; one projection
+    computes every predicate, array-filter + explode emit only
+    violations.  Captured values use engine-stable renderings (cents as
+    BIGINT, dates as DATE strings)."""
+    from filters_spark.engine import rule_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    return rule_violations(
+        orders,
+        _ORDER_RULES,
+        keys="o_orderkey",
+        capture={
+            "price_cap_400k": "CAST(round(o_totalprice * 100) AS BIGINT)",
+            "date_window": "CAST(o_orderdate AS DATE)",
+            "urgent_not_final": "o_orderstatus",
+        },
+    )
+
+
+SQL_RULES_VIOLATIONS = """
+SELECT o_orderkey, 'status_known' AS rule, CAST(NULL AS VARCHAR) AS value
+FROM orders WHERE NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+UNION ALL
+SELECT o_orderkey, 'price_cap_400k',
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+FROM orders WHERE NOT coalesce(o_totalprice <= 400000, FALSE)
+UNION ALL
+SELECT o_orderkey, 'date_window', CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+FROM orders WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1995-06-01', FALSE)
+UNION ALL
+SELECT o_orderkey, 'urgent_not_final', o_orderstatus
+FROM orders WHERE NOT coalesce(o_orderpriority <> '1-URGENT'
+                               OR o_orderstatus <> 'F', FALSE)
+"""
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency validation
+    (engine/rules.py:fd_violations): lineitem keys whose l_orderkey
+    fails to determine l_linestatus — ONE determinant-keyed hash agg,
+    filter on the aggregated table, NULLs folded to '__null__'."""
+    from filters_spark.engine import fd_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fd_violations(li, "l_orderkey", "l_linestatus")
+
+
+SQL_FD_CHECK = """
+WITH v AS (
+  SELECT l_orderkey,
+         coalesce(CAST(l_linestatus AS VARCHAR), '__null__') AS v
+  FROM lineitem
+)
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+       min(v) AS v_min,
+       max(v) AS v_max
+FROM v GROUP BY 1 HAVING count(DISTINCT v) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -4347,6 +4471,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_profile": q_conv_profile,
     "wasserstein_drift": q_wasserstein_drift,
     "js_drift": q_js_drift,
+    "rules_summary": q_rules_summary,
+    "rules_violations": q_rules_violations,
+    "fd_check": q_fd_check,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4543,6 +4670,9 @@ _ORACLES: dict[str, str] = {
     "conv_profile": SQL_CONV_PROFILE,
     "wasserstein_drift": SQL_WASSERSTEIN_DRIFT,
     "js_drift": SQL_JS_DRIFT,
+    "rules_summary": SQL_RULES_SUMMARY,
+    "rules_violations": SQL_RULES_VIOLATIONS,
+    "fd_check": SQL_FD_CHECK,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

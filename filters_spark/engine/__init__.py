@@ -20,6 +20,11 @@ from filters_spark.engine.drift import (
     wasserstein_distance,
 )
 from filters_spark.engine.explode import explode_validate
+from filters_spark.engine.rules import (
+    fd_violations,
+    rule_summary,
+    rule_violations,
+)
 from filters_spark.engine.suite import (
     ValidationSuite,
     violations_with_values,
@@ -61,6 +66,9 @@ __all__ = [
     "orphans",
     "psi",
     "psi_from_histograms",
+    "fd_violations",
+    "rule_summary",
+    "rule_violations",
     "run_resumable",
     "salted_agg",
     "conv_profile",

