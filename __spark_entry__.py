@@ -4414,6 +4414,56 @@ FROM v GROUP BY 1 HAVING count(DISTINCT v) > 1
 """
 
 
+def q_conv_dups(spark, sf_dir):
+    """Whole-conversation exact-duplicate detection
+    (engine/referential.py:duplicate_convs): order-exact md5
+    fingerprint per conversation (length-prefixed turns, ties on idx
+    broken by entry text), fingerprint-keyed group agg, join-back of
+    the duplicate groups.  events rows are turns (user_id=conversation,
+    event_id=globally-unique turn order, props=text); every 7th
+    conversation is re-ingested under a relabeled id so the check has
+    real duplicates to find."""
+    from filters_spark.engine import duplicate_convs
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_id", "props")
+    copy = ev.where(F.col("user_id") % 7 == 0).select(
+        (F.col("user_id") + 10000000).alias("user_id"),
+        "event_id",
+        "props",
+    )
+    return duplicate_convs(
+        base.unionAll(copy), conv="user_id", idx="event_id", text="props"
+    )
+
+
+SQL_CONV_DUPS = """
+WITH turns AS (
+  SELECT user_id, event_id, props FROM events
+  UNION ALL
+  SELECT user_id + 10000000, event_id, props FROM events
+  WHERE user_id % 7 = 0
+), entries AS (
+  SELECT user_id, event_id,
+         CAST(event_id AS VARCHAR) || ':'
+           || CAST(coalesce(length(props), -1) AS VARCHAR) || ':'
+           || coalesce(props, '') AS e
+  FROM turns
+), fps AS (
+  SELECT user_id,
+         md5(string_agg(e, '' ORDER BY event_id, e)) AS fingerprint,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM entries GROUP BY 1
+), groups AS (
+  SELECT fingerprint, min(user_id) AS group_conv,
+         CAST(count(*) AS BIGINT) AS n_convs
+  FROM fps GROUP BY 1 HAVING count(*) > 1
+)
+SELECT f.user_id, f.fingerprint, f.n_turns, g.group_conv, g.n_convs
+FROM fps f JOIN groups g USING (fingerprint)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -4474,6 +4524,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rules_summary": q_rules_summary,
     "rules_violations": q_rules_violations,
     "fd_check": q_fd_check,
+    "conv_dups": q_conv_dups,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4673,6 +4724,7 @@ _ORACLES: dict[str, str] = {
     "rules_summary": SQL_RULES_SUMMARY,
     "rules_violations": SQL_RULES_VIOLATIONS,
     "fd_check": SQL_FD_CHECK,
+    "conv_dups": SQL_CONV_DUPS,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

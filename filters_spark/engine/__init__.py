@@ -1,6 +1,8 @@
 from filters_spark.engine.stats import column_stats, robust_outliers
 from filters_spark.engine.uniqueness import duplicate_keys, salted_agg
 from filters_spark.engine.referential import (
+    conv_fingerprints,
+    duplicate_convs,
     gapless_by_agg,
     gaps_by_window,
     orphans,
@@ -71,7 +73,9 @@ __all__ = [
     "rule_violations",
     "run_resumable",
     "salted_agg",
+    "conv_fingerprints",
     "conv_profile",
+    "duplicate_convs",
     "monotone_ts_violations",
     "transition_counts",
     "transition_violations",

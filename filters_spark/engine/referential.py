@@ -260,3 +260,92 @@ def transition_violations(
         .otherwise(F.lit("bad_transition"))
         .alias("code"),
     )
+
+
+def conv_fingerprints(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str = "turn_idx",
+    text: str = "text",
+) -> DataFrame:
+    """Order-exact conversation fingerprint: ``(conv, fingerprint,
+    n_turns)`` with ``fingerprint = md5`` of the turn texts
+    concatenated in ``(idx, text)`` order, each turn length-prefixed
+    (``idx ':' len ':' text``, null text → length ``-1``) so no
+    concatenation boundary can collide and the SAME conversation
+    content always produces the SAME digest on any engine.
+
+    The per-conversation state is ``collect_list`` of ``(idx, entry)``
+    structs sorted with ``sort_array`` — bounded by turns-per-
+    conversation, the same per-group ceiling the north rule's
+    "per-turn text equality under stable (conv_id, turn_idx) ordering"
+    check already needs; ties on ``idx`` fall back to the entry text so
+    the order (and the digest) stays deterministic even on corpora with
+    seeded duplicate turn keys.  One hash aggregation, no window, no
+    join.
+    """
+    entry = F.concat(
+        F.col(idx).cast("string"),
+        F.lit(":"),
+        F.coalesce(F.length(F.col(text)), F.lit(-1)).cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col(text), F.lit("")),
+    )
+    return (
+        df.groupBy(conv)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(idx).alias("i"),
+                                        entry.alias("e")))
+            ).alias("__turns")
+        )
+        .select(
+            F.col(conv),
+            F.md5(
+                F.array_join(F.transform("__turns", lambda t: t["e"]), "")
+            ).alias("fingerprint"),
+            F.size("__turns").cast("long").alias("n_turns"),
+        )
+    )
+
+
+def duplicate_convs(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str = "turn_idx",
+    text: str = "text",
+) -> DataFrame:
+    """Conversations whose ENTIRE ordered transcript is a verbatim copy
+    of another conversation's — the transcript-level exact-duplicate
+    check (corpus-level doc dedup sees turns, not conversations;
+    :func:`conv_profile` sees within-conversation repeats; this finds
+    whole-dialogue duplicates, the classic symptom of a re-ingested
+    batch or a forked agent run).
+
+    Returns one row per conversation that belongs to a duplicate group:
+    ``(conv, fingerprint, n_turns, group_conv, n_convs)`` where
+    ``group_conv`` is the smallest conv id sharing the fingerprint (the
+    canonical keeper) and ``n_convs`` the group size (≥ 2 by
+    construction).
+
+    Scale shape: :func:`conv_fingerprints` (one hash agg), then a
+    fingerprint-keyed hash agg computing ``(min(conv), count)`` over
+    the ALREADY-AGGREGATED one-row-per-conversation table, joined back
+    by fingerprint equi-join.  The join's build side is only the
+    duplicate groups — a vanishing fraction of conversations on a
+    healthy corpus — but it is NOT force-broadcast: a pathologically
+    re-ingested corpus can make half its conversations duplicates, and
+    AQE already picks broadcast when the group table is actually small.
+    """
+    fps = conv_fingerprints(df, conv=conv, idx=idx, text=text)
+    groups = (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.min(conv).alias("group_conv"),
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+        )
+        .where(F.col("n_convs") > 1)
+    )
+    return fps.join(groups, "fingerprint").select(
+        F.col(conv), "fingerprint", "n_turns", "group_conv", "n_convs"
+    )

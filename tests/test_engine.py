@@ -922,3 +922,50 @@ def test_fd_violations(spark):
     )
     comp = fd_violations(df2, ["conv_id", "turn_idx"], "v").collect()
     assert len(comp) == 1 and comp[0].turn_idx == 0
+
+
+def test_conv_fingerprints_order_exact(spark):
+    from filters_spark.engine import conv_fingerprints
+
+    rows = [
+        ("a", 0, "hi"), ("a", 1, "bye"),
+        ("b", 1, "bye"), ("b", 0, "hi"),      # same content, rows shuffled
+        ("c", 0, "bye"), ("c", 1, "hi"),      # same texts, other ORDER
+        ("d", 0, "hi"), ("d", 1, None),       # null turn text
+        ("e", 0, "hi:1"), ("e", 1, "bye"),    # ':' in text must not collide
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r.conv_id: r for r in conv_fingerprints(df).collect()}
+    assert out["a"].fingerprint == out["b"].fingerprint  # row order ignored
+    assert out["a"].fingerprint != out["c"].fingerprint  # turn order matters
+    assert len({out[k].fingerprint for k in "acde"}) == 4
+    assert out["a"].n_turns == 2
+    # length-prefixing: '1:2:hi' + '...' boundaries can't merge
+    df2 = spark.createDataFrame(
+        [("x", 0, "ab"), ("x", 1, "c"), ("y", 0, "a"), ("y", 1, "bc")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    f2 = {r.conv_id: r.fingerprint for r in conv_fingerprints(df2).collect()}
+    assert f2["x"] != f2["y"]
+
+
+def test_duplicate_convs(spark):
+    from filters_spark.engine import duplicate_convs
+
+    rows = [
+        ("a", 0, "hi"), ("a", 1, "bye"),
+        ("b", 0, "hi"), ("b", 1, "bye"),      # dup of a
+        ("c", 0, "hi"), ("c", 1, "bye"),      # dup of a
+        ("d", 0, "solo"),
+        ("e", 0, "hi"),                        # prefix only -> not a dup
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r.conv_id: r for r in duplicate_convs(df).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert all(r.group_conv == "a" and r.n_convs == 3 for r in out.values())
+    assert all(r.n_turns == 2 for r in out.values())
+    # clean corpus -> empty
+    clean = spark.createDataFrame(
+        [("a", 0, "x"), ("b", 0, "y")], ["conv_id", "turn_idx", "text"]
+    )
+    assert duplicate_convs(clean).count() == 0
