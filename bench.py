@@ -192,6 +192,16 @@ def bench_queries(
         # per-conversation census + agent-loop detection (two-level
         # agg cascade; map-side combine collapses the loop spam)
         "conv_profile",
+        # this-session additions: W1 drift (KS shape + lead), JS drift
+        # (chi2 shape), declarative rule summary (ONE Aggregate node
+        # however many rules — should be scan-speed), FD check (one
+        # determinant-keyed agg), whole-conversation dup detection
+        # (conv-keyed agg + group join-back)
+        "wasserstein_drift",
+        "js_drift",
+        "rules_summary",
+        "fd_check",
+        "conv_dups",
     ]
     qs = e.queries()
     out: dict[str, float] = {}
