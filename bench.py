@@ -202,6 +202,10 @@ def bench_queries(
         "rules_summary",
         "fd_check",
         "conv_dups",
+        # volume gate (day-keyed agg + ~30-row trailing window) and
+        # embedding sanity (pure aggregate() projection — scan-speed)
+        "volume_anomaly",
+        "embedding_sanity",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

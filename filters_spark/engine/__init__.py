@@ -1,4 +1,9 @@
-from filters_spark.engine.stats import column_stats, robust_outliers
+from filters_spark.engine.stats import (
+    column_stats,
+    embedding_sanity,
+    robust_outliers,
+    volume_anomaly,
+)
 from filters_spark.engine.uniqueness import duplicate_keys, salted_agg
 from filters_spark.engine.referential import (
     conv_fingerprints,
@@ -48,7 +53,9 @@ __all__ = [
     "ValidationSuite",
     "violations_with_values",
     "column_stats",
+    "embedding_sanity",
     "robust_outliers",
+    "volume_anomaly",
     "duplicate_keys",
     "error_codes",
     "errors_by_key",

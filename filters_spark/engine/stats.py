@@ -363,3 +363,131 @@ def robust_outliers(
             "is_outlier"
         ),
     )
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts: str = "ts",
+    bucket: str = "day",
+    trailing: int = 7,
+    factor: float = 2.0,
+) -> DataFrame:
+    """Ingest-volume anomaly detection: per-time-bucket row counts
+    compared against the trailing-window MEDIAN — the freshness/volume
+    gate that catches a dropped ingest partition (count collapses) or
+    a double-delivered batch (count doubles) the moment the bucket
+    lands, which no per-row chain and no distribution-drift check can
+    see (every individual row is valid; it is the ROW COUNT that is
+    wrong).
+
+    Returns one row per bucket: ``(bucket, n, trailing_median, ratio,
+    is_anomaly)`` with ``ratio = n / median(previous `trailing`
+    buckets)`` and ``is_anomaly = ratio outside [1/factor, factor]``.
+    The first buckets (no trailing history) report a null median and
+    never flag.  The median (exact interpolated ``percentile``, the
+    same R-7 type as DuckDB/Postgres ``quantile_cont``) is used rather
+    than the mean so one anomalous day cannot poison the detector for
+    the following week (50% breakdown point).
+
+    Scale shape: ONE hash aggregation keyed by ``date_trunc(bucket,
+    ts)`` collapses 10^12 rows to #buckets rows map-side; the trailing
+    window then runs over that aggregated table only — a global sort
+    of #buckets rows (days/hours of history: thousands), the same
+    deliberately-bounded single-partition shape as the KS CDF window.
+    Null timestamps are dropped (they are presence drift).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(ts).isNotNull())
+        .groupBy(F.date_trunc(bucket, F.col(ts)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-int(trailing), -1)
+    med = F.expr("percentile(n, 0.5)").over(w)
+    out = counts.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        med.alias("trailing_median"),
+    )
+    ratio = F.col("n") / F.col("trailing_median")
+    return out.select(
+        "bucket",
+        "n",
+        "trailing_median",
+        ratio.alias("ratio"),
+        F.coalesce(
+            (ratio > F.lit(float(factor)))
+            | (ratio < F.lit(1.0 / float(factor))),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )
+
+
+def embedding_sanity(
+    df: DataFrame,
+    vec: str = "embedding",
+    keys: str | tuple = ("vec_id",),
+    expected_dim: int | None = None,
+    only_violations: bool = False,
+) -> DataFrame:
+    """Embedding-vector sanity check: per-row ``(keys…, dim, n_nan,
+    n_inf, norm, ok)`` over an ``array<float>`` column — the validator
+    every similarity/ANN operator silently assumes (a NaN poisons any
+    dot product it touches, a zero vector makes cosine undefined, a
+    truncated vector breaks the unrolled dot-product codegen).  ``ok``
+    requires: non-null vector, ``dim == expected_dim`` (when given),
+    no NaN, no ±Inf, and a strictly positive norm.
+
+    ``only_violations=True`` returns just the failing rows — the
+    bounded reporting shape (a healthy corpus emits nothing).
+
+    Scale shape: a pure projection — ``size`` + two ``aggregate``
+    higher-order functions (JVM-side, whole-stage codegen, no Python,
+    no shuffle); the violation filter composes with parquet scan
+    pruning to read only the vector and key columns.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    v = F.col(vec)
+    n_nan = F.aggregate(
+        v,
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.isnan(x), 1).otherwise(0),
+    )
+    n_inf = F.aggregate(
+        v,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(F.abs(x.cast("double")) == F.lit(float("inf")), 1).otherwise(
+            0
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    dim = F.size(v)
+    out = df.select(
+        *key_cols,
+        F.when(v.isNotNull(), dim).alias("dim"),
+        F.when(v.isNotNull(), n_nan).alias("n_nan"),
+        F.when(v.isNotNull(), n_inf).alias("n_inf"),
+        F.when(v.isNotNull(), norm).alias("norm"),
+    )
+    ok = (
+        F.col("dim").isNotNull()
+        & (
+            F.lit(expected_dim is None)
+            | (F.col("dim") == F.lit(expected_dim or 0))
+        )
+        & (F.col("n_nan") == 0)
+        & (F.col("n_inf") == 0)
+        & (F.col("norm") > 0)
+    )
+    out = out.select("*", F.coalesce(ok, F.lit(False)).alias("ok"))
+    if only_violations:
+        out = out.where(~F.col("ok"))
+    return out

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from filters_spark.core.compiler import validate
@@ -53,6 +53,7 @@ BUCKET_COL = "_bucket"
 #: must ride along; they are small — two keys, the categorical drift
 #: columns, and a pre-computed length-bucket int, never the text)
 RAW_PREFIX = "__raw_"  # NOT "__fs_": validate() prunes its own temps by that prefix
+RULEF_COL = "__rule_fails"  # per-row count of failed table rules
 
 
 def bucket_of(conv_col, n_buckets: int):
@@ -94,8 +95,15 @@ class ValidationSuite:
         psi_threshold: float = 0.25,
         stat_columns: list[str] | None = None,
         bucket_fn=None,
+        table_rules: dict | None = None,
     ) -> None:
         self.rules = rules
+        #: named TABLE-level boolean predicates (engine/rules.py) —
+        #: cross-field invariants evaluated on the RAW input row
+        #: (before chains clean/null columns), strict null semantics.
+        #: When set, verdicts gain a per-bucket ``rule_fails`` count and
+        #: ``bucket_pass`` additionally requires it to be zero.
+        self.table_rules = table_rules
         self.conv = conv
         self.idx = idx
         self.n_buckets = n_buckets
@@ -123,7 +131,19 @@ class ValidationSuite:
         return raws
 
     def row_results(self, df: DataFrame) -> DataFrame:
-        rows = validate(df.withColumns(self._raw_copy_cols(df)), self.rules)
+        extra = self._raw_copy_cols(df)
+        if self.table_rules:
+            from filters_spark.engine.rules import _fail, _pred
+
+            # evaluated on the RAW input projection (chains may null or
+            # clean the very columns the rules reference); one int per
+            # row, summed per bucket in verdicts()
+            fails: Column | None = None
+            for expr in self.table_rules.values():
+                f = _fail(_pred(expr), null_fails=True).cast("int")
+                fails = f if fails is None else fails + f
+            extra[RULEF_COL] = fails
+        rows = validate(df.withColumns(extra), self.rules)
         return rows.withColumn(
             BUCKET_COL, self.bucket_fn(F.col(self.conv), self.n_buckets)
         )
@@ -145,12 +165,16 @@ class ValidationSuite:
         the cascade makes single-execution structural instead of
         optimizer-dependent.)
         """
-        validity = rows.groupBy(BUCKET_COL).agg(
+        with_rules = RULEF_COL in rows.columns
+        validity_aggs = [
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.when(~F.col("_is_valid"), 1).otherwise(0)).alias(
                 "n_invalid"
             ),
-        )
+        ]
+        if with_rules:
+            validity_aggs.append(F.sum(RULEF_COL).alias("rule_fails"))
+        validity = rows.groupBy(BUCKET_COL).agg(*validity_aggs)
         raw_src = rows.select(
             F.col(RAW_PREFIX + self.conv).alias(self.conv),
             F.col(RAW_PREFIX + self.idx).alias(self.idx),
@@ -192,20 +216,24 @@ class ValidationSuite:
         v = validity.join(keyed, BUCKET_COL, "left").fillna(
             0, subset=["dup_keys", "surplus_rows", "gappy_convs"]
         )
+        bucket_pass = (
+            (F.col("n_invalid") / F.col("n_rows") <= self.max_invalid_rate)
+            & (F.col("dup_keys") == 0)
+            & (F.col("gappy_convs") == 0)
+        )
+        if with_rules:
+            bucket_pass = bucket_pass & (F.col("rule_fails") == 0)
         return v.select(
             F.col(BUCKET_COL).alias("bucket"),
             "n_rows",
             "n_invalid",
             (F.col("n_invalid") / F.col("n_rows")).alias("invalid_rate"),
+            *(["rule_fails"] if with_rules else []),
             "dup_keys",
             "surplus_rows",
             "n_convs",
             "gappy_convs",
-            (
-                (F.col("n_invalid") / F.col("n_rows") <= self.max_invalid_rate)
-                & (F.col("dup_keys") == 0)
-                & (F.col("gappy_convs") == 0)
-            ).alias("bucket_pass"),
+            bucket_pass.alias("bucket_pass"),
         )
 
     def _cur_profile_from_rows(self, rows: DataFrame) -> dict:
@@ -302,6 +330,7 @@ class ValidationSuite:
             )
         rows = self.row_results(df)
         raw_cols = [c for c in rows.columns if c.startswith(RAW_PREFIX)]
+        rule_cols = [RULEF_COL] if RULEF_COL in rows.columns else []
         keyed = None
         if persist:
             keyed = rows.select(
@@ -310,6 +339,7 @@ class ValidationSuite:
                 BUCKET_COL,
                 "_is_valid",
                 "_violations",
+                *rule_cols,
                 *raw_cols,
             ).persist(StorageLevel.MEMORY_AND_DISK)
         agg_src = keyed if keyed is not None else rows
@@ -338,7 +368,7 @@ class ValidationSuite:
             else {}
         )
         return SuiteResult(
-            rows=rows.drop(*raw_cols),
+            rows=rows.drop(*raw_cols, *rule_cols),
             verdicts=verdicts,
             stats=stats,
             violations=violations,

@@ -969,3 +969,103 @@ def test_duplicate_convs(spark):
         [("a", 0, "x"), ("b", 0, "y")], ["conv_id", "turn_idx", "text"]
     )
     assert duplicate_convs(clean).count() == 0
+
+
+def test_volume_anomaly(spark):
+    from datetime import datetime
+
+    from filters_spark.engine import volume_anomaly
+
+    # 10 rows/day for 8 days, except day 5 collapses to 2 and day 8
+    # doubles to 25
+    rows = []
+    per_day = {1: 10, 2: 10, 3: 10, 4: 10, 5: 2, 6: 10, 7: 10, 8: 25}
+    for day, n in per_day.items():
+        rows += [(datetime(2024, 3, day, 12, 0, 0),)] * n
+    rows.append((None,))  # null ts dropped
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {
+        r.bucket.day: r
+        for r in volume_anomaly(df, trailing=3, factor=2.0).collect()
+    }
+    assert len(out) == 8
+    assert out[1].trailing_median is None and not out[1].is_anomaly
+    assert out[4].trailing_median == pytest.approx(10.0)
+    # day 5: 2 vs median 10 -> ratio .2 < .5 -> anomaly
+    assert out[5].is_anomaly and out[5].ratio == pytest.approx(0.2)
+    # day 6: median of (10, 10, 2) = 10 -> ratio 1 -> clean (median
+    # shrugs off the day-5 collapse where a mean would not)
+    assert not out[6].is_anomaly
+    assert out[6].trailing_median == pytest.approx(10.0)
+    # day 8: 25 vs median 10 -> ratio 2.5 > 2 -> anomaly
+    assert out[8].is_anomaly and out[8].ratio == pytest.approx(2.5)
+    assert sum(r.n for r in out.values()) == len(rows) - 1
+
+
+def test_embedding_sanity(spark):
+    import math
+
+    from filters_spark.engine import embedding_sanity
+
+    rows = [
+        (1, [1.0, 2.0, 2.0]),
+        (2, [float("nan"), 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),
+        (4, [1.0, float("inf"), 0.0]),
+        (5, [1.0, 0.0]),          # wrong dim
+        (6, None),                # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in embedding_sanity(df, expected_dim=3).collect()
+    }
+    assert out[1].ok and out[1].norm == pytest.approx(3.0)
+    assert (out[1].dim, out[1].n_nan, out[1].n_inf) == (3, 0, 0)
+    assert not out[2].ok and out[2].n_nan == 1 and math.isnan(out[2].norm)
+    assert not out[3].ok and out[3].norm == 0.0
+    assert not out[4].ok and out[4].n_inf == 1
+    assert not out[5].ok and out[5].dim == 2
+    assert not out[6].ok and out[6].dim is None and out[6].norm is None
+    # bounded reporting path
+    bad = embedding_sanity(df, expected_dim=3, only_violations=True)
+    assert {r.vec_id for r in bad.collect()} == {2, 3, 4, 5, 6}
+    # without expected_dim, the short vector is fine
+    loose = {r.vec_id: r.ok for r in embedding_sanity(df).collect()}
+    assert loose[5] and loose[1]
+
+
+def test_suite_table_rules_in_verdicts(tdf):
+    """table_rules= folds cross-field invariants into the SAME suite
+    pass: per-bucket rule_fails counts ride the existing validity
+    aggregation (no extra scan) and gate bucket_pass."""
+    table_rules = {
+        "tool_only_on_assistant": "tool IS NULL OR role = 'assistant'",
+        "idx_nonneg": "turn_idx >= 0",
+    }
+    suite = ValidationSuite(
+        RULES, n_buckets=8, table_rules=table_rules
+    )
+    result = suite.run(tdf)
+    verdicts = result.verdicts.collect()
+    result.unpersist()
+    assert "rule_fails" in verdicts[0].asDict()
+    total_fails = sum(r.rule_fails for r in verdicts)
+    # cross-check against the standalone one-pass summary
+    from filters_spark.engine import rule_summary
+
+    expected = sum(
+        r.n_fail for r in rule_summary(tdf, table_rules).collect()
+    )
+    assert total_fails == expected and expected > 0
+    # a bucket with rule fails cannot pass
+    assert all(
+        not r.bucket_pass for r in verdicts if r.rule_fails > 0
+    )
+    # rule temp column never leaks into user-facing rows
+    assert "__rule_fails" not in result.rows.columns
+    # without table_rules the verdict schema is unchanged (back-compat
+    # with the oracled suite_verdicts query)
+    plain = ValidationSuite(RULES, n_buckets=8).run(tdf)
+    assert "rule_fails" not in plain.verdicts.columns
+    plain.unpersist()
