@@ -4586,26 +4586,89 @@ WHERE NOT coalesce(dim = 64 AND n_nan = 0 AND n_inf = 0 AND norm > 0,
 """
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Vocabulary drift: Jensen-Shannon divergence over the TOKEN
+    distribution of two document snapshots (even vs odd doc_id) — a
+    pure composition of the whitespace tokenizer
+    (pipeline/textstats.py:_tokens, same as token_counts/token_entropy)
+    with engine/drift.py:js_divergence; max_categories=200 folds the
+    vocabulary tail into '__other__' by deterministic combined-count
+    rank, so the check is bounded however large the vocabulary."""
+    from filters_spark.engine import js_divergence
+    from filters_spark.pipeline.textstats import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def toks(side):
+        return side.select(
+            F.explode(_tokens(F.col("text"))).alias("tok")
+        )
+
+    out = js_divergence(
+        toks(docs.where(F.col("doc_id") % 2 == 0)),
+        toks(docs.where(F.col("doc_id") % 2 == 1)),
+        "tok",
+        max_categories=200,
+    )
+    return out.select(
+        _round9("jsd").alias("jsd"), "n_current", "n_baseline"
+    )
+
+
+SQL_VOCAB_DRIFT = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok AS k,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM toks GROUP BY 1
+), folded AS (
+  SELECT CASE WHEN row_number() OVER (ORDER BY nc + nb DESC, k ASC) <= 200
+              THEN k ELSE '__other__' END AS k2, nc, nb
+  FROM counts
+), refolded AS (
+  SELECT k2, sum(nc) AS nc, sum(nb) AS nb FROM folded GROUP BY 1
+), tot AS (SELECT sum(nc) AS tc, sum(nb) AS tb FROM refolded),
+cells AS (
+  SELECT CAST(nc AS DOUBLE) / tc AS p,
+         CAST(nb AS DOUBLE) / tb AS q,
+         tc, tb
+  FROM refolded, tot
+)
+SELECT round(sum((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                       ELSE 0 END
+                + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                       ELSE 0 END) / 2) * 1e9) / 1e9 AS jsd,
+       CAST(max(tc) AS BIGINT) AS n_current,
+       CAST(max(tb) AS BIGINT) AS n_baseline
+FROM cells
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 115 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 116 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 28 brand-new r5 queries (3 streaming + 2 fastText +
+# (b) the 29 brand-new r5 queries (3 streaming + 2 fastText +
 # violation_values + unigram_logprob + the 6 web-curation ops + the
 # validation additions ks_drift / transition_counts /
 # transition_violations / ts_monotonic / chi2_drift / token_entropy /
 # conv_profile / wasserstein_drift / js_drift / rules_summary /
 # rules_violations / fd_check / conv_dups / volume_anomaly /
-# embedding_sanity)
+# embedding_sanity / vocab_drift)
 # plus decimal_quantize / dedup_groups / interval_join_mixed, which
 # changed again in r5 (advisor fixes), then (c) the remaining names
 # whose latest row is r3.  That is 40 changed/new names at the front,
 # then the r3-stale names; the 50-window covers through
-# namedtuple_fields (#50), leaving noop_chain / call_custom /
+# omit_project (#50), leaving namedtuple_fields / noop_chain /
+# call_custom /
 # macro_registry / type_static / array_static / handler_errors /
 # repetition_stats / ngram_overlap / redact_pii / split_assign /
 # det_sample / stratified_sample / det_topn / span_clean / pack_plan /
@@ -4653,6 +4716,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_dups": q_conv_dups,
     "volume_anomaly": q_volume_anomaly,
     "embedding_sanity": q_embedding_sanity,
+    "vocab_drift": q_vocab_drift,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4667,11 +4731,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "toml_decode": q_toml_decode,
     "bytearray_pack": q_bytearray_pack,
     "omit_project": q_omit_project,
+    # ---- 50-window boundary: omit_project is name #50; everything
+    # below has an r3 or r4 green driver row and is unchanged since
+    # (span_dedup is r4-green, which is why it yields its slot to the
+    # r3-only names above) ----
     "namedtuple_fields": q_namedtuple_fields,
-    # ---- 50-window boundary: namedtuple_fields is name #50;
-    # everything below has an r3 or r4 green driver row and is
-    # unchanged since (span_dedup is r4-green, which is why it yields
-    # its slot to the r3-only names above) ----
     "noop_chain": q_noop_chain,
     "call_custom": q_call_custom,
     "macro_registry": q_macro_registry,
@@ -4855,6 +4919,7 @@ _ORACLES: dict[str, str] = {
     "conv_dups": SQL_CONV_DUPS,
     "volume_anomaly": SQL_VOLUME_ANOMALY,
     "embedding_sanity": SQL_EMBEDDING_SANITY,
+    "vocab_drift": SQL_VOCAB_DRIFT,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

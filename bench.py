@@ -206,6 +206,9 @@ def bench_queries(
         # embedding sanity (pure aggregate() projection — scan-speed)
         "volume_anomaly",
         "embedding_sanity",
+        # vocabulary drift: corpus token explode -> token-keyed agg ->
+        # 200-category fold -> JSD (the heaviest of the new checks)
+        "vocab_drift",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

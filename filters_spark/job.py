@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
         "EXACTLY equal to a single-shot run (needs --manifest)",
     )
     p.add_argument("--hist-bins", type=int, default=32)
+    p.add_argument(
+        "--table-rules",
+        help="JSON object of named TABLE-level boolean SQL predicates "
+        '(cross-field invariants, e.g. {"tool_on_assistant": '
+        "\"tool IS NULL OR role = 'assistant'\"}); evaluated on the "
+        "raw rows in the same suite pass — verdicts gain a per-bucket "
+        "rule_fails count that gates bucket_pass",
+    )
     return p
 
 
@@ -116,12 +124,23 @@ def main(argv: list[str] | None = None) -> int:
             else None
         )
 
+    table_rules = json.loads(args.table_rules) if args.table_rules else None
+    if table_rules is not None and not (
+        isinstance(table_rules, dict)
+        and all(isinstance(v, str) for v in table_rules.values())
+    ):
+        print(
+            "--table-rules must be a JSON object of name -> SQL predicate",
+            file=sys.stderr,
+        )
+        return 2
     suite = ValidationSuite(
         default_rules(),
         conv=args.conv_col,
         idx=args.idx_col,
         n_buckets=args.n_buckets,
         max_invalid_rate=args.max_invalid_rate,
+        table_rules=table_rules,
     )
 
     out = args.output.rstrip("/")
@@ -161,6 +180,11 @@ def main(argv: list[str] | None = None) -> int:
             "n_invalid": sum(r["n_invalid"] for r in verdicts),
             "dup_keys": sum(r["dup_keys"] for r in verdicts),
             "gappy_convs": sum(r["gappy_convs"] for r in verdicts),
+            **(
+                {"rule_fails": sum(r["rule_fails"] for r in verdicts)}
+                if table_rules
+                else {}
+            ),
             "passed": all(r["bucket_pass"] for r in verdicts)
             and not result.metrics.get("drift_failed", False),
         }

@@ -210,6 +210,7 @@ def test_every_registered_query_avoids_unbounded_nested_loops(spark):
         "ks_drift",            # 1-row (n_cur, n_base) totals onto the CDF
         "chi2_drift",          # 1-row (tc, tb) totals onto the K-row census
         "js_drift",            # 1-row (tc, tb) totals onto the K-row census
+        "vocab_drift",         # same js_divergence 1-row totals join
         "wasserstein_drift",   # 1-row (tc, tb) totals onto the CDF
         # documented O(n^2) opt-in: the exact all-pairs baseline the
         # DuckDB oracle replays (default API path is SRP-bucketed)
