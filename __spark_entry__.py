@@ -4648,27 +4648,108 @@ FROM cells
 """
 
 
+def q_turn_latency(spark, sf_dir):
+    """Per-conversation inter-turn latency profile
+    (engine/referential.py:turn_latency): signed seconds between
+    consecutive turns in event order — stalled-agent / backfill-lag
+    census with an EXACT per-conversation median (percentile = DuckDB
+    quantile_cont).  ONE conversation-keyed lag window, then a
+    conversation-keyed hash agg."""
+    from filters_spark.engine import turn_latency
+
+    ev = _t(spark, sf_dir, "events")
+    out = turn_latency(ev, conv="user_id", idx="event_id", ts="ts")
+    return out.select(
+        "user_id",
+        "n_turns",
+        "n_gaps",
+        _round9("mean_gap_sec").alias("mean_gap_sec"),
+        _round9("p50_gap_sec").alias("p50_gap_sec"),
+        _round9("max_gap_sec").alias("max_gap_sec"),
+    )
+
+
+SQL_TURN_LATENCY = """
+WITH lagged AS (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY event_id)) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       round(avg(gap) * 1e9) / 1e9 AS mean_gap_sec,
+       round(quantile_cont(gap, 0.5) * 1e9) / 1e9 AS p50_gap_sec,
+       round(max(gap) * 1e9) / 1e9 AS max_gap_sec
+FROM lagged GROUP BY 1
+"""
+
+
+def q_quantile_shift(spark, sf_dir):
+    """Per-quantile drift report (engine/drift.py:quantile_shift)
+    between the even- and odd-id halves of the events value column —
+    WHERE the distribution moved in the column's own units (ks_drift
+    says whether, wasserstein_drift how much in total, this says which
+    quantiles).  ONE exact percentile-array agg per side, then a
+    2x|qs|-row explode + equi-join."""
+    from filters_spark.engine import quantile_shift
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_shift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+    )
+    return out.select(
+        "q",
+        _round9("v_current").alias("v_current"),
+        _round9("v_baseline").alias("v_baseline"),
+        _round9("delta").alias("delta"),
+    )
+
+
+SQL_QUANTILE_SHIFT = """
+WITH cur AS (
+  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+         unnest(quantile_cont(CAST(value AS DOUBLE),
+                              [0.1, 0.25, 0.5, 0.75, 0.9])) AS vc
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+), base AS (
+  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+         unnest(quantile_cont(CAST(value AS DOUBLE),
+                              [0.1, 0.25, 0.5, 0.75, 0.9])) AS vb
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+)
+SELECT q,
+       round(vc * 1e9) / 1e9 AS v_current,
+       round(vb * 1e9) / 1e9 AS v_baseline,
+       round((vc - vb) * 1e9) / 1e9 AS delta
+FROM cur JOIN base USING (q)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 116 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 118 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 29 brand-new r5 queries (3 streaming + 2 fastText +
+# (b) the 31 brand-new r5 queries (3 streaming + 2 fastText +
 # violation_values + unigram_logprob + the 6 web-curation ops + the
 # validation additions ks_drift / transition_counts /
 # transition_violations / ts_monotonic / chi2_drift / token_entropy /
 # conv_profile / wasserstein_drift / js_drift / rules_summary /
 # rules_violations / fd_check / conv_dups / volume_anomaly /
-# embedding_sanity / vocab_drift)
+# embedding_sanity / vocab_drift / turn_latency / quantile_shift)
 # plus decimal_quantize / dedup_groups / interval_join_mixed, which
 # changed again in r5 (advisor fixes), then (c) the remaining names
 # whose latest row is r3.  That is 40 changed/new names at the front,
 # then the r3-stale names; the 50-window covers through
-# omit_project (#50), leaving namedtuple_fields / noop_chain /
-# call_custom /
+# toml_decode (#50), leaving bytearray_pack / omit_project /
+# namedtuple_fields / noop_chain / call_custom /
 # macro_registry / type_static / array_static / handler_errors /
 # repetition_stats / ngram_overlap / redact_pii / split_assign /
 # det_sample / stratified_sample / det_topn / span_clean / pack_plan /
@@ -4717,6 +4798,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "volume_anomaly": q_volume_anomaly,
     "embedding_sanity": q_embedding_sanity,
     "vocab_drift": q_vocab_drift,
+    "turn_latency": q_turn_latency,
+    "quantile_shift": q_quantile_shift,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4729,12 +4812,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
     "toml_decode": q_toml_decode,
-    "bytearray_pack": q_bytearray_pack,
-    "omit_project": q_omit_project,
-    # ---- 50-window boundary: omit_project is name #50; everything
+    # ---- 50-window boundary: toml_decode is name #50; everything
     # below has an r3 or r4 green driver row and is unchanged since
     # (span_dedup is r4-green, which is why it yields its slot to the
     # r3-only names above) ----
+    "bytearray_pack": q_bytearray_pack,
+    "omit_project": q_omit_project,
     "namedtuple_fields": q_namedtuple_fields,
     "noop_chain": q_noop_chain,
     "call_custom": q_call_custom,
@@ -4920,6 +5003,8 @@ _ORACLES: dict[str, str] = {
     "volume_anomaly": SQL_VOLUME_ANOMALY,
     "embedding_sanity": SQL_EMBEDDING_SANITY,
     "vocab_drift": SQL_VOCAB_DRIFT,
+    "turn_latency": SQL_TURN_LATENCY,
+    "quantile_shift": SQL_QUANTILE_SHIFT,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

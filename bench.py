@@ -209,6 +209,12 @@ def bench_queries(
         # vocabulary drift: corpus token explode -> token-keyed agg ->
         # 200-category fold -> JSD (the heaviest of the new checks)
         "vocab_drift",
+        # inter-turn latency profile (one conversation-keyed lag window
+        # + conv-keyed agg with exact per-group median)
+        "turn_latency",
+        # per-quantile drift report (one exact percentile-array agg per
+        # side, rows moved after the aggs: 2x|qs|)
+        "quantile_shift",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

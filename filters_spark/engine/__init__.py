@@ -15,6 +15,7 @@ from filters_spark.engine.referential import (
     monotone_ts_violations,
     transition_counts,
     transition_violations,
+    turn_latency,
 )
 from filters_spark.engine.drift import (
     frequencies,
@@ -24,6 +25,7 @@ from filters_spark.engine.drift import (
     ks_statistic,
     psi,
     psi_from_histograms,
+    quantile_shift,
     wasserstein_distance,
 )
 from filters_spark.engine.explode import explode_validate
@@ -71,6 +73,7 @@ __all__ = [
     "kl_divergence",
     "chi2_statistic",
     "ks_statistic",
+    "quantile_shift",
     "wasserstein_distance",
     "orphans",
     "psi",
@@ -86,4 +89,5 @@ __all__ = [
     "monotone_ts_violations",
     "transition_counts",
     "transition_violations",
+    "turn_latency",
 ]

@@ -349,3 +349,42 @@ def duplicate_convs(
     return fps.join(groups, "fingerprint").select(
         F.col(conv), "fingerprint", "n_turns", "group_conv", "n_convs"
     )
+
+
+def turn_latency(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str | list[str] = "turn_idx",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-conversation inter-turn latency profile: ``(conv, n_turns,
+    n_gaps, mean_gap_sec, p50_gap_sec, max_gap_sec)`` where a gap is
+    the signed seconds between a turn's timestamp and its
+    predecessor's in ``idx`` order — the agent-responsiveness /
+    ingest-lag metric (a conversation whose median gap jumps from 2 s
+    to 2 h is a stalled agent or a backfilled batch; a NEGATIVE max
+    means time travel, which :func:`monotone_ts_violations` pinpoints
+    row-by-row — gaps here stay signed so the profile does not hide
+    it).  Null timestamps produce null gaps and drop out of the stats
+    (presence is ``column_stats``' job); the median is the EXACT
+    interpolated percentile (R-7, DuckDB/Postgres ``quantile_cont``).
+
+    ``idx`` must totally order turns within a conversation (composite
+    list supported, same contract as the transition checks).
+
+    Scale shape: ONE conversation-keyed ``lag`` window shuffle, then a
+    hash agg keyed by the conversation.  The exact per-group median's
+    state is bounded by turns-per-conversation — the same per-group
+    ceiling the ordering contract already imposes.
+    """
+    w = Window.partitionBy(conv).orderBy(*_order_cols(idx))
+    sec = F.col(ts).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    lagged = df.select(F.col(conv), gap.alias("__gap"))
+    return lagged.groupBy(conv).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.avg("__gap").alias("mean_gap_sec"),
+        F.expr("percentile(__gap, 0.5)").alias("p50_gap_sec"),
+        F.max("__gap").alias("max_gap_sec"),
+    )

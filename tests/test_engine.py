@@ -1069,3 +1069,72 @@ def test_suite_table_rules_in_verdicts(tdf):
     plain = ValidationSuite(RULES, n_buckets=8).run(tdf)
     assert "rule_fails" not in plain.verdicts.columns
     plain.unpersist()
+
+
+def test_turn_latency(spark):
+    from datetime import datetime
+
+    from filters_spark.engine import turn_latency
+
+    d = datetime
+    rows = [
+        # conv a: gaps 10s, 30s (mean 20, p50 20, max 30)
+        ("a", 0, d(2024, 1, 1, 0, 0, 0)),
+        ("a", 1, d(2024, 1, 1, 0, 0, 10)),
+        ("a", 2, d(2024, 1, 1, 0, 0, 40)),
+        # conv b: time travel -> negative gap stays signed
+        ("b", 0, d(2024, 1, 1, 0, 1, 0)),
+        ("b", 1, d(2024, 1, 1, 0, 0, 30)),
+        # conv c: single turn -> no gaps, null stats
+        ("c", 0, d(2024, 1, 1)),
+        # conv e: null ts in the middle -> both adjacent gaps null
+        ("e", 0, d(2024, 1, 1, 0, 0, 0)),
+        ("e", 1, None),
+        ("e", 2, d(2024, 1, 1, 0, 0, 8)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = {r.conv_id: r for r in turn_latency(df).collect()}
+    a = out["a"]
+    assert (a.n_turns, a.n_gaps) == (3, 2)
+    assert a.mean_gap_sec == pytest.approx(20.0)
+    assert a.p50_gap_sec == pytest.approx(20.0)
+    assert a.max_gap_sec == pytest.approx(30.0)
+    b = out["b"]
+    assert b.max_gap_sec == pytest.approx(-30.0)
+    c = out["c"]
+    assert (c.n_turns, c.n_gaps) == (1, 0)
+    assert c.mean_gap_sec is None and c.p50_gap_sec is None
+    e = out["e"]
+    # lag over (t0, null, t2): gap1 = null-t0 = null, gap2 = t2-null = null
+    assert (e.n_turns, e.n_gaps) == (3, 0)
+
+
+def test_quantile_shift(spark):
+    from filters_spark.engine import quantile_shift
+
+    cur = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], ["v"]
+    )
+    # shift only the top: values 1..80 identical, 81..100 doubled
+    base_rows = [float(v) for v in range(1, 81)] + [
+        float(v) * 2 for v in range(81, 101)
+    ]
+    base = spark.createDataFrame([(v,) for v in base_rows], ["v"])
+    out = {r.q: r for r in quantile_shift(base, cur, "v").collect()}
+    assert set(out) == {0.1, 0.25, 0.5, 0.75, 0.9}
+    # median untouched, p90 moved
+    assert out[0.5].delta == pytest.approx(0.0)
+    assert out[0.25].delta == pytest.approx(0.0)
+    assert out[0.9].delta > 50
+    assert out[0.9].v_baseline == pytest.approx(90.1)
+    # identical sides -> all deltas 0
+    same = quantile_shift(cur, cur, "v").collect()
+    assert all(r.delta == pytest.approx(0.0) for r in same)
+    # nulls dropped
+    with_null = spark.createDataFrame([(None,), (1.0,), (3.0,)], "v double")
+    row = {r.q: r for r in quantile_shift(
+        with_null, with_null, "v", qs=(0.5,)
+    ).collect()}
+    assert row[0.5].v_current == pytest.approx(2.0)
+    with pytest.raises(ValueError):
+        quantile_shift(cur, cur, "v", qs=())
