@@ -4729,27 +4729,123 @@ FROM cur JOIN base USING (q)
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level snapshot regression check
+    (engine/drift.py:snapshot_diff): added/removed/changed keys between
+    a baseline orders snapshot and a mutated re-ingest (every 101st
+    order dropped, every 97th order's priority flipped, every 103rd
+    re-added under a relabeled key).  Each side collapses to a narrow
+    (key, md5 digest) projection at scan time, ONE full-outer hash
+    join; float column rendered on a fixed cents grid so the digest
+    reproduces across engines."""
+    from filters_spark.engine import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders")
+    cur = base.where(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.lit("0-FLIPPED")
+        ).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    added = base.where(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    cur = cur.unionByName(added)
+    compare = {
+        "custkey": F.col("o_custkey"),
+        "status": F.col("o_orderstatus"),
+        "priority": F.col("o_orderpriority"),
+        "cents": F.round(F.col("o_totalprice") * 100).cast("long"),
+        "odate": F.col("o_orderdate").cast("date"),
+    }
+    return snapshot_diff(cur, base, "o_orderkey", compare_cols=compare)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH cur AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 97 = 0 THEN '0-FLIPPED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 90000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 0
+), dc AS (
+  SELECT o_orderkey, md5(
+    CAST(coalesce(length(CAST(o_custkey AS VARCHAR)), -1) AS VARCHAR)
+      || ':' || coalesce(CAST(o_custkey AS VARCHAR), '')
+    || CAST(coalesce(length(o_orderstatus), -1) AS VARCHAR)
+      || ':' || coalesce(o_orderstatus, '')
+    || CAST(coalesce(length(o_orderpriority), -1) AS VARCHAR)
+      || ':' || coalesce(o_orderpriority, '')
+    || CAST(coalesce(length(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR)), -1) AS VARCHAR)
+      || ':' || coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), '')
+    || CAST(coalesce(length(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), -1)
+            AS VARCHAR)
+      || ':' || coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '')
+  ) AS d FROM cur
+), db AS (
+  SELECT o_orderkey, md5(
+    CAST(coalesce(length(CAST(o_custkey AS VARCHAR)), -1) AS VARCHAR)
+      || ':' || coalesce(CAST(o_custkey AS VARCHAR), '')
+    || CAST(coalesce(length(o_orderstatus), -1) AS VARCHAR)
+      || ':' || coalesce(o_orderstatus, '')
+    || CAST(coalesce(length(o_orderpriority), -1) AS VARCHAR)
+      || ':' || coalesce(o_orderpriority, '')
+    || CAST(coalesce(length(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR)), -1) AS VARCHAR)
+      || ':' || coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), '')
+    || CAST(coalesce(length(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), -1)
+            AS VARCHAR)
+      || ':' || coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '')
+  ) AS d FROM orders
+)
+SELECT coalesce(dc.o_orderkey, db.o_orderkey) AS o_orderkey,
+       CASE WHEN db.o_orderkey IS NULL THEN 'added'
+            WHEN dc.o_orderkey IS NULL THEN 'removed'
+            WHEN dc.d <> db.d THEN 'changed' END AS status
+FROM dc FULL OUTER JOIN db ON dc.o_orderkey = db.o_orderkey
+WHERE (CASE WHEN db.o_orderkey IS NULL THEN 'added'
+            WHEN dc.o_orderkey IS NULL THEN 'removed'
+            WHEN dc.d <> db.d THEN 'changed' END) IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 118 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 119 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 31 brand-new r5 queries (3 streaming + 2 fastText +
+# (b) the 32 brand-new r5 queries (3 streaming + 2 fastText +
 # violation_values + unigram_logprob + the 6 web-curation ops + the
 # validation additions ks_drift / transition_counts /
 # transition_violations / ts_monotonic / chi2_drift / token_entropy /
 # conv_profile / wasserstein_drift / js_drift / rules_summary /
 # rules_violations / fd_check / conv_dups / volume_anomaly /
-# embedding_sanity / vocab_drift / turn_latency / quantile_shift)
+# embedding_sanity / vocab_drift / turn_latency / quantile_shift /
+# snapshot_diff)
 # plus decimal_quantize / dedup_groups / interval_join_mixed, which
 # changed again in r5 (advisor fixes), then (c) the remaining names
 # whose latest row is r3.  That is 40 changed/new names at the front,
 # then the r3-stale names; the 50-window covers through
-# toml_decode (#50), leaving bytearray_pack / omit_project /
-# namedtuple_fields / noop_chain / call_custom /
+# bytestring_encode (#50), leaving toml_decode / bytearray_pack /
+# omit_project / namedtuple_fields / noop_chain / call_custom /
 # macro_registry / type_static / array_static / handler_errors /
 # repetition_stats / ngram_overlap / redact_pii / split_assign /
 # det_sample / stratified_sample / det_topn / span_clean / pack_plan /
@@ -4800,6 +4896,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_drift": q_vocab_drift,
     "turn_latency": q_turn_latency,
     "quantile_shift": q_quantile_shift,
+    "snapshot_diff": q_snapshot_diff,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4811,11 +4908,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "optional_default": q_optional_default,
     "length_exact": q_length_exact,
     "bytestring_encode": q_bytestring_encode,
+    # ---- 50-window boundary: bytestring_encode is name #50;
+    # everything below has an r3 or r4 green driver row and is
+    # unchanged since (span_dedup is r4-green, which is why it yields
+    # its slot to the r3-only names above) ----
     "toml_decode": q_toml_decode,
-    # ---- 50-window boundary: toml_decode is name #50; everything
-    # below has an r3 or r4 green driver row and is unchanged since
-    # (span_dedup is r4-green, which is why it yields its slot to the
-    # r3-only names above) ----
     "bytearray_pack": q_bytearray_pack,
     "omit_project": q_omit_project,
     "namedtuple_fields": q_namedtuple_fields,
@@ -5005,6 +5102,7 @@ _ORACLES: dict[str, str] = {
     "vocab_drift": SQL_VOCAB_DRIFT,
     "turn_latency": SQL_TURN_LATENCY,
     "quantile_shift": SQL_QUANTILE_SHIFT,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

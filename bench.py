@@ -215,6 +215,9 @@ def bench_queries(
         # per-quantile drift report (one exact percentile-array agg per
         # side, rows moved after the aggs: 2x|qs|)
         "quantile_shift",
+        # snapshot regression diff (two narrow (key, digest) scans +
+        # one full-outer hash join)
+        "snapshot_diff",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

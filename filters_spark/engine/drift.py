@@ -621,3 +621,82 @@ def quantile_shift(
         "v_baseline",
         (F.col("v_current") - F.col("v_baseline")).alias("delta"),
     )
+
+
+def snapshot_diff(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: str | list[str],
+    compare_cols: list | dict | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: one row
+    per differing key — ``(*keys, status)`` with status ``'added'``
+    (key only in current), ``'removed'`` (only in baseline) or
+    ``'changed'`` (present in both, compared values differ) — the
+    snapshot regression check for re-ingested / re-processed tables
+    (distribution drift says the corpus moved; this says WHICH rows,
+    at key granularity, without ever shipping the wide rows).
+
+    ``compare_cols``: list of column names, or a dict name → Column
+    giving a canonical rendering (REQUIRED for float columns if the
+    digest must reproduce across engines — cast to a fixed grid);
+    default = every common non-key column, in the current frame's
+    column order.  Values are digested per row as md5 over
+    length-prefixed string renderings (null → length ``-1``), so no
+    concatenation boundary can collide and the digest is a pure
+    function of the rendered values.
+
+    Keys must be unique per side (run the uniqueness check first —
+    duplicate keys would make "the row changed" ill-posed and the
+    join multiplicative).
+
+    Scale shape: each side collapses to a NARROW ``(keys, digest)``
+    projection at scan time (the wide row never leaves the scan), then
+    ONE full-outer hash join keyed by the keys — shuffle carries
+    ~16 B + keys per row; AQE splits skewed key ranges.  The output is
+    filtered to differing rows only: a healthy re-run emits nothing.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        base_cols = set(baseline.columns)
+        compare_cols = [
+            c for c in current.columns
+            if c not in key_cols and c in base_cols
+        ]
+    if isinstance(compare_cols, dict):
+        rendered = [
+            (name, col if isinstance(col, Column) else F.col(col))
+            for name, col in compare_cols.items()
+        ]
+    else:
+        rendered = [(c, F.col(c)) for c in compare_cols]
+    if not rendered:
+        raise ValueError("snapshot_diff needs at least one compare column")
+
+    def digest(side: DataFrame, name: str) -> DataFrame:
+        parts = []
+        for _, col in rendered:
+            s = col.cast("string")
+            parts.append(
+                F.concat(
+                    F.coalesce(F.length(s), F.lit(-1)).cast("string"),
+                    F.lit(":"),
+                    F.coalesce(s, F.lit("")),
+                )
+            )
+        return side.select(
+            *key_cols, F.md5(F.concat(*parts)).alias(name)
+        )
+
+    cur = digest(current, "__dc")
+    base = digest(baseline, "__db")
+    joined = cur.join(base, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__db").isNull(), F.lit("added"))
+        .when(F.col("__dc").isNull(), F.lit("removed"))
+        .when(F.col("__dc") != F.col("__db"), F.lit("changed"))
+    )
+    return (
+        joined.select(*key_cols, status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )

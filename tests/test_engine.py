@@ -1138,3 +1138,39 @@ def test_quantile_shift(spark):
     assert row[0.5].v_current == pytest.approx(2.0)
     with pytest.raises(ValueError):
         quantile_shift(cur, cur, "v", qs=())
+
+
+def test_snapshot_diff(spark):
+    from filters_spark.engine import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "id long, s string, v int",
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, "e", 50)],
+        "id long, s string, v int",
+    )
+    out = {r.id: r.status for r in snapshot_diff(cur, base, "id").collect()}
+    # 1 identical -> absent; 2 changed (s); 3 removed; 4 changed
+    # (null -> 40); 5 added
+    assert out == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+    # identical snapshots emit nothing
+    assert snapshot_diff(base, base, "id").count() == 0
+    # restricting compare_cols hides the s-change
+    only_v = {
+        r.id: r.status
+        for r in snapshot_diff(cur, base, "id", compare_cols=["v"]).collect()
+    }
+    assert only_v == {3: "removed", 4: "changed", 5: "added"}
+    # dict form: canonical rendering makes a float column comparable
+    fb = spark.createDataFrame([(1, 0.1 + 0.2)], "id long, f double")
+    fc = spark.createDataFrame([(1, 0.3)], "id long, f double")
+    grid = {"f": F.round(F.col("f") * 1000).cast("long")}
+    assert snapshot_diff(fc, fb, "id", compare_cols=grid).count() == 0
+    with pytest.raises(ValueError):
+        snapshot_diff(cur, base, ["id", "s", "v"], compare_cols=[])
+    # null vs empty-string must differ (length prefix -1 vs 0)
+    b2 = spark.createDataFrame([(1, None)], "id long, s string")
+    c2 = spark.createDataFrame([(1, "")], "id long, s string")
+    assert snapshot_diff(c2, b2, "id").first().status == "changed"
