@@ -4824,28 +4824,76 @@ WHERE (CASE WHEN db.o_orderkey IS NULL THEN 'added'
 """
 
 
+def q_streaming_rules(spark, sf_dir):
+    """Declarative rule violations on a LIVE stream
+    (engine/rules.py:rule_violations over readStream): the rules
+    projection is STATELESS (predicates + array-filter + explode, no
+    aggregation, no watermark), so the identical code path runs on a
+    stream with zero state store — the fourth streaming twin, and the
+    cheapest (append mode, row-local).  A real availableNow streaming
+    job into a memory sink; the batch twin IS the oracle."""
+    from filters_spark.engine import rule_violations
+
+    _utc(spark)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "events")
+    )
+    out = rule_violations(
+        stream,
+        {
+            "type_known": "event_type IN ('click','view','purchase',"
+                          "'signup')",
+            "value_cap_400": "value <= 400",
+            "user_positive": "user_id > 0",
+        },
+        keys="event_id",
+        capture={
+            "type_known": "event_type",
+            "value_cap_400": "CAST(round(value * 100) AS BIGINT)",
+        },
+    )
+    return _run_availablenow(out, spark)
+
+
+SQL_STREAMING_RULES = """
+SELECT event_id, 'type_known' AS rule, event_type AS value
+FROM events
+WHERE NOT coalesce(event_type IN ('click','view','purchase','signup'),
+                   FALSE)
+UNION ALL
+SELECT event_id, 'value_cap_400',
+       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+FROM events WHERE NOT coalesce(value <= 400, FALSE)
+UNION ALL
+SELECT event_id, 'user_positive', CAST(NULL AS VARCHAR)
+FROM events WHERE NOT coalesce(user_id > 0, FALSE)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
-# Ordered for the driver's bounded correctness sweep (50 of 119 in dict
+# Ordered for the driver's bounded correctness sweep (50 of 120 in dict
 # order).  r4's window covered the FIRST 50 names of the r4 ordering;
 # this r5 rotation puts first: (a) the 8 queries whose IMPLEMENTATION
 # changed in r4 but whose latest driver row is r3 (VERDICT r4 item 1),
-# (b) the 32 brand-new r5 queries (3 streaming + 2 fastText +
+# (b) the 33 brand-new r5 queries (3 streaming + 2 fastText +
 # violation_values + unigram_logprob + the 6 web-curation ops + the
 # validation additions ks_drift / transition_counts /
 # transition_violations / ts_monotonic / chi2_drift / token_entropy /
 # conv_profile / wasserstein_drift / js_drift / rules_summary /
 # rules_violations / fd_check / conv_dups / volume_anomaly /
 # embedding_sanity / vocab_drift / turn_latency / quantile_shift /
-# snapshot_diff)
+# snapshot_diff / streaming_rules)
 # plus decimal_quantize / dedup_groups / interval_join_mixed, which
 # changed again in r5 (advisor fixes), then (c) the remaining names
 # whose latest row is r3.  That is 40 changed/new names at the front,
 # then the r3-stale names; the 50-window covers through
-# bytestring_encode (#50), leaving toml_decode / bytearray_pack /
-# omit_project / namedtuple_fields / noop_chain / call_custom /
+# length_exact (#50), leaving bytestring_encode / toml_decode /
+# bytearray_pack / omit_project / namedtuple_fields / noop_chain /
+# call_custom /
 # macro_registry / type_static / array_static / handler_errors /
 # repetition_stats / ngram_overlap / redact_pii / split_assign /
 # det_sample / stratified_sample / det_topn / span_clean / pack_plan /
@@ -4897,6 +4945,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_latency": q_turn_latency,
     "quantile_shift": q_quantile_shift,
     "snapshot_diff": q_snapshot_diff,
+    "streaming_rules": q_streaming_rules,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -4907,11 +4956,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_decode": q_json_decode,
     "optional_default": q_optional_default,
     "length_exact": q_length_exact,
+    # ---- 50-window boundary: length_exact is name #50; everything
+    # below has an r3 or r4 green driver row and is unchanged since
+    # (span_dedup is r4-green, which is why it yields its slot to the
+    # r3-only names above) ----
     "bytestring_encode": q_bytestring_encode,
-    # ---- 50-window boundary: bytestring_encode is name #50;
-    # everything below has an r3 or r4 green driver row and is
-    # unchanged since (span_dedup is r4-green, which is why it yields
-    # its slot to the r3-only names above) ----
     "toml_decode": q_toml_decode,
     "bytearray_pack": q_bytearray_pack,
     "omit_project": q_omit_project,
@@ -5103,6 +5152,7 @@ _ORACLES: dict[str, str] = {
     "turn_latency": SQL_TURN_LATENCY,
     "quantile_shift": SQL_QUANTILE_SHIFT,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "streaming_rules": SQL_STREAMING_RULES,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

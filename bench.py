@@ -218,6 +218,9 @@ def bench_queries(
         # snapshot regression diff (two narrow (key, digest) scans +
         # one full-outer hash join)
         "snapshot_diff",
+        # stateless rules projection driven as a REAL streaming job
+        # (wall includes stream startup/teardown — the honest cost)
+        "streaming_rules",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -293,3 +293,25 @@ def test_curation_prefix_runs_on_streams(spark, tmp_path):
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(want) >= 3  # the gate dropped something, not everything
     assert any(r["tok_str"] for r in want)
+
+
+def test_rule_violations_runs_on_streams(spark, stream_input):
+    """engine/rules.py rule_violations is a stateless projection
+    (predicates + array-filter + explode): the identical code path
+    runs on a stream in append mode with zero state store, and the
+    stream output equals the batch output row-for-row."""
+    from filters_spark.engine import rule_violations
+
+    rules = {
+        "role_known": "role IN ('system','user','assistant','tool')",
+        "text_nonempty": "length(text) > 0",
+    }
+    kwargs = dict(keys=["conv_id", "turn_idx"], capture={"role_known": "role"})
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    out = rule_violations(stream, rules, **kwargs)
+    assert out.isStreaming
+    name = "t_" + uuid.uuid4().hex[:8]
+    got = {tuple(r) for r in _run_stream(spark, out, name).collect()}
+    batch = spark.read.schema(SCHEMA).parquet(stream_input)
+    want = {tuple(r) for r in rule_violations(batch, rules, **kwargs).collect()}
+    assert got == want and len(want) == 2
