@@ -1174,3 +1174,180 @@ def test_snapshot_diff(spark):
     b2 = spark.createDataFrame([(1, None)], "id long, s string")
     c2 = spark.createDataFrame([(1, "")], "id long, s string")
     assert snapshot_diff(c2, b2, "id").first().status == "changed"
+
+
+# -- randomized pure-Python cross-checks for the drift/diff checks -----
+# (the DuckDB oracle replays these at three scales; these tests replay
+# them against an INDEPENDENT pure-Python implementation on seeded
+# random inputs nobody hand-picked)
+
+
+def test_wasserstein_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(20260819)
+    cur_v = [round(rng.uniform(-50, 50), 3) for _ in range(400)]
+    base_v = [round(rng.gauss(10, 20), 3) for _ in range(300)]
+
+    def w1_ref(a, b):
+        pts = sorted(set(a) | set(b))
+        ca = cb = 0.0
+        total = 0.0
+        import bisect
+
+        sa, sb = sorted(a), sorted(b)
+        for i in range(len(pts) - 1):
+            ca = bisect.bisect_right(sa, pts[i]) / len(sa)
+            cb = bisect.bisect_right(sb, pts[i]) / len(sb)
+            total += abs(ca - cb) * (pts[i + 1] - pts[i])
+        return total
+
+    from filters_spark.engine import wasserstein_distance
+
+    cur = spark.createDataFrame([(v,) for v in cur_v], "v double")
+    base = spark.createDataFrame([(v,) for v in base_v], "v double")
+    got = wasserstein_distance(cur, base, "v").first().w1
+    assert got == pytest.approx(w1_ref(cur_v, base_v), rel=1e-9)
+
+
+def test_js_divergence_matches_python_reference(spark):
+    import math
+    import random
+
+    rng = random.Random(20260819)
+    cats = list("abcdefgh")
+    cur_v = [rng.choice(cats[:6]) for _ in range(500)]
+    base_v = [rng.choice(cats[2:]) for _ in range(350)]
+
+    def jsd_ref(a, b):
+        from collections import Counter
+
+        pa, pb = Counter(a), Counter(b)
+        out = 0.0
+        for k in set(pa) | set(pb):
+            p = pa.get(k, 0) / len(a)
+            q = pb.get(k, 0) / len(b)
+            m = (p + q) / 2
+            if p > 0:
+                out += p * math.log(p / m) / 2
+            if q > 0:
+                out += q * math.log(q / m) / 2
+        return out
+
+    from filters_spark.engine import js_divergence
+
+    cur = spark.createDataFrame([(v,) for v in cur_v], "k string")
+    base = spark.createDataFrame([(v,) for v in base_v], "k string")
+    got = js_divergence(cur, base, "k").first().jsd
+    assert got == pytest.approx(jsd_ref(cur_v, base_v), rel=1e-9)
+
+
+def test_snapshot_diff_random_mutations(spark):
+    import random
+
+    rng = random.Random(20260819)
+    base_rows = [(i, rng.choice("xyz"), rng.randint(0, 9)) for i in range(300)]
+    removed = set(rng.sample(range(300), 25))
+    changed = set(rng.sample([i for i in range(300) if i not in removed], 30))
+    added = set(range(300, 320))
+    cur_rows = [
+        (i, ("Q" if i in changed else s), v)
+        for i, s, v in base_rows
+        if i not in removed
+    ] + [(i, "new", 1) for i in added]
+
+    from filters_spark.engine import snapshot_diff
+
+    base = spark.createDataFrame(base_rows, "id long, s string, v int")
+    cur = spark.createDataFrame(cur_rows, "id long, s string, v int")
+    got = {r.id: r.status for r in snapshot_diff(cur, base, "id").collect()}
+    # a "changed" row whose random s was already 'Q' stays identical
+    really_changed = {
+        i for i, s, v in base_rows if i in changed and s != "Q"
+    }
+    want = (
+        {i: "removed" for i in removed}
+        | {i: "changed" for i in really_changed}
+        | {i: "added" for i in added}
+    )
+    assert got == want
+
+
+def test_turn_latency_matches_python_reference(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(20260819)
+    rows = []
+    expect = {}
+    t0 = datetime(2024, 5, 1)
+    for c in range(40):
+        n = rng.randint(1, 12)
+        ts = t0
+        gaps = []
+        for i in range(n):
+            if i:
+                g = rng.randint(-5, 500)
+                gaps.append(float(g))
+                ts = ts + timedelta(seconds=g)
+            rows.append((f"c{c}", i, ts))
+        s = sorted(gaps)
+        if gaps:
+            mid = (len(s) - 1) / 2
+            med = (s[int(mid)] + s[int(mid + 0.5)]) / 2
+            expect[f"c{c}"] = (
+                len(gaps), sum(gaps) / len(gaps), med, max(gaps)
+            )
+        else:
+            expect[f"c{c}"] = (0, None, None, None)
+
+    from filters_spark.engine import turn_latency
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp"
+    )
+    out = {r.conv_id: r for r in turn_latency(df).collect()}
+    assert set(out) == set(expect)
+    for c, (ng, mean, med, mx) in expect.items():
+        r = out[c]
+        assert r.n_gaps == ng
+        if ng:
+            assert r.mean_gap_sec == pytest.approx(mean)
+            assert r.p50_gap_sec == pytest.approx(med)
+            assert r.max_gap_sec == pytest.approx(mx)
+
+
+def test_volume_anomaly_matches_python_reference(spark):
+    import random
+    from datetime import datetime
+
+    rng = random.Random(20260819)
+    per_day = {d: rng.randint(1, 40) for d in range(1, 21)}
+    rows = []
+    for d, n in per_day.items():
+        rows += [(datetime(2024, 6, d, 9, 0, 0),)] * n
+
+    def ref_median(vals):
+        s = sorted(vals)
+        mid = (len(s) - 1) / 2
+        return (s[int(mid)] + s[int(mid + 0.5)]) / 2
+
+    from filters_spark.engine import volume_anomaly
+
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {
+        r.bucket.day: r
+        for r in volume_anomaly(df, trailing=5, factor=1.8).collect()
+    }
+    days = sorted(per_day)
+    for i, d in enumerate(days):
+        r = out[d]
+        assert r.n == per_day[d]
+        window = [per_day[days[j]] for j in range(max(0, i - 5), i)]
+        if not window:
+            assert r.trailing_median is None and not r.is_anomaly
+        else:
+            med = ref_median(window)
+            assert r.trailing_median == pytest.approx(med)
+            ratio = per_day[d] / med
+            assert r.is_anomaly == (ratio > 1.8 or ratio < 1 / 1.8)
