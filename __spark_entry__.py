@@ -4871,6 +4871,259 @@ FROM events WHERE NOT coalesce(user_id > 0, FALSE)
 """
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Bounded-memory top-k frequency census
+    (engine/stats.py:heavy_hitters): two-pass Misra-Gries — pass 1
+    streams each partition through a capacity-bounded counter summary
+    (mapInPandas, mergeable-summaries driver merge), pass 2 re-scans
+    with the <=capacity candidates as a literal pushed-down isin filter
+    and EXACT-counts them.  The synthetic value column has 8 hot values
+    (every 3rd lineitem, far above the n/257 proof threshold) over a
+    unique cold tail that overflows the counters and forces the MG
+    decrement path; all 8 emitted rows are provably the true top-8
+    (guaranteed=true), which is what makes the result deterministic
+    under any partitioning and hence oracle-able."""
+    from filters_spark.engine import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.when(
+        F.col("l_orderkey") % 3 == 0,
+        F.concat(F.lit("hot-"), (F.col("l_orderkey") % 8).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("cold-"), F.col("l_orderkey").cast("string"))
+    )
+    return heavy_hitters(li.select(v.alias("v")), "v", k=8, capacity=256)
+
+
+SQL_HEAVY_HITTERS = """
+WITH vals AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0
+              THEN 'hot-' || CAST(l_orderkey % 8 AS VARCHAR)
+              ELSE 'cold-' || CAST(l_orderkey AS VARCHAR) END AS value
+  FROM lineitem
+), c AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT value, n, n > tot / 257.0 AS guaranteed
+FROM c, t
+ORDER BY n DESC, value ASC
+LIMIT 8
+"""
+
+
+def q_null_rate_anomaly(spark, sf_dir):
+    """Per-bucket completeness trend (engine/stats.py:
+    null_rate_anomaly): per-day null rate of a column vs the
+    trailing-7-day exact median, absolute-delta verdicts — catches a
+    field going dark on one day, which the corpus-global null rate
+    averages away.  Every 11th event is null at baseline (~9%) and half
+    of day 17 is nulled on top (~55%) so the detector has a real
+    regression to flag.  ONE day-keyed hash agg collapses the corpus;
+    the window runs over the ~30-row aggregate."""
+    from filters_spark.engine import null_rate_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.when(
+        (F.col("event_id") % 11 == 3)
+        | ((F.dayofmonth("ts") == 17) & (F.col("event_id") % 2 == 0)),
+        F.lit(None).cast("double"),
+    ).otherwise(F.col("value"))
+    out = null_rate_anomaly(
+        ev.select("ts", x.alias("x")), "x", trailing=7, delta=0.2
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "n_null",
+        _round9("null_rate").alias("null_rate"),
+        _round9("trailing_median").alias("trailing_median"),
+        "is_anomaly",
+    )
+
+
+SQL_NULL_RATE_ANOMALY = """
+WITH ev AS (
+  SELECT ts,
+         CASE WHEN event_id % 11 = 3
+                OR (date_part('day', ts) = 17 AND event_id % 2 = 0)
+              THEN NULL ELSE value END AS x
+  FROM events
+), counts AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         count(*) AS n,
+         sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS n_null
+  FROM ev WHERE ts IS NOT NULL GROUP BY 1
+), med AS (
+  SELECT bucket, n, n_null,
+         CAST(n_null AS DOUBLE) / n AS rate,
+         quantile_cont(CAST(n_null AS DOUBLE) / n, 0.5) OVER (
+           ORDER BY bucket
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS m
+  FROM counts
+)
+SELECT bucket, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+       round(rate * 1e9) / 1e9 AS null_rate,
+       round(m * 1e9) / 1e9 AS trailing_median,
+       coalesce(abs(rate - m) > 0.2, FALSE) AS is_anomaly
+FROM med
+"""
+
+
+def q_distinct_anomaly(spark, sf_dir):
+    """Per-bucket cardinality trend (engine/stats.py:distinct_anomaly):
+    per-day distinct user count vs the trailing-7-day median —
+    completes the volume/completeness/cardinality trend triple (an
+    id-collapse bug changes neither the row count nor the null rate).
+    Day 23's user ids are collapsed mod 3 so the detector has a real
+    id-space collapse to flag.  exact=True plans Spark's two-level
+    distinct expansion (oracle bit-parity); exact=False is the HLL
+    sketch path for 10^12-row buckets."""
+    from filters_spark.engine import distinct_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.concat(
+        F.lit("u"),
+        F.when(F.dayofmonth("ts") == 23, F.col("user_id") % 3)
+        .otherwise(F.col("user_id"))
+        .cast("string"),
+    )
+    out = distinct_anomaly(
+        ev.select("ts", uid.alias("uid")), "uid", trailing=7, factor=2.0
+    )
+    return out.select(
+        "bucket",
+        "n_distinct",
+        "trailing_median",
+        _round9("ratio").alias("ratio"),
+        "is_anomaly",
+    )
+
+
+SQL_DISTINCT_ANOMALY = """
+WITH ev AS (
+  SELECT ts,
+         'u' || CAST(CASE WHEN date_part('day', ts) = 23
+                          THEN user_id % 3 ELSE user_id END AS VARCHAR)
+           AS uid
+  FROM events
+), counts AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         count(DISTINCT uid) AS nd
+  FROM ev WHERE ts IS NOT NULL GROUP BY 1
+), med AS (
+  SELECT bucket, nd,
+         quantile_cont(nd, 0.5) OVER (ORDER BY bucket
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS m
+  FROM counts
+)
+SELECT bucket, CAST(nd AS BIGINT) AS n_distinct, m AS trailing_median,
+       round(nd / m * 1e9) / 1e9 AS ratio,
+       coalesce(nd / m > 2.0 OR nd / m < 0.5, FALSE) AS is_anomaly
+FROM med
+"""
+
+
+def q_text_sanity(spark, sf_dir):
+    """Per-row text-encoding sanity census
+    (pipeline/curation.py:text_sanity): U+FFFD / bare-control /
+    zero-width / whitespace-only detection — the mojibake gate a
+    transcripts pipeline runs before trusting the text column.  Seeded
+    corruption by doc_id mod 13: a replacement char, a BEL control, a
+    whitespace-only body, a zero-width space, a null.  Pure JVM
+    regexp_count projection (RE2/Java-common patterns), no shuffle."""
+    from filters_spark.pipeline import text_sanity
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 13
+    t2 = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit("\ufffd")))
+        .when(m == 1, F.concat(F.lit("x\x07"), F.col("text")))
+        .when(m == 2, F.lit("  \t "))
+        .when(m == 3, F.concat(F.col("text"), F.lit("\u200b")))
+        .when(m == 4, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+    )
+    return text_sanity(docs.select("doc_id", t2.alias("text")))
+
+
+SQL_TEXT_SANITY = """
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 13
+           WHEN 0 THEN text || chr(65533)
+           WHEN 1 THEN 'x' || chr(7) || text
+           WHEN 2 THEN '  ' || chr(9) || ' '
+           WHEN 3 THEN text || chr(8203)
+           WHEN 4 THEN NULL
+           ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NOT NULL THEN length(text) END AS n_chars,
+         CASE WHEN text IS NOT NULL THEN len(regexp_extract_all(text,
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) END AS n_control,
+         CASE WHEN text IS NOT NULL THEN len(regexp_extract_all(text,
+           '\\x{fffd}')) END AS n_replacement,
+         CASE WHEN text IS NOT NULL THEN len(regexp_extract_all(text,
+           '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]')) END AS n_zero_width,
+         CASE WHEN text IS NOT NULL THEN
+           regexp_matches(text, '^[ \t\n\r]+$') END AS is_blank
+  FROM t
+)
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+       CAST(n_control AS INT) AS n_control,
+       CAST(n_replacement AS INT) AS n_replacement,
+       CAST(n_zero_width AS INT) AS n_zero_width,
+       is_blank,
+       coalesce(n_control = 0 AND n_replacement = 0
+                AND n_zero_width = 0 AND NOT is_blank, FALSE) AS ok
+FROM c
+"""
+
+
+def q_boilerplate_texts(spark, sf_dir):
+    """Canned-response detection (pipeline/curation.py:
+    boilerplate_texts): distinct texts recurring across >= 3 distinct
+    conversations — the cross-conversation contamination census
+    (templated openers, stuck-agent apology loops) a training run
+    over-weights.  Every 7th event carries one of 20 canned lines; the
+    rest are per-row unique.  Two-level (fp, conv) -> fp hash agg, both
+    map-side combining; output bounded by the texts clearing the
+    threshold."""
+    from filters_spark.pipeline import boilerplate_texts
+
+    ev = _t(spark, sf_dir, "events")
+    txt = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(F.lit("canned-"), (F.col("event_id") % 20).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.col("props"), F.lit("-"), F.col("event_id").cast("string")
+        )
+    )
+    return boilerplate_texts(
+        ev.select(F.col("user_id").alias("conv_id"), txt.alias("text")),
+        min_convs=3,
+    )
+
+
+SQL_BOILERPLATE_TEXTS = """
+WITH t AS (
+  SELECT user_id AS conv,
+         CASE WHEN event_id % 7 = 0
+              THEN 'canned-' || CAST(event_id % 20 AS VARCHAR)
+              ELSE props || '-' || CAST(event_id AS VARCHAR) END AS text
+  FROM events
+), pc AS (
+  SELECT md5(text) AS fp, conv, count(*) AS c, min(text) AS t2
+  FROM t WHERE text IS NOT NULL GROUP BY 1, 2
+)
+SELECT fp, min(t2) AS text, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(c) AS BIGINT) AS n_rows
+FROM pc GROUP BY fp HAVING count(*) >= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -4886,12 +5139,16 @@ FROM events WHERE NOT coalesce(user_id > 0, FALSE)
 # conv_profile / wasserstein_drift / js_drift / rules_summary /
 # rules_violations / fd_check / conv_dups / volume_anomaly /
 # embedding_sanity / vocab_drift / turn_latency / quantile_shift /
-# snapshot_diff / streaming_rules)
+# snapshot_diff / streaming_rules / heavy_hitters / null_rate_anomaly /
+# distinct_anomaly / text_sanity / boilerplate_texts)
 # plus decimal_quantize / dedup_groups / interval_join_mixed, which
 # changed again in r5 (advisor fixes), then (c) the remaining names
-# whose latest row is r3.  That is 40 changed/new names at the front,
-# then the r3-stale names; the 50-window covers through
-# length_exact (#50), leaving bytestring_encode / toml_decode /
+# whose latest row is r3.  That is 47 changed/new names at the front,
+# then the r3-stale names; the 50-window now ends exactly at
+# interval_join_mixed (#50), leaving datetime_utc / ipaddress /
+# json_decode / optional_default / length_exact (all r3-green,
+# unchanged since r3, re-greened in this round's local tri-scale
+# sweeps) newly outside it, alongside bytestring_encode / toml_decode /
 # bytearray_pack / omit_project / namedtuple_fields / noop_chain /
 # call_custom /
 # macro_registry / type_static / array_static / handler_errors /
@@ -4946,6 +5203,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_shift": q_quantile_shift,
     "snapshot_diff": q_snapshot_diff,
     "streaming_rules": q_streaming_rules,
+    "heavy_hitters": q_heavy_hitters,
+    "null_rate_anomaly": q_null_rate_anomaly,
+    "distinct_anomaly": q_distinct_anomaly,
+    "text_sanity": q_text_sanity,
+    "boilerplate_texts": q_boilerplate_texts,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -5153,6 +5415,11 @@ _ORACLES: dict[str, str] = {
     "quantile_shift": SQL_QUANTILE_SHIFT,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "streaming_rules": SQL_STREAMING_RULES,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "null_rate_anomaly": SQL_NULL_RATE_ANOMALY,
+    "distinct_anomaly": SQL_DISTINCT_ANOMALY,
+    "text_sanity": SQL_TEXT_SANITY,
+    "boilerplate_texts": SQL_BOILERPLATE_TEXTS,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

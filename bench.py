@@ -221,6 +221,19 @@ def bench_queries(
         # stateless rules projection driven as a REAL streaming job
         # (wall includes stream startup/teardown — the honest cost)
         "streaming_rules",
+        # this-session additions: bounded-memory Misra-Gries top-k
+        # (two full scans: mapInPandas summary pass + pushed-down
+        # isin exact-count pass), the completeness and cardinality
+        # trend gates (day-keyed agg + ~30-row trailing window; the
+        # distinct gate's exact path shuffles one row per distinct
+        # (day, uid)), the mojibake census (pure regexp_count
+        # projection — scan-speed), and canned-response detection
+        # (two-level (fp, conv) -> fp hash agg)
+        "heavy_hitters",
+        "null_rate_anomaly",
+        "distinct_anomaly",
+        "text_sanity",
+        "boilerplate_texts",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

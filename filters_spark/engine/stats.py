@@ -491,3 +491,234 @@ def embedding_sanity(
     if only_violations:
         out = out.where(~F.col("ok"))
     return out
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Top-k most frequent values with BOUNDED memory: a two-pass
+    Misra-Gries / mergeable-summaries plan (Agarwal et al., "Mergeable
+    Summaries", PODS'12) — the frequency census a plain
+    ``groupBy(col).count().orderBy(...).limit(k)`` cannot deliver at
+    10^12 rows when the value domain itself is huge (every distinct
+    token / conv_id / URL becomes a hash-aggregate key; the map-side
+    hash spills and the shuffle carries #distinct rows).
+
+    Pass 1 streams each partition through a Misra-Gries summary of at
+    most ``capacity`` counters (Arrow-batched ``mapInPandas``; per batch
+    a C-speed ``value_counts`` merges into the counter dict, and when it
+    overflows, the (capacity+1)-th largest count is subtracted from all
+    — the batched decrement step, total undercount ≤ n/(capacity+1)).
+    The per-partition summaries are BOUNDED driver-side model state
+    (≤ capacity rows each) and merge on the driver by summation plus
+    one more decrement — the mergeable-summaries theorem keeps the
+    global error ≤ n/(capacity+1).  Pass 2 re-scans with the merged
+    candidate set as a LITERAL ``isin`` filter — pushed into the
+    parquet scan — and exact-counts only those ≤ capacity values, so
+    the final counts are EXACT, not estimates.
+
+    Correctness guarantee: any value with true frequency
+    > n/(capacity+1) is certainly in the candidate set, so when every
+    emitted row has ``guaranteed = true`` (exact count above that
+    threshold) the emitted rows are PROVABLY the true top-k; a
+    ``false`` row may in principle be displaced by an uncounted tail
+    value of equal-or-lower-than-threshold frequency.  Ties order by
+    ``(n desc, value asc)`` — engine-portable.  Nulls are excluded
+    (null *rate* is presence drift, not a frequent value).
+
+    Eager: pass 1 runs at call time (like ``ivf_centroids`` /
+    ``interval_join(bucket_width="auto")``); the returned frame holds
+    only the bounded pass-2 plan.
+    """
+    if capacity < max(k, 1):
+        raise ValueError("heavy_hitters: capacity must be >= k")
+    vcol = F.col(col).cast("string")
+    src = df.select(vcol.alias("__hh_v")).where(F.col("__hh_v").isNotNull())
+
+    cap = int(capacity)
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            s = pdf["__hh_v"]
+            total += len(s)
+            for v, c in s.value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                d = sorted(counters.values(), reverse=True)[cap]
+                counters = {v: c - d for v, c in counters.items() if c > d}
+        yield pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "n": list(counters.values()) + [total],
+            }
+        )
+
+    summaries = src.mapInPandas(mg, "value string, n long").collect()
+    merged: dict[str, int] = {}
+    n_total = 0
+    for row in summaries:
+        if row["value"] is None:
+            n_total += int(row["n"])
+        else:
+            merged[row["value"]] = merged.get(row["value"], 0) + int(row["n"])
+    if len(merged) > cap:
+        d = sorted(merged.values(), reverse=True)[cap]
+        merged = {v: c - d for v, c in merged.items() if c > d}
+    threshold = n_total / (cap + 1)
+
+    candidates = sorted(merged)
+    if not candidates:
+        schema = "value string, n long, guaranteed boolean"
+        return df.sparkSession.createDataFrame([], schema)
+    exact = (
+        df.where(vcol.isin(candidates))
+        .groupBy(vcol.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.orderBy(F.col("n").desc(), F.col("value").asc())
+        .limit(int(k))
+        .select(
+            "value",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") > F.lit(float(threshold))).alias("guaranteed"),
+        )
+    )
+
+
+def null_rate_anomaly(
+    df: DataFrame,
+    col: str,
+    ts: str = "ts",
+    bucket: str = "day",
+    trailing: int = 7,
+    delta: float = 0.1,
+) -> DataFrame:
+    """Per-time-bucket NULL-rate of ``col`` against the trailing-window
+    median — the completeness trend check that catches a field going
+    dark (an upstream producer stops populating ``tool``, a schema
+    migration silently maps a column to null) the moment the bucket
+    lands.  Corpus-global null rate (``column_stats``) averages the
+    regression away; per-bucket drift vs a FIXED baseline needs a
+    baseline snapshot — this needs neither.
+
+    Returns one row per bucket: ``(bucket, n, n_null, null_rate,
+    trailing_median, is_anomaly)`` with ``is_anomaly =
+    |null_rate - median(previous `trailing` buckets' rates)| > delta``
+    (absolute-rate delta, not a ratio: a 0% → 12% jump must flag even
+    though the ratio is infinite, and 49% → 51% must not even though
+    tiny rates make ratios scream).  First buckets (no history) report
+    a null median and never flag.
+
+    Scale shape: ONE hash aggregation keyed by ``date_trunc`` collapses
+    10^12 rows to #buckets rows map-side (the null indicator is a
+    ``sum(case)``, partial-aggregable); the trailing median window then
+    runs over the aggregated #buckets-row table only — the same
+    deliberately-bounded single-partition window as
+    ``volume_anomaly``.  Null timestamps are dropped (unbucketable).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(ts).isNotNull())
+        .groupBy(F.date_trunc(bucket, F.col(ts)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(col).isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_null"),
+        )
+    )
+    rate = F.col("n_null").cast("double") / F.col("n")
+    w = Window.orderBy("bucket").rowsBetween(-int(trailing), -1)
+    out = counts.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        rate.alias("null_rate"),
+    ).select(
+        "*",
+        F.expr("percentile(null_rate, 0.5)").over(w).alias("trailing_median"),
+    )
+    diff = F.abs(F.col("null_rate") - F.col("trailing_median"))
+    return out.select(
+        "*",
+        F.coalesce(diff > F.lit(float(delta)), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def distinct_anomaly(
+    df: DataFrame,
+    col: str,
+    ts: str = "ts",
+    bucket: str = "day",
+    trailing: int = 7,
+    factor: float = 2.0,
+    exact: bool = True,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-time-bucket DISTINCT cardinality of ``col`` against the
+    trailing-window median — the ID-space trend check that completes
+    the volume/completeness/cardinality triple (``volume_anomaly``
+    counts rows, ``null_rate_anomaly`` tracks presence, this tracks
+    identity): a key-generation bug that maps every conversation to the
+    same handful of conv_ids, or a fan-out bug that mints fresh ids per
+    row, changes neither the row count nor the null rate — only the
+    per-bucket distinct count moves.
+
+    Returns one row per bucket: ``(bucket, n_distinct,
+    trailing_median, ratio, is_anomaly)``; ``is_anomaly = ratio outside
+    [1/factor, factor]``, first buckets never flag.
+
+    Scale shape: ONE aggregation keyed by ``date_trunc``.  The default
+    ``exact=True`` plans Spark's two-level distinct expansion (groupBy
+    (bucket, col) map-side, then bucket — shuffle carries one row per
+    distinct (bucket, value)); ``exact=False`` swaps in
+    ``approx_count_distinct`` (HLL++, partial-aggregable map-side, the
+    same mergeable sketch as ``column_stats``) so the shuffle carries
+    one SKETCH per bucket per task — the 10^12-row path, at the cost of
+    oracle bit-parity (rsd default 1%).  The trailing window runs over
+    the #buckets-row aggregate only.  Null values do not count toward
+    the cardinality; null timestamps are dropped.
+    """
+    from pyspark.sql import Window
+
+    nd = (
+        F.count_distinct(F.col(col))
+        if exact
+        else F.approx_count_distinct(F.col(col), float(rsd))
+    )
+    counts = (
+        df.where(F.col(ts).isNotNull())
+        .groupBy(F.date_trunc(bucket, F.col(ts)).alias("bucket"))
+        .agg(nd.alias("n_distinct"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-int(trailing), -1)
+    out = counts.select(
+        "bucket",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    ).select(
+        "*",
+        F.expr("percentile(n_distinct, 0.5)")
+        .over(w)
+        .alias("trailing_median"),
+    )
+    ratio = F.col("n_distinct") / F.col("trailing_median")
+    return out.select(
+        "*",
+        ratio.alias("ratio"),
+        F.coalesce(
+            (ratio > F.lit(float(factor)))
+            | (ratio < F.lit(1.0 / float(factor))),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )

@@ -11,6 +11,7 @@ md5-derived so results are portable across engines (the DuckDB oracle in
 """
 
 from filters_spark.pipeline.curation import (
+    boilerplate_texts,
     domain_counts,
     domain_filter,
     extract_urls,
@@ -18,6 +19,7 @@ from filters_spark.pipeline.curation import (
     ngram_overlap,
     redact_pii,
     repetition_stats,
+    text_sanity,
 )
 from filters_spark.pipeline.dedup import (
     release,
@@ -92,6 +94,8 @@ from filters_spark.pipeline.timeseries import (
 __all__ = [
     "MEDIA_META_SCHEMA",
     "asof_join",
+    "boilerplate_texts",
+    "text_sanity",
     "attach_media_meta",
     "bpe_encode",
     "bpe_train",

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from filters_spark.pipeline.dedup import word_shingles
 
 __all__ = [
+    "boilerplate_texts",
     "domain_counts",
     "domain_filter",
     "extract_urls",
@@ -27,6 +28,8 @@ __all__ = [
     "ngram_overlap",
     "redact_pii",
     "repetition_stats",
+    "text_sanity",
+    "CONTROL_CHAR_PATTERN",
     "HTML_BLOCK_PATTERNS",
     "HTML_ENTITIES",
     "PII_PATTERNS",
@@ -361,3 +364,115 @@ def redact_pii(
             .alias(f"n_{name}")
         )
     return df.select(*out_cols)
+
+
+#: C0 controls minus tab/newline/carriage-return, plus DEL — the
+#: characters no legitimate transcript text contains (RE2/Java-common).
+CONTROL_CHAR_PATTERN = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+#: invisible formatting characters: ZWSP, ZWNJ, ZWJ, ZWNBSP/BOM
+ZERO_WIDTH_PATTERN = "[\u200b\u200c\u200d\ufeff]"
+#: U+FFFD — the scar a lossy decode leaves behind
+REPLACEMENT_PATTERN = "\ufffd"
+
+
+def text_sanity(
+    df: DataFrame,
+    text_col: str = "text",
+    keys: str | tuple = ("doc_id",),
+    only_violations: bool = False,
+) -> DataFrame:
+    """Per-row text-encoding sanity census: ``(keys…, n_chars,
+    n_control, n_replacement, n_zero_width, is_blank, ok)`` — the
+    mojibake check a transcripts pipeline runs before any text operator
+    trusts the column.  ``n_replacement`` counts U+FFFD (a lossy
+    re-decode upstream), ``n_control`` counts C0 controls other than
+    tab/LF/CR plus DEL (binary spill / terminal escapes),
+    ``n_zero_width`` counts invisible formatting characters (ZWSP /
+    ZWNJ / ZWJ / BOM — copy-paste contamination that breaks exact-match
+    dedup and tokenizer determinism), and ``is_blank`` flags non-empty
+    whitespace-only text (passes NotEmpty, still contentless).  ``ok``
+    requires non-null text with all counts zero and not blank.
+
+    ``only_violations=True`` returns just the failing rows — the
+    bounded reporting shape.
+
+    Scale shape: a pure projection (JVM ``regexp_count`` — RE2/Java
+    common syntax so a DuckDB oracle substitutes identically; no
+    Python, no shuffle); the violation filter composes with parquet
+    scan pruning to read only the text and key columns.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    t = F.col(text_col)
+    present = t.isNotNull()
+
+    def cnt(pattern: str) -> Column:
+        return F.when(present, F.regexp_count(t, F.lit(pattern)))
+
+    # explicit class, not \s or trim(): Spark's trim strips spaces only,
+    # and Java/RE2 disagree on \x0b membership in \s (\x0b and \x0c are
+    # n_control's problem anyway)
+    is_blank = F.when(present, t.rlike("^[ \\t\\n\\r]+$"))
+    out = df.select(
+        *key_cols,
+        F.when(present, F.length(t)).alias("n_chars"),
+        cnt(CONTROL_CHAR_PATTERN).alias("n_control"),
+        cnt(REPLACEMENT_PATTERN).alias("n_replacement"),
+        cnt(ZERO_WIDTH_PATTERN).alias("n_zero_width"),
+        is_blank.alias("is_blank"),
+    )
+    ok = (
+        F.col("n_chars").isNotNull()
+        & (F.col("n_control") == 0)
+        & (F.col("n_replacement") == 0)
+        & (F.col("n_zero_width") == 0)
+        & ~F.col("is_blank")
+    )
+    out = out.select("*", F.coalesce(ok, F.lit(False)).alias("ok"))
+    if only_violations:
+        out = out.where(~F.col("ok"))
+    return out
+
+
+def boilerplate_texts(
+    df: DataFrame,
+    conv: str = "conv_id",
+    text_col: str = "text",
+    min_convs: int = 3,
+) -> DataFrame:
+    """Canned-response detection: every distinct text that appears in at
+    least ``min_convs`` DISTINCT conversations, as ``(fp, text, n_convs,
+    n_rows)`` — the cross-conversation contamination census.  Exact
+    whole-corpus dedup (``exact_dedup``) groups identical rows; this
+    asks the transcripts question instead: which texts recur *across*
+    conversations (templated assistant openers, stuck retry loops
+    leaking one canned apology into thousands of conversations,
+    injected boilerplate) — exactly the rows a training run
+    over-weights.
+
+    Scale shape: a two-level hash aggregation on ``(fp, conv)`` then
+    ``fp`` (``fp`` = md5 of the text — both levels map-side combine, so
+    a conversation repeating one line a million times collapses inside
+    its mapper; the first shuffle carries one row per distinct
+    (text, conversation) pair, the second one row per distinct text).
+    Output is bounded by the number of distinct texts clearing the
+    threshold.  Null texts are excluded (presence drift, not
+    boilerplate).
+    """
+    fp = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    per_conv = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(fp.alias("fp"), F.col(conv).alias("__conv"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(text_col).alias("__t"),
+        )
+    )
+    return (
+        per_conv.groupBy("fp")
+        .agg(
+            F.min("__t").alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("__c").cast("long").alias("n_rows"),
+        )
+        .where(F.col("n_convs") >= int(min_convs))
+    )

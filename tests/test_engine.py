@@ -1351,3 +1351,177 @@ def test_volume_anomaly_matches_python_reference(spark):
             assert r.trailing_median == pytest.approx(med)
             ratio = per_day[d] / med
             assert r.is_anomaly == (ratio > 1.8 or ratio < 1 / 1.8)
+
+
+def test_heavy_hitters(spark):
+    from filters_spark.engine import heavy_hitters
+
+    # 5 hot values far above threshold + a 400-value unique tail that
+    # overflows the per-partition capacity and forces MG decrements
+    rows = []
+    for i in range(5):
+        rows += [(f"hot-{i}",)] * (200 - 10 * i)
+    rows += [(f"cold-{j:04d}",) for j in range(400)]
+    rows += [(None,)] * 7  # nulls excluded
+    df = spark.createDataFrame(rows, "v string").repartition(5)
+    out = heavy_hitters(df, "v", k=5, capacity=16).collect()
+    assert [r.value for r in out] == [f"hot-{i}" for i in range(5)]
+    # counts are EXACT (pass 2), not MG lower bounds
+    assert [r.n for r in out] == [200, 190, 180, 170, 160]
+    # n = 1300 non-null, threshold 1300/17 ~ 76.5 -> all provably top-k
+    assert all(r.guaranteed for r in out)
+    # deterministic across partitionings (the guarantee in action)
+    out2 = heavy_hitters(df.repartition(13), "v", k=5, capacity=16).collect()
+    assert [(r.value, r.n) for r in out2] == [(r.value, r.n) for r in out]
+
+    # capacity >= #distinct: exact with no decrement at all
+    small = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    o3 = heavy_hitters(small, "v", k=2, capacity=10).collect()
+    # threshold = 3/11 ~ 0.27: even n=1 clears it -> everything proven
+    assert [(r.value, r.n, r.guaranteed) for r in o3] == [
+        ("a", 2, True),
+        ("b", 1, True),
+    ]
+
+    # tie at equal count -> value asc (engine-portable ordering)
+    tie = spark.createDataFrame([("b",), ("a",)], "v string")
+    assert heavy_hitters(tie, "v", k=1, capacity=10).collect()[0].value == "a"
+
+    # a unique tail can be decremented away entirely: the output is
+    # honestly SHORTER than k rather than padded with unproven noise
+    mixed = [("x",)] * 100 + [(f"u{j}",) for j in range(100)]
+    om = heavy_hitters(
+        spark.createDataFrame(mixed, "v string").repartition(3),
+        "v",
+        k=2,
+        capacity=4,
+    ).collect()
+    assert [(r.value, r.n, r.guaranteed) for r in om] == [("x", 100, True)]
+
+    # a surviving candidate whose exact count is below n/(capacity+1)
+    # is marked unproven (y: 30 <= 230/5)
+    mid = [("x",)] * 100 + [("y",)] * 30 + [(f"u{j}",) for j in range(100)]
+    om2 = heavy_hitters(
+        spark.createDataFrame(mid, "v string").repartition(3),
+        "v",
+        k=2,
+        capacity=4,
+    ).collect()
+    assert [(r.value, r.n, r.guaranteed) for r in om2] == [
+        ("x", 100, True),
+        ("y", 30, False),
+    ]
+
+    with pytest.raises(ValueError):
+        heavy_hitters(small, "v", k=20, capacity=10)
+
+    # all-null column -> empty frame with the right schema
+    nulls = spark.createDataFrame([(None,), (None,)], "v string")
+    empty = heavy_hitters(nulls, "v", k=3, capacity=8)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "value",
+        "n",
+        "guaranteed",
+    ]
+
+
+def test_heavy_hitters_matches_python_reference(spark):
+    """Randomized cross-check: exact top-k via collections.Counter on a
+    zipf-ish corpus vs the two-pass MG plan, with capacity chosen so the
+    k-th count clears the n/(capacity+1) proof threshold."""
+    import random
+    from collections import Counter
+
+    from filters_spark.engine import heavy_hitters
+
+    rng = random.Random(20260819)
+    vals = []
+    for i in range(30):
+        vals += [f"head-{i:02d}"] * rng.randint(50, 120)
+    vals += [f"tail-{j}" for j in range(500)]
+    rng.shuffle(vals)
+    counts = Counter(vals)
+    k = 10
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(7)
+    got = heavy_hitters(df, "v", k=k, capacity=64).collect()
+    assert [(r.value, r.n) for r in got] == want
+    assert all(r.guaranteed for r in got)
+
+
+def test_null_rate_anomaly(spark):
+    from datetime import datetime
+
+    from filters_spark.engine import null_rate_anomaly
+
+    # 10 rows/day for 8 days; 1 null/day except day 5 (6 nulls)
+    rows = []
+    nulls_per_day = {1: 1, 2: 1, 3: 1, 4: 1, 5: 6, 6: 1, 7: 1, 8: 1}
+    for day, n_null in nulls_per_day.items():
+        ts = datetime(2024, 3, day, 12, 0, 0)
+        rows += [(ts, None)] * n_null + [(ts, 1.0)] * (10 - n_null)
+    rows.append((None, 1.0))  # null ts dropped
+    df = spark.createDataFrame(rows, "ts timestamp, x double")
+    out = {
+        r.bucket.day: r
+        for r in null_rate_anomaly(
+            df, "x", trailing=3, delta=0.2
+        ).collect()
+    }
+    assert len(out) == 8
+    assert out[1].trailing_median is None and not out[1].is_anomaly
+    assert out[4].null_rate == pytest.approx(0.1)
+    # day 5: 0.6 vs trailing median 0.1 -> |delta| 0.5 > 0.2
+    assert out[5].is_anomaly and out[5].null_rate == pytest.approx(0.6)
+    # day 6: median(0.1, 0.1, 0.6) = 0.1 -> clean (median shrugs off
+    # the day-5 spike where a mean would keep flagging)
+    assert not out[6].is_anomaly
+    assert out[6].trailing_median == pytest.approx(0.1)
+    assert not out[8].is_anomaly
+    assert sum(r.n for r in out.values()) == len(rows) - 1
+    assert sum(r.n_null for r in out.values()) == sum(
+        nulls_per_day.values()
+    )
+
+
+def test_distinct_anomaly(spark):
+    from datetime import datetime
+
+    from filters_spark.engine import distinct_anomaly
+
+    # 10 rows/day; days 1-4 and 6-8 have 10 distinct users, day 5
+    # collapses to 2 (the id-space collapse volume_anomaly cannot see:
+    # the row count never moves)
+    rows = []
+    for day in range(1, 9):
+        ts = datetime(2024, 3, day, 12, 0, 0)
+        n_distinct = 2 if day == 5 else 10
+        rows += [(ts, f"u{i % n_distinct}") for i in range(10)]
+    rows += [(datetime(2024, 3, 1, 13, 0, 0), None)]  # null value ignored
+    rows += [(None, "u0")]  # null ts dropped
+    df = spark.createDataFrame(rows, "ts timestamp, uid string")
+    out = {
+        r.bucket.day: r
+        for r in distinct_anomaly(
+            df, "uid", trailing=3, factor=2.0
+        ).collect()
+    }
+    assert len(out) == 8
+    assert out[1].n_distinct == 10  # the null uid did not count
+    assert out[1].trailing_median is None and not out[1].is_anomaly
+    assert out[5].is_anomaly and out[5].ratio == pytest.approx(0.2)
+    assert not out[6].is_anomaly  # median(10, 10, 2) = 10
+    assert out[6].trailing_median == pytest.approx(10.0)
+
+    # extreme-scale path: HLL sketch instead of exact distinct; same
+    # verdicts at this cardinality
+    approx = {
+        r.bucket.day: r
+        for r in distinct_anomaly(
+            df, "uid", trailing=3, factor=2.0, exact=False
+        ).collect()
+    }
+    assert {d: r.is_anomaly for d, r in approx.items()} == {
+        d: r.is_anomaly for d, r in out.items()
+    }

@@ -221,3 +221,57 @@ def test_dedup_resolve_unranked_is_projection(spark, groups):
         .collect()
     )
     assert all(r["count"] == 1 for r in kept)
+
+
+def test_text_sanity(spark):
+    from filters_spark.pipeline import text_sanity
+
+    rows = [
+        (1, "a perfectly normal line"),
+        (2, "lossy re-decode scar � here"),
+        (3, "bell\x07 and null\x00 controls"),
+        (4, "tabs\tand\nnewlines\rare fine"),
+        (5, "zero​width‌joiners‍+bom﻿"),
+        (6, "   \t  "),  # non-empty whitespace-only
+        (7, ""),         # empty: NotEmpty's job, sane here
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_sanity(df).collect()}
+    assert out[1].ok and out[1].n_chars == len(rows[0][1])
+    assert not out[2].ok and out[2].n_replacement == 1
+    assert not out[3].ok and out[3].n_control == 2
+    assert out[4].ok and out[4].n_control == 0  # \t \n \r allowed
+    assert not out[5].ok and out[5].n_zero_width == 4
+    assert not out[6].ok and out[6].is_blank
+    assert out[7].ok and out[7].n_chars == 0 and not out[7].is_blank
+    assert not out[8].ok and out[8].n_chars is None
+    bad = text_sanity(df, only_violations=True)
+    assert {r.doc_id for r in bad.collect()} == {2, 3, 5, 6, 8}
+
+
+def test_boilerplate_texts(spark):
+    import hashlib
+
+    from filters_spark.pipeline import boilerplate_texts
+
+    rows = [
+        ("a", "hi there"), ("a", "hi there"),   # repeat inside one conv
+        ("b", "hi there"), ("c", "hi there"),
+        ("a", "yo"), ("a", "yo"), ("a", "yo"),  # one conv only
+        ("b", "rare"), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = boilerplate_texts(df, min_convs=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.text == "hi there" and r.n_convs == 3 and r.n_rows == 4
+    assert r.fp == hashlib.md5(b"hi there").hexdigest()
+    # threshold 2 still excludes the single-conversation repeat
+    texts = {r.text for r in boilerplate_texts(df, min_convs=2).collect()}
+    assert texts == {"hi there"}
+    # nothing clears threshold on a clean corpus
+    clean = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "conv_id string, text string"
+    )
+    assert boilerplate_texts(clean, min_convs=2).count() == 0
