@@ -5124,6 +5124,48 @@ FROM pc GROUP BY fp HAVING count(*) >= 3
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation detection (pipeline/textstats.py:pmi_collocations):
+    pointwise mutual information over adjacent token bigrams (Church &
+    Hanks 1990) with a min-count floor — the multi-word-unit census
+    for tokenizer/vocab work.  One corpus explode per n-gram order
+    into map-side-combining hash aggs; unigram lookups are (token,
+    count) equi-joins; totals ride a broadcast 1-row cross join."""
+    from filters_spark.pipeline import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, min_count=5)
+    return out.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2", _round9("pmi").alias("pmi")
+    )
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH base AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), unic AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(t) AS w FROM base) GROUP BY 1
+), bic AS (
+  SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM (SELECT unnest(list_zip(t[:len(t)-1], t[2:])) AS p
+        FROM base WHERE len(t) >= 2)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), tot AS (
+  SELECT (SELECT CAST(sum(n_w) AS DOUBLE) FROM unic) AS T,
+         (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE)
+          FROM base) AS B
+)
+SELECT w1, w2, n_pair,
+       CAST(u1.n_w AS BIGINT) AS n_w1, CAST(u2.n_w AS BIGINT) AS n_w2,
+       round(ln((n_pair / B) / ((u1.n_w / T) * (u2.n_w / T))) * 1e9)
+         / 1e9 AS pmi
+FROM bic JOIN unic u1 ON u1.w = w1 JOIN unic u2 ON u2.w = w2, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -5140,15 +5182,19 @@ FROM pc GROUP BY fp HAVING count(*) >= 3
 # rules_violations / fd_check / conv_dups / volume_anomaly /
 # embedding_sanity / vocab_drift / turn_latency / quantile_shift /
 # snapshot_diff / streaming_rules / heavy_hitters / null_rate_anomaly /
-# distinct_anomaly / text_sanity / boilerplate_texts)
-# plus decimal_quantize / dedup_groups / interval_join_mixed, which
-# changed again in r5 (advisor fixes), then (c) the remaining names
-# whose latest row is r3.  That is 47 changed/new names at the front,
-# then the r3-stale names; the 50-window now ends exactly at
-# interval_join_mixed (#50), leaving datetime_utc / ipaddress /
-# json_decode / optional_default / length_exact (all r3-green,
-# unchanged since r3, re-greened in this round's local tri-scale
-# sweeps) newly outside it, alongside bytestring_encode / toml_decode /
+# distinct_anomaly / text_sanity / boilerplate_texts /
+# pmi_collocations)
+# plus decimal_quantize / dedup_groups, whose CODE changed again in r5
+# (advisor fixes), then (c) the remaining names whose latest row is
+# r3.  That is 48 changed/new names at the front; the 50-window now
+# ends exactly at dedup_groups (#50).  interval_join_mixed (#51) falls
+# just outside it — acceptable: its r5 "change" was docstring-only
+# (edc56f8 touched only the interval_join auto-width NOTE), so its
+# r4-green driver row still covers the executing code.  Also newly
+# outside: datetime_utc / ipaddress / json_decode / optional_default /
+# length_exact (all r3-green, unchanged since r3, re-greened in this
+# round's local tri-scale sweeps), alongside bytestring_encode /
+# toml_decode /
 # bytearray_pack / omit_project / namedtuple_fields / noop_chain /
 # call_custom /
 # macro_registry / type_static / array_static / handler_errors /
@@ -5208,6 +5254,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_anomaly": q_distinct_anomaly,
     "text_sanity": q_text_sanity,
     "boilerplate_texts": q_boilerplate_texts,
+    "pmi_collocations": q_pmi_collocations,
     # -- changed in r5 (advisor fixes), latest row r4 --
     "decimal_quantize": q_decimal_quantize,
     "dedup_groups": q_dedup_groups,
@@ -5420,6 +5467,7 @@ _ORACLES: dict[str, str] = {
     "distinct_anomaly": SQL_DISTINCT_ANOMALY,
     "text_sanity": SQL_TEXT_SANITY,
     "boilerplate_texts": SQL_BOILERPLATE_TEXTS,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "transition_violations": SQL_TRANSITION_VIOLATIONS,
 }
 

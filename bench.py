@@ -234,6 +234,9 @@ def bench_queries(
         "distinct_anomaly",
         "text_sanity",
         "boilerplate_texts",
+        # bigram PMI collocation census (two corpus explodes into
+        # map-side-combining aggs + two (token, count) equi-joins)
+        "pmi_collocations",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

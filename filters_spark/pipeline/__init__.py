@@ -65,6 +65,7 @@ from filters_spark.pipeline.textstats import (
     fingerprint,
     lang_id,
     lang_id_fasttext,
+    pmi_collocations,
     quality_score,
     tfidf_top_terms,
     unigram_logprob,
@@ -135,6 +136,7 @@ __all__ = [
     "ivf_topk",
     "pack_plan",
     "pack_sequences",
+    "pmi_collocations",
     "repetition_stats",
     "resize_media",
     "sessionize",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from filters_spark.pipeline.dedup import portable_hash60, word_shingles
 
 __all__ = [
+    "pmi_collocations",
     "token_counts",
     "token_entropy",
     "quality_score",
@@ -519,4 +520,83 @@ def fingerprint(
             )
         ).alias("fingerprint"),
         F.count_distinct(F.col("h")).alias("n_selected"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation detection: pointwise mutual information over adjacent
+    token bigrams — ``(w1, w2, n_pair, n_w1, n_w2, pmi)`` for every
+    bigram occurring at least ``min_count`` times.  High-PMI pairs are
+    the corpus's multi-word units ("new york", "gradient descent") —
+    the signal tokenizer/vocab work ranks merge candidates by (BPE's
+    count-greedy merges pick frequent pairs; PMI surfaces *associated*
+    pairs), and a drift in the top collocations is a topical-shift
+    signal token frequencies alone miss.
+
+    ``pmi = ln((n_pair / B) / ((n_w1 / T) * (n_w2 / T)))`` with ``T`` =
+    total tokens and ``B`` = total bigrams, the standard estimator
+    (Church & Hanks 1990).  ``min_count`` exists because PMI explodes
+    on hapax pairs (a pair seen once between two rare words maxes the
+    statistic) — the floor is part of the definition in practice.
+
+    Scale shape: one corpus explode for unigrams, one for bigrams
+    (bigram arrays built JVM-side: ``transform`` over an index
+    ``sequence`` — no Python), each into a token-keyed map-side-
+    combining hash agg; totals ride a broadcast 1-row cross join (the
+    ``drift.frequencies`` pattern); the two unigram lookups are
+    equi-joins keyed on the bigram's words — shuffles carry
+    ``(token, count)`` pairs, never documents.  Output bounded by
+    bigrams clearing ``min_count``.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.where(F.col(text_col).isNotNull()).select(toks.alias("__t"))
+
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - 2),
+        lambda i: F.struct(
+            F.col("__t")[i].alias("w1"), F.col("__t")[i + 1].alias("w2")
+        ),
+    )
+    bi = (
+        base.where(F.size("__t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_count))
+    )
+    totals = F.broadcast(
+        uni.agg(
+            F.sum("n_w").cast("double").alias("__T"),
+        ).crossJoin(
+            base.select(
+                F.greatest(F.size("__t") - 1, F.lit(0)).alias("__nb")
+            ).agg(F.sum("__nb").cast("double").alias("__B"))
+        )
+    )
+    joined = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_w2"), "w2")
+        .crossJoin(totals)
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__B"))
+        / ((F.col("n_w1") / F.col("__T")) * (F.col("n_w2") / F.col("__T")))
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.col("n_w1").cast("long").alias("n_w1"),
+        F.col("n_w2").cast("long").alias("n_w2"),
+        pmi.alias("pmi"),
     )

@@ -2831,3 +2831,75 @@ def test_mp4_mjpeg_sample_decodes_to_pixels(spark):
     assert (dec["width"], dec["height"], dec["n_frames"]) == (8, 8, 1)
     assert abs(dec["feature"][0] - 134.0 / 255.0) < 1e-9
     assert dec["feature"][1] == 0.0
+
+
+def test_pmi_collocations(spark):
+    import math
+
+    from filters_spark.pipeline import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            ("new york is big",),
+            ("new york new york",),
+            ("big apple",),
+            (None,),
+        ],
+        "text string",
+    )
+    out = pmi_collocations(docs, min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # T=10 tokens, B=7 bigrams, (new, york) seen 3x, each word 3x
+    assert (r.w1, r.w2, r.n_pair, r.n_w1, r.n_w2) == ("new", "york", 3, 3, 3)
+    assert r.pmi == pytest.approx(
+        math.log((3 / 7) / ((3 / 10) * (3 / 10))), abs=1e-12
+    )
+    # single-token and empty docs contribute no bigrams and don't crash
+    tiny = spark.createDataFrame([("solo",), ("",), ("  ",)], "text string")
+    assert pmi_collocations(tiny, min_count=1).count() == 0
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    """Randomized cross-check against a pure-Python Counter build of the
+    same estimator."""
+    import math
+    import random
+    from collections import Counter
+
+    from filters_spark.pipeline import pmi_collocations
+
+    rng = random.Random(20260820)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+        for _ in range(120)
+    ]
+    uni, bi = Counter(), Counter()
+    n_bigrams = 0
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+        n_bigrams += max(len(toks) - 1, 0)
+    T = sum(uni.values())
+    want = {
+        (w1, w2): (
+            c,
+            uni[w1],
+            uni[w2],
+            math.log((c / n_bigrams) / ((uni[w1] / T) * (uni[w2] / T))),
+        )
+        for (w1, w2), c in bi.items()
+        if c >= 3
+    }
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.n_w1, r.n_w2, r.pmi)
+        for r in pmi_collocations(df, min_count=3).collect()
+    }
+    assert set(got) == set(want)
+    for k, (c, n1, n2, p) in want.items():
+        gc, g1, g2, gp = got[k]
+        assert (gc, g1, g2) == (c, n1, n2)
+        assert gp == pytest.approx(p, abs=1e-12)

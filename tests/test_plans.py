@@ -212,6 +212,7 @@ def test_every_registered_query_avoids_unbounded_nested_loops(spark):
         "js_drift",            # 1-row (tc, tb) totals onto the K-row census
         "vocab_drift",         # same js_divergence 1-row totals join
         "wasserstein_drift",   # 1-row (tc, tb) totals onto the CDF
+        "pmi_collocations",    # 1-row (T, B) totals onto the bigram census
         # documented O(n^2) opt-in: the exact all-pairs baseline the
         # DuckDB oracle replays (default API path is SRP-bucketed)
         "embed_near_dups",
