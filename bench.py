@@ -237,6 +237,9 @@ def bench_queries(
         # bigram PMI collocation census (two corpus explodes into
         # map-side-combining aggs + two (token, count) equi-joins)
         "pmi_collocations",
+        # dimension-sliced drift: ONE union + (group, category)-keyed
+        # hash agg; totals + PSI sum over the bounded census
+        "psi_by_group",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -700,3 +700,86 @@ def snapshot_diff(
         joined.select(*key_cols, status.alias("status"))
         .where(F.col("status").isNotNull())
     )
+
+
+def psi_by_group(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    group_cols: str | tuple | list = (),
+    eps: float = 1e-6,
+    max_categories: int | None = DEFAULT_MAX_CATEGORIES,
+) -> DataFrame:
+    """Per-group population-stability index between two snapshots —
+    drift SLICED BY A DIMENSION (per role, per lang, per source):
+    ``(group…, psi, n_current, n_baseline)``.  A corpus-global PSI
+    (:func:`psi`) dilutes a drift that hits one slice (the assistant
+    role's text-length distribution shifts; user turns don't) by every
+    slice that didn't move — at 10^12 turns the global number stays
+    asleep while one role is on fire.  Same estimator as
+    :func:`psi_from_dicts`: ``sum over the category union of
+    (p − q) · ln(p / q)`` with both masses floored at ``eps``; nulls
+    are the literal category ``'__null__'``; a group absent from
+    either snapshot reports a null psi (no distribution to compare —
+    presence is `volume_anomaly`'s job).
+
+    ``max_categories`` caps per-GROUP category identity (tail collapses
+    into ``'__other__'``, mass preserved) — the same driver-safety
+    guard as :func:`frequencies`, ranked within each group.
+
+    Scale shape: ONE union + (group, category)-keyed hash aggregation
+    with conditional sums (map-side combine; the corpus collapses to
+    #groups × #categories rows before any join), per-group totals are
+    a second agg over that bounded table, joined back group-keyed (AQE
+    broadcasts when #groups is small); the PSI sum is a final
+    group-keyed agg.  No window over raw data, no driver state.
+    """
+    gcols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    key = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+
+    def tagged(df: DataFrame, c: int, b: int) -> DataFrame:
+        return df.select(
+            *[F.col(g) for g in gcols],
+            key.alias("__k"),
+            F.lit(c).alias("__c"),
+            F.lit(b).alias("__b"),
+        )
+
+    u = tagged(current, 1, 0).unionAll(tagged(baseline, 0, 1))
+    counts = u.groupBy(*gcols, "__k").agg(
+        F.sum("__c").alias("nc"), F.sum("__b").alias("nb")
+    )
+    if max_categories is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*gcols).orderBy(
+            F.desc(F.col("nc") + F.col("nb")), F.col("__k")
+        )
+        keep = F.row_number().over(w) <= max_categories
+        counts = (
+            counts.withColumn(
+                "__k",
+                F.when(keep, F.col("__k")).otherwise(F.lit("__other__")),
+            )
+            .groupBy(*gcols, "__k")
+            .agg(F.sum("nc").alias("nc"), F.sum("nb").alias("nb"))
+        )
+    tot = counts.groupBy(*gcols).agg(
+        F.sum("nc").alias("__tc"), F.sum("nb").alias("__tb")
+    )
+    j = counts.join(tot, gcols) if gcols else counts.crossJoin(
+        F.broadcast(tot)
+    )
+    p = F.greatest(F.col("nc") / F.col("__tc"), F.lit(float(eps)))
+    q = F.greatest(F.col("nb") / F.col("__tb"), F.lit(float(eps)))
+    term = F.when(
+        (F.col("__tc") > 0) & (F.col("__tb") > 0),
+        (p - q) * F.log(p / q),
+    )
+    return j.groupBy(*gcols).agg(
+        F.sum(term).alias("psi"),
+        F.max("__tc").cast("long").alias("n_current"),
+        F.max("__tb").cast("long").alias("n_baseline"),
+    )

@@ -1525,3 +1525,81 @@ def test_distinct_anomaly(spark):
     assert {d: r.is_anomaly for d, r in approx.items()} == {
         d: r.is_anomaly for d, r in out.items()
     }
+
+
+def test_psi_by_group(spark):
+    from filters_spark.engine import psi_by_group
+    from filters_spark.engine.drift import psi_from_dicts
+
+    # role 'a': identical distributions -> psi 0; role 'b': category
+    # mass moves 80/20 -> 20/80; role 'c': current only -> null psi
+    cur = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 4
+        + [("b", "x")] * 8 + [("b", "y")] * 2
+        + [("c", "x")] * 3
+        + [("a", None)] * 2,  # null category participates
+        "role string, k string",
+    )
+    base = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 4
+        + [("b", "x")] * 2 + [("b", "y")] * 8
+        + [("a", None)] * 2,
+        "role string, k string",
+    )
+    out = {r.role: r for r in psi_by_group(cur, base, "k", "role").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"].psi == pytest.approx(0.0, abs=1e-12)
+    want_b = psi_from_dicts({"x": 0.8, "y": 0.2}, {"x": 0.2, "y": 0.8})
+    assert out["b"].psi == pytest.approx(want_b, rel=1e-12)
+    assert out["c"].psi is None  # no baseline for the group
+    assert (out["a"].n_current, out["a"].n_baseline) == (12, 12)
+    assert (out["c"].n_current, out["c"].n_baseline) == (3, 0)
+
+    # one-sided category within a two-sided group: eps floor keeps PSI finite
+    cur2 = spark.createDataFrame([("g", "only-cur")] * 5, "role string, k string")
+    base2 = spark.createDataFrame([("g", "only-base")] * 5, "role string, k string")
+    r = psi_by_group(cur2, base2, "k", "role").collect()[0]
+    want = psi_from_dicts({"only-cur": 1.0}, {"only-base": 1.0})
+    assert r.psi == pytest.approx(want, rel=1e-12)
+
+
+def test_psi_by_group_matches_python_reference(spark):
+    """Randomized cross-check: per-group psi_from_dicts over Counter
+    frequencies equals the distributed grouped PSI."""
+    import random
+    from collections import Counter, defaultdict
+
+    from filters_spark.engine import psi_by_group
+    from filters_spark.engine.drift import psi_from_dicts
+
+    rng = random.Random(20260821)
+    groups = ["r0", "r1", "r2"]
+    cats = ["c0", "c1", "c2", "c3", None]
+
+    def corpus(shift):
+        rows = []
+        for _ in range(400):
+            g = rng.choice(groups)
+            c = rng.choice(cats[shift:] + cats[:shift]) if g == "r1" else rng.choice(cats)
+            rows.append((g, c))
+        return rows
+
+    cur_rows, base_rows = corpus(0), corpus(2)
+    df_c = spark.createDataFrame(cur_rows, "g string, k string")
+    df_b = spark.createDataFrame(base_rows, "g string, k string")
+
+    def freqs(rows):
+        by = defaultdict(Counter)
+        for g, c in rows:
+            by[g][c if c is not None else "__null__"] += 1
+        return {
+            g: {k: v / sum(cnt.values()) for k, v in cnt.items()}
+            for g, cnt in by.items()
+        }
+
+    fc, fb = freqs(cur_rows), freqs(base_rows)
+    got = {r.g: r for r in psi_by_group(df_c, df_b, "k", "g").collect()}
+    for g in groups:
+        want = psi_from_dicts(fc[g], fb[g])
+        assert got[g].psi == pytest.approx(want, rel=1e-9), g
+        assert got[g].n_current == sum(1 for x in cur_rows if x[0] == g)
