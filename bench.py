@@ -240,6 +240,9 @@ def bench_queries(
         # dimension-sliced drift: ONE union + (group, category)-keyed
         # hash agg; totals + PSI sum over the bounded census
         "psi_by_group",
+        # conversation boundary-contract violations: one min_by/max_by
+        # conversation-keyed agg, no window, explode bounded by violators
+        "boundary_violations",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

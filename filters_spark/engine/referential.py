@@ -388,3 +388,112 @@ def turn_latency(
         F.expr("percentile(__gap, 0.5)").alias("p50_gap_sec"),
         F.max("__gap").alias("max_gap_sec"),
     )
+
+
+def _boundary_values(
+    df: DataFrame, conv: str, idx: str | list[str], col: str
+) -> DataFrame:
+    """Per-conversation first/last value of ``col`` in ``idx`` order as
+    ``(conv, first, last)`` — ONE conversation-keyed hash aggregation
+    via ``min_by``/``max_by`` over the (composite) order key.  No
+    window and no sort: the extremes combine map-side, so the corpus
+    collapses to one row per conversation inside the mappers and the
+    single shuffle carries three columns per conversation."""
+    ordk = F.struct(*_order_cols(idx))
+    v = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    return df.groupBy(conv).agg(
+        F.min_by(v, ordk).alias("first"),
+        F.max_by(v, ordk).alias("last"),
+    )
+
+
+def boundary_census(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str | list[str] = "turn_idx",
+    col: str = "role",
+) -> DataFrame:
+    """Conversation boundary-shape census: ``(first, last, n_convs)``
+    counting conversations by the ``col`` value of their FIRST and
+    LAST turn in ``idx`` order — the truncation fingerprint.  The
+    transition checks cannot see the terminal turn (no transition
+    exists after it): a corpus where 30 % of conversations end on a
+    ``user`` turn (dangling question — the generation was cut off or
+    the ingest dropped the reply) has perfectly legal transitions
+    everywhere.  This census is also the natural drift input: feed two
+    snapshots' ``(first || '>' || last)`` frequencies through
+    ``psi_from_dicts``.
+
+    Null boundary values report as the literal ``'__null__'``.
+    ``idx`` must totally order turns within a conversation (composite
+    list supported, same contract as the transition checks).
+
+    Scale shape: one ``min_by``/``max_by`` hash agg keyed by the
+    conversation (map-side combine, no window, no join), then a second
+    hash agg on the tiny (first, last) domain over the
+    one-row-per-conversation table.
+    """
+    return (
+        _boundary_values(df, conv, idx, col)
+        .groupBy("first", "last")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+    )
+
+
+def boundary_violations(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str | list[str] = "turn_idx",
+    col: str = "role",
+    expected_first: list | tuple | None = None,
+    expected_last: list | tuple | None = None,
+) -> DataFrame:
+    """Structured violation rows for conversations whose boundary turn
+    breaks the contract: ``(conv, code, value)`` with code
+    ``'bad_first'`` (conversation opens on a value outside
+    ``expected_first``) or ``'bad_last'`` (ends outside
+    ``expected_last``) and the offending boundary value — the
+    north-star violation-row shape, keyed by the conversation.  A
+    transcript corpus contract is typically ``expected_first=('user',
+    'system')`` and ``expected_last=('assistant',)``; a conversation
+    ending on ``user`` or ``tool`` is a truncated generation no
+    per-turn chain and no transition rule can flag.  Only supplied
+    sides are checked; at least one must be.  A null boundary value is
+    the literal ``'__null__'`` (list it to allow it).
+
+    Scale shape: the :func:`boundary_census` aggregation (one
+    conversation-keyed ``min_by``/``max_by`` hash agg, map-side
+    combine), then a pure projection — the two checks become an
+    array-filter + explode, so output is bounded by violating
+    conversations and a clean corpus emits nothing.
+    """
+    if expected_first is None and expected_last is None:
+        raise ValueError(
+            "boundary_violations: supply expected_first and/or "
+            "expected_last; with neither there is nothing to check "
+            "(use boundary_census for the unconstrained census)"
+        )
+    fl = _boundary_values(df, conv, idx, col)
+    checks = []
+    for side, allowed in (
+        ("first", expected_first),
+        ("last", expected_last),
+    ):
+        if allowed is None:
+            continue
+        ok = F.col(side).isin([str(a) for a in allowed])
+        checks.append(
+            F.when(
+                ~ok,
+                F.struct(
+                    F.lit(f"bad_{side}").alias("code"),
+                    F.col(side).alias("value"),
+                ),
+            )
+        )
+    arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
+    return fl.select(F.col(conv), F.explode(arr).alias("__v")).select(
+        conv,
+        F.col("__v.code").alias("code"),
+        F.col("__v.value").alias("value"),
+    )

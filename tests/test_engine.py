@@ -1603,3 +1603,96 @@ def test_psi_by_group_matches_python_reference(spark):
         want = psi_from_dicts(fc[g], fb[g])
         assert got[g].psi == pytest.approx(want, rel=1e-9), g
         assert got[g].n_current == sum(1 for x in cur_rows if x[0] == g)
+
+
+def test_boundary_census_and_violations(spark):
+    from filters_spark.engine import boundary_census, boundary_violations
+
+    df = spark.createDataFrame(
+        [
+            # c1: user -> assistant (clean)
+            ("c1", 0, "user"), ("c1", 1, "assistant"),
+            # c2: ends on user (dangling question)
+            ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "user"),
+            # c3: opens on assistant AND ends on tool
+            ("c3", 0, "assistant"), ("c3", 1, "tool"),
+            # c4: single-turn null role (boundary on both sides)
+            ("c4", 0, None),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    census = {
+        (r.first, r.last): r.n_convs
+        for r in boundary_census(df, "conv_id", "turn_idx", "role").collect()
+    }
+    assert census == {
+        ("user", "assistant"): 1,
+        ("user", "user"): 1,
+        ("assistant", "tool"): 1,
+        ("__null__", "__null__"): 1,
+    }
+
+    out = boundary_violations(
+        df,
+        "conv_id",
+        "turn_idx",
+        "role",
+        expected_first=("user", "system"),
+        expected_last=("assistant",),
+    )
+    got = {(r.conv_id, r.code): r.value for r in out.collect()}
+    assert got == {
+        ("c2", "bad_last"): "user",
+        ("c3", "bad_first"): "assistant",
+        ("c3", "bad_last"): "tool",
+        ("c4", "bad_first"): "__null__",
+        ("c4", "bad_last"): "__null__",
+    }
+
+    # one-sided check: only the last turn constrained
+    last_only = boundary_violations(
+        df, "conv_id", "turn_idx", "role", expected_last=("assistant",)
+    )
+    assert {r.conv_id for r in last_only.collect()} == {"c2", "c3", "c4"}
+
+    with pytest.raises(ValueError):
+        boundary_violations(df, "conv_id", "turn_idx", "role")
+
+
+def test_boundary_census_composite_idx_and_python_reference(spark):
+    """Composite (turn_idx, sub_idx) ordering + randomized cross-check
+    against a pure-Python first/last reduction."""
+    import random
+
+    from filters_spark.engine import boundary_census
+
+    rng = random.Random(20260819)
+    roles = ["user", "assistant", "system", "tool", None]
+    rows = []
+    for c in range(40):
+        n = rng.randint(1, 6)
+        order = list(range(n))
+        rng.shuffle(order)  # input arrival order is not idx order
+        for pos, i in enumerate(order):
+            # same turn_idx, distinct sub_idx: composite key breaks tie
+            rows.append((f"c{c}", i // 2, i % 2, rng.choice(roles), pos))
+    df = spark.createDataFrame(
+        [(c, t, s, r) for c, t, s, r, _ in rows],
+        "conv_id string, turn_idx int, sub_idx int, role string",
+    )
+    got = {
+        (r.first, r.last): r.n_convs
+        for r in boundary_census(
+            df, "conv_id", ["turn_idx", "sub_idx"], "role"
+        ).collect()
+    }
+    by_conv = {}
+    for c, t, s, r, _ in rows:
+        by_conv.setdefault(c, []).append(((t, s), r))
+    want = {}
+    for turns in by_conv.values():
+        turns.sort()
+        f = turns[0][1] or "__null__"
+        l = turns[-1][1] or "__null__"
+        want[(f, l)] = want.get((f, l), 0) + 1
+    assert got == want
